@@ -182,6 +182,71 @@ class TagsColumn:
         """Rebuild by applying fn(raw_row_bytes) -> new_row_bytes per read."""
         return TagsColumn.from_rows([fn(self.row(i)) for i in range(len(self))])
 
+    def extract_i(self, tag: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """(values int64, present bool) of an integer-typed tag per read."""
+        n = len(self)
+        vals = np.zeros(n, np.int64)
+        present = np.zeros(n, bool)
+        prefix = tag + b":i:"
+        for i in range(n):
+            for f in self.fields(i):
+                if f.startswith(prefix):
+                    vals[i] = int(f[5:])
+                    present[i] = True
+                    break
+        return vals, present
+
+    def has_tag(self, tag: bytes) -> np.ndarray:
+        n = len(self)
+        out = np.zeros(n, bool)
+        for i in range(n):
+            for f in self.fields(i):
+                if f[:2] == tag:
+                    out[i] = True
+                    break
+        return out
+
+    def remove_tags(self, tags: Sequence[bytes]) -> "TagsColumn":
+        """Drop the named tags (reference: filters/simple-filters.go:235-257)."""
+        tagset = set(tags)
+
+        def fn(row: bytes) -> bytes:
+            if not row:
+                return row
+            return b"\t".join(f for f in row.split(b"\t") if f[:2] not in tagset)
+
+        return self.map_rows(fn)
+
+    def keep_tags(self, tags: Sequence[bytes]) -> "TagsColumn":
+        """Keep only the named tags (reference: filters/simple-filters.go:261-288)."""
+        tagset = set(tags)
+
+        def fn(row: bytes) -> bytes:
+            if not row:
+                return row
+            return b"\t".join(f for f in row.split(b"\t") if f[:2] in tagset)
+
+        return self.map_rows(fn)
+
+    def set_z(self, tag: bytes, value: bytes) -> "TagsColumn":
+        """Set/replace a string-typed tag in every read. Replacement happens
+        in place (keeping the field position, like SmallMap.Set); a missing
+        tag is appended at the end."""
+        field_ = tag + b":Z:" + value
+
+        def fn(row: bytes) -> bytes:
+            if not row:
+                return field_
+            fields = row.split(b"\t")
+            for k, f in enumerate(fields):
+                if f[:2] == tag:
+                    fields[k] = field_
+                    return b"\t".join(fields)
+            fields.append(field_)
+            return b"\t".join(fields)
+
+        return self.map_rows(fn)
+
 
 @dataclass
 class ReadBatch:

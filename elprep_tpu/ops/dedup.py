@@ -1,0 +1,230 @@
+"""Sort-based duplicate marking on device.
+
+elPrep's signature algorithm marks duplicates in a single concurrent pass
+using lock-free CAS hash maps (reference: filters/mark-duplicates.go:
+classifyFragment :210-254, classifyPair :329-396). The *outcome* of those
+CAS duels is deterministic; we reproduce it with a TPU-friendly
+formulation: sort by the dedup key, then segmented reductions.
+
+Semantics reproduced exactly:
+
+- only reads with none of Unmapped|Secondary|Supplementary participate
+  (mark-duplicates.go:427,436);
+- a read is a "true pair" iff (FLAG & (Multiple|NextUnmapped)) == Multiple
+  (mark-duplicates.go:177-184);
+- FRAGMENT phase, key {LIBID, REFID, unclipped-pos, reversed}
+  (mark-duplicates.go:188-216): if the group contains any true pair, all
+  true fragments are duplicates; otherwise every true fragment except the
+  winner is a duplicate. Winner = highest score, then lexicographically
+  smallest QNAME, then latest arrival (the CAS loop lets the last equal
+  contender replace the incumbent, mark-duplicates.go:231-238);
+- PAIR phase: true pairs are joined by {LIBID, QNAME} in arrival order
+  (DeleteOrStore, mark-duplicates.go:336-340), canonically ordered by
+  (refid, pos, reversed) (mark-duplicates.go:343-353), then grouped by
+  {LIBID, refid1, refid2, pos1, pos2, rev1, rev2}; every losing pair has
+  *both* reads marked. Winner = highest score sum, then smallest QNAME,
+  then latest arrival (mark-duplicates.go:375-395).
+
+The returned ``dup_mask`` is OR-ed into FLAG bit 0x400 by the caller.
+Inputs are all int32 [N] columns; the whole computation is one jitted
+XLA program (three device sorts + segment reductions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.int32(2**31 - 1)
+INT32_MIN = np.int32(-(2**31))
+
+MULTIPLE = 0x1
+NEXT_UNMAPPED = 0x8
+REVERSED = 0x10
+ELIGIBLE_EXCLUDE = 0x4 | 0x100 | 0x800  # Unmapped|Secondary|Supplementary
+
+
+def _segment_ids(*key_cols):
+    """Segment ids for sorted key columns: increments where any key changes."""
+    change = jnp.zeros_like(key_cols[0], dtype=jnp.bool_)
+    for k in key_cols:
+        change = change | (k != jnp.roll(k, 1))
+    change = change.at[0].set(True)
+    return jnp.cumsum(change.astype(jnp.int32)) - 1
+
+
+def _seg_max(x, seg, n):
+    return jax.ops.segment_max(x, seg, num_segments=n, indices_are_sorted=True)
+
+
+def _seg_min(x, seg, n):
+    return jax.ops.segment_min(x, seg, num_segments=n, indices_are_sorted=True)
+
+
+@jax.jit
+def mark_duplicates(libid, refid, upos, rev, score, qrank, flag):
+    """Compute the duplicate mask for one batch.
+
+    All args int32 [N]; ``rev`` is 0/1; ``score`` is the adapted Phred
+    score; ``qrank`` is the QNAME ordinal rank; arrival order is the
+    array index. Returns bool [N].
+    """
+    n = flag.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    eligible = (flag & ELIGIBLE_EXCLUDE) == 0
+    true_pair = eligible & ((flag & (MULTIPLE | NEXT_UNMAPPED)) == MULTIPLE)
+    true_frag = eligible & ~true_pair
+
+    dup = jnp.zeros(n, dtype=jnp.bool_)
+
+    # ------------------------------------------------------------------
+    # FRAGMENT phase
+    # ------------------------------------------------------------------
+    inel = (~eligible).astype(jnp.int32)
+    s = jax.lax.sort(
+        (inel, libid, refid, upos, rev,
+         true_pair.astype(jnp.int32), true_frag.astype(jnp.int32), score, qrank, idx),
+        num_keys=5,
+        is_stable=True,
+    )
+    s_inel, s_lib, s_ref, s_upos, s_rev, s_pair, s_frag, s_score, s_qrank, s_idx = s
+    seg = _segment_ids(s_inel, s_lib, s_ref, s_upos, s_rev)
+
+    has_pair = _seg_max(s_pair, seg, n)[seg] > 0
+    frag_score = jnp.where(s_frag > 0, s_score, INT32_MIN)
+    best_score = _seg_max(frag_score, seg, n)[seg]
+    tie = (s_frag > 0) & (s_score == best_score)
+    tie_qrank = jnp.where(tie, s_qrank, INT32_MAX)
+    best_qrank = _seg_min(tie_qrank, seg, n)[seg]
+    tie2 = tie & (s_qrank == best_qrank)
+    tie_idx = jnp.where(tie2, s_idx, -1)
+    winner_idx = _seg_max(tie_idx, seg, n)[seg]
+    frag_winner = tie2 & (s_idx == winner_idx) & ~has_pair
+    frag_dup = (s_frag > 0) & (s_inel == 0) & ~frag_winner
+    dup = dup.at[s_idx].max(frag_dup)
+
+    # ------------------------------------------------------------------
+    # PAIR formation: join true pairs by {LIBID, QNAME} in arrival order
+    # ------------------------------------------------------------------
+    not_cand = (~true_pair).astype(jnp.int32)
+    p = jax.lax.sort(
+        (not_cand, libid, qrank, idx,
+         refid, upos, rev, score),
+        num_keys=4,
+        is_stable=True,
+    )
+    p_nc, p_lib, p_qrank, p_idx, p_ref, p_upos, p_rev, p_score = p
+    pseg = _segment_ids(p_nc, p_lib, p_qrank)
+    pos_in_run = jnp.arange(n, dtype=jnp.int32) - _seg_min(jnp.arange(n, dtype=jnp.int32), pseg, n)[pseg]
+    # read at odd position pairs with its predecessor (DeleteOrStore order)
+    is_second = (p_nc == 0) & (pos_in_run % 2 == 1)
+
+    # partner (previous sorted position) fields
+    def prev(x):
+        return jnp.roll(x, 1)
+
+    a_ref, a_upos, a_rev, a_score, a_idx = p_ref, p_upos, p_rev, p_score, p_idx
+    b_ref, b_upos, b_rev, b_score, b_idx = map(prev, (p_ref, p_upos, p_rev, p_score, p_idx))
+
+    # canonical ordering (mark-duplicates.go:343-353): here aln1 = the later
+    # arrival (a), aln2 = the earlier (b); swap if out of canonical order.
+    swap = (a_ref > b_ref) | (
+        (a_ref == b_ref)
+        & ((a_upos > b_upos) | ((a_upos == b_upos) & (a_rev == 1) & (b_rev == 0)))
+    )
+    r1 = jnp.where(swap, b_ref, a_ref)
+    r2 = jnp.where(swap, a_ref, b_ref)
+    po1 = jnp.where(swap, b_upos, a_upos)
+    po2 = jnp.where(swap, a_upos, b_upos)
+    rv1 = jnp.where(swap, b_rev, a_rev)
+    rv2 = jnp.where(swap, a_rev, b_rev)
+    pscore = a_score + b_score
+    parrival = jnp.maximum(a_idx, b_idx)
+    pq = p_qrank
+
+    # ------------------------------------------------------------------
+    # PAIR dedup: group by {LIBID, r1, r2, po1, po2, rv1, rv2}
+    # ------------------------------------------------------------------
+    invalid = (~is_second).astype(jnp.int32)
+    g = jax.lax.sort(
+        (invalid, p_lib, r1, r2, po1, po2, rv1, rv2,
+         pscore, pq, parrival, a_idx, b_idx),
+        num_keys=8,
+        is_stable=True,
+    )
+    (g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2,
+     g_score, g_q, g_arr, g_ia, g_ib) = g
+    gseg = _segment_ids(g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2)
+
+    valid = g_inv == 0
+    vscore = jnp.where(valid, g_score, INT32_MIN)
+    gbest_score = _seg_max(vscore, gseg, n)[gseg]
+    gtie = valid & (g_score == gbest_score)
+    gq = jnp.where(gtie, g_q, INT32_MAX)
+    gbest_q = _seg_min(gq, gseg, n)[gseg]
+    gtie2 = gtie & (g_q == gbest_q)
+    garr = jnp.where(gtie2, g_arr, -1)
+    gbest_arr = _seg_max(garr, gseg, n)[gseg]
+    gwinner = gtie2 & (g_arr == gbest_arr)
+    gloser = valid & ~gwinner
+
+    ia = jnp.where(gloser, g_ia, n)  # out-of-range -> dropped by scatter
+    ib = jnp.where(gloser, g_ib, n)
+    dup = dup.at[ia].max(True, mode="drop")
+    dup = dup.at[ib].max(True, mode="drop")
+
+    return dup
+
+
+def mark_duplicates_batch(batch, header):
+    """Host glue: derive dedup input columns from a ReadBatch + header and
+    run the device kernel. Returns (dup_mask, aux dict with the derived
+    columns for reuse by optical-duplicate marking).
+
+    LIBID mapping: @RG ID -> LB (reference: mark-duplicates.go:411-423);
+    reads without an RG tag or whose RG has no LB get LIBID nil, which is
+    its own group key value (-1 here).
+    """
+    from . import readstats, sortkeys
+
+    lb_by_rg = {}
+    for rg_entry in header.rg:
+        lb = rg_entry.get("LB")
+        if lb is not None:
+            rg_id = rg_entry.get("ID")
+            if rg_id is None:
+                raise ValueError("Missing mandatory ID entry in an @RG line in a SAM file header.")
+            lb_by_rg[rg_id.encode()] = lb
+
+    rg_vals = batch.tags.extract_z(b"RG")
+    lb_ids: dict[str, int] = {}
+    libid = np.full(len(batch), -1, np.int32)
+    for i, rg in enumerate(rg_vals):
+        lb = lb_by_rg.get(rg)
+        if lb is not None:
+            libid[i] = lb_ids.setdefault(lb, len(lb_ids))
+
+    refid = batch.temps["REFID"]
+    qrank = sortkeys.qname_ranks(batch.qname)
+    op_class, op_len, n_ops = readstats.pad_cigars(batch.cigar_len, batch.cigar_op)
+    qual_padded, qual_len = readstats.pad_quals(batch.qual)
+
+    upos = np.asarray(readstats.unclipped_position(batch.pos, batch.flag, op_class, op_len, n_ops))
+    score = np.asarray(readstats.phred_score(qual_padded, qual_len))
+    rev = ((batch.flag & REVERSED) >> 4).astype(np.int32)
+
+    dup = np.asarray(
+        mark_duplicates(
+            jnp.asarray(libid),
+            jnp.asarray(refid),
+            jnp.asarray(upos),
+            jnp.asarray(rev),
+            jnp.asarray(score),
+            jnp.asarray(qrank),
+            jnp.asarray(batch.flag),
+        )
+    )
+    aux = {"libid": libid, "upos": upos, "score": score, "qrank": qrank}
+    return dup, aux

@@ -1,0 +1,88 @@
+"""Device-side sorting: multi-key stable sort replicating elPrep's
+alignment comparators.
+
+elPrep sorts ``[]*Alignment`` with a parallel stable merge sort over the
+``CoordinateLess`` predicate (reference: sam/sam-types.go:425-473,
+599-641). On TPU we instead build int32 key columns such that
+lexicographic (key_1, ..., key_k) order is exactly ``CoordinateLess``
+order, then run one ``jax.lax.sort`` with ``num_keys=k`` — XLA lowers
+this to an on-device bitonic/merge sort.
+
+Key construction notes:
+
+- invalid refids (-1) sort *after* all valid ones
+  (sam-types.go:428-432: ``refid1 < refid2 -> refid1 >= 0``);
+- QNAME comparison is lexicographic on bytes; we pre-compute an ordinal
+  rank per unique QNAME on the host (np.unique) and compare ranks;
+- ``modFlag`` masks NextUnmapped/NextReversed/Reversed bits conditioned
+  on Multiple/Unmapped/NextUnmapped (sam-types.go:408-420);
+- the mate keys (NextREFID, PNEXT) only apply when *both* reads have the
+  Multiple flag (sam-types.go:458-470); since they are compared only
+  after FLAG compares equal — and modFlag preserves the Multiple bit —
+  "both multiple" is equivalent to "this read is multiple", so a
+  per-element key ``multiple ? mate_key : 0`` is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.int32(2**31 - 1)
+
+MULTIPLE = 0x1
+UNMAPPED = 0x4
+NEXT_UNMAPPED = 0x8
+REVERSED = 0x10
+NEXT_REVERSED = 0x20
+
+
+def mod_flag(flag: jnp.ndarray) -> jnp.ndarray:
+    """modFlag (reference: sam/sam-types.go:408-420)."""
+    f = flag
+    not_mult = (f & MULTIPLE) == 0
+    f = jnp.where(not_mult, f & ~(NEXT_UNMAPPED | NEXT_REVERSED), f)
+    f = jnp.where((f & UNMAPPED) != 0, f & ~REVERSED, f)
+    f = jnp.where((f & NEXT_UNMAPPED) != 0, f & ~NEXT_REVERSED, f)
+    return f
+
+
+def coordinate_keys(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank):
+    """Key columns whose lexicographic order equals CoordinateLess
+    (reference: sam/sam-types.go:425-473)."""
+    k_refid = jnp.where(refid >= 0, refid, INT32_MAX)
+    k_rev = (flag >> 4) & 1
+    mf = mod_flag(flag)
+    multiple = (flag & MULTIPLE) != 0
+    k_nrefid = jnp.where(multiple, next_refid, 0)
+    k_pnext = jnp.where(multiple, pnext, 0)
+    return (k_refid, pos, k_rev, qrank, mf, mapq, k_nrefid, k_pnext, tlen)
+
+
+@jax.jit
+def coordinate_sort_perm(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank):
+    """Stable coordinate-sort permutation, computed on device."""
+    n = flag.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keys = coordinate_keys(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank)
+    out = jax.lax.sort(keys + (idx,), num_keys=len(keys), is_stable=True)
+    return out[-1]
+
+
+@jax.jit
+def queryname_sort_perm(qrank):
+    """Stable queryname-sort permutation (reference: sam/sam-types.go:479-481)."""
+    n = qrank.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((qrank, idx), num_keys=1, is_stable=True)
+    return perm
+
+
+def qname_ranks(qnames: np.ndarray) -> np.ndarray:
+    """Host-side ordinal ranks of QNAMEs under bytewise lexicographic order
+    (Go string compare == numpy 'S' compare for ASCII)."""
+    _, inverse = np.unique(qnames, return_inverse=True)
+    return inverse.astype(np.int32)
