@@ -78,6 +78,89 @@ def random_reads(
     return lines[:n]
 
 
+def make_genome(contigs, seed=99):
+    """Random reference genome dict name -> bytes (with some N runs)."""
+    rng = random.Random(seed)
+    genome = {}
+    for name, ln in contigs:
+        seq = [rng.choice("ACGT") for _ in range(ln)]
+        # sprinkle N runs
+        for _ in range(max(1, ln // 5000)):
+            p = rng.randrange(ln)
+            for k in range(p, min(ln, p + rng.randrange(1, 10))):
+                seq[k] = "N"
+        genome[name] = "".join(seq).encode()
+    return genome
+
+
+def reads_from_genome(
+    n: int,
+    contigs,
+    genome,
+    seed: int = 17,
+    read_len: int = 100,
+    rg_ids=None,
+    mismatch_rate: float = 0.02,
+):
+    """Paired reads sampled from the genome with mismatches, soft clips,
+    indels, and a realistic qual distribution (incl. low-qual tails)."""
+    rng = random.Random(seed)
+    lines = []
+    i = 0
+
+    def make_seq(cname, pos, ln):
+        ref = genome[cname][pos - 1 : pos - 1 + ln].decode()
+        seq = list(ref)
+        for k in range(len(seq)):
+            if seq[k] == "N":
+                seq[k] = rng.choice("ACGT")
+            elif rng.random() < mismatch_rate:
+                seq[k] = rng.choice("ACGT")
+        return "".join(seq)
+
+    def make_qual(ln):
+        q = [rng.randrange(2, 40) for _ in range(ln)]
+        # low-qual tails sometimes
+        if rng.random() < 0.3:
+            for k in range(rng.randrange(1, 5)):
+                q[k] = rng.randrange(0, 3)
+        if rng.random() < 0.3:
+            for k in range(rng.randrange(1, 5)):
+                q[-1 - k] = rng.randrange(0, 3)
+        return "".join(chr(33 + v) for v in q)
+
+    while len(lines) + 2 <= n:
+        qname = f"frag{i:06d}"
+        i += 1
+        ci = rng.randrange(len(contigs))
+        cname, clen = contigs[ci]
+        pos = rng.randrange(1, clen - 3 * read_len)
+        isize = rng.randrange(read_len + 20, 2 * read_len + 100)
+        mpos = pos + isize - read_len
+        softclip = rng.choice([0, 0, 0, 5])
+        if softclip:
+            cigar1 = f"{softclip}S{read_len - softclip}M"
+            ln1_ref = read_len - softclip
+        else:
+            cigar1 = f"{read_len}M"
+            ln1_ref = read_len
+        seq1 = make_seq(cname, pos, read_len)
+        # forward read of the pair
+        flag1 = 0x1 | 0x2 | 0x40 | 0x20
+        flag2 = 0x1 | 0x2 | 0x80 | 0x10
+        tlen = mpos + read_len - pos
+        rgtag = ("\tRG:Z:" + rng.choice(rg_ids)) if rg_ids else ""
+        mapq = rng.randrange(1, 60)
+        lines.append(
+            f"{qname}\t{flag1}\t{cname}\t{pos}\t{mapq}\t{cigar1}\t=\t{mpos}\t{tlen}\t{seq1}\t{make_qual(read_len)}{rgtag}"
+        )
+        seq2 = make_seq(cname, mpos, read_len)
+        lines.append(
+            f"{qname}\t{flag2}\t{cname}\t{mpos}\t{mapq}\t{read_len}M\t=\t{pos}\t{-tlen}\t{seq2}\t{make_qual(read_len)}{rgtag}"
+        )
+    return lines[:n]
+
+
 def make_sam(n: int = 1000, seed: int = 42, contigs=None, rgs=None, rg_ids=None) -> bytes:
     contigs = contigs or [("chr1", 1_000_000), ("chr2", 800_000)]
     header = make_header_lines(contigs, rgs=rgs)

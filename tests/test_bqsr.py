@@ -1,0 +1,185 @@
+"""BQSR device pipeline vs the sequential reference-semantics oracle."""
+
+import numpy as np
+import pytest
+
+from elprep_tpu.core.header import SortingOrder
+from elprep_tpu.filters import add_refid
+from elprep_tpu.filters.bqsr import (
+    BaseRecalibrator,
+    NCTX,
+    apply_bqsr_filter,
+    initialize_static_quantized_scores,
+)
+from elprep_tpu.io import intervals as iv
+from elprep_tpu.io.fasta import MappedFasta, RefIndex, to_elfasta
+from elprep_tpu.io.sam import parse_sam
+
+import bqsr_oracle
+from samgen import make_genome, make_header_lines, reads_from_genome
+
+CONTIGS = [("chr1", 60000), ("chr2", 40000)]
+RGS = [
+    {"ID": "grp1", "LB": "libA", "PU": "unit1"},
+    {"ID": "grp2", "LB": "libB", "PU": "unit2"},
+    {"ID": "grp3", "LB": "libB"},  # no PU -> covariate = ID
+]
+RG_IDS = ["grp1", "grp2", "grp3"]
+MAX_CYCLE = 500
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bqsr")
+    genome = make_genome(CONTIGS, seed=3)
+    elf = str(tmp / "ref.elfasta")
+    to_elfasta(genome, elf)
+    ref = RefIndex(MappedFasta(elf))
+
+    header_lines = make_header_lines(CONTIGS, rgs=RGS)
+    reads = reads_from_genome(800, CONTIGS, genome, seed=5, rg_ids=RG_IDS)
+    sam = ("\n".join(header_lines + reads) + "\n").encode()
+    hdr, batch = parse_sam(sam)
+    add_refid(hdr)(batch)
+
+    # known sites over some positions
+    known = {
+        "chr1": iv.flatten(iv.sort_by_start(iv.make([100, 5000, 20000], [200, 5100, 20500]))),
+    }
+    sites = str(tmp / "known.elsites")
+    iv.to_elsites_file(known, sites)
+
+    genome_str = {k: v for k, v in genome.items()}
+    return genome_str, ref, sites, hdr, batch, known
+
+
+def _ctx_key_to_idx(key: int) -> int:
+    return ((key >> 4) & 3) * 4 + ((key >> 6) & 3)
+
+
+def test_elfasta_roundtrip(tmp_path):
+    genome = make_genome([("c1", 1000), ("c2", 777)], seed=8)
+    path = str(tmp_path / "x.elfasta")
+    to_elfasta(genome, path)
+    mf = MappedFasta(path)
+    assert mf.seq("c1").tobytes() == genome["c1"]
+    assert mf.seq("c2").tobytes() == genome["c2"]
+
+
+def test_recalibrate_tables_match_oracle(setup):
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    tables = recal.recalibrate(hdr, batch, MAX_CYCLE)
+
+    qs, cyc, ctx = bqsr_oracle.recalibrate_oracle(hdr, batch, genome, known, MAX_CYCLE)
+    assert qs, "oracle produced no entries — generator broken"
+
+    rg_index = {name: i for i, name in enumerate(tables.rg_names)}
+    # QualityScores
+    got = {}
+    for i, rg in enumerate(tables.rg_names):
+        for q in range(94):
+            if tables.qs_obs[i, q] > 0:
+                got[(rg, q)] = [int(tables.qs_obs[i, q]), int(tables.qs_mism[i, q])]
+    assert got == qs
+
+    got_cyc = {}
+    for i, rg in enumerate(tables.rg_names):
+        nz = np.nonzero(tables.cyc_obs[i])
+        for q, c in zip(*nz):
+            got_cyc[(rg, int(q), int(c) - MAX_CYCLE)] = [
+                int(tables.cyc_obs[i, q, c]), int(tables.cyc_mism[i, q, c])
+            ]
+    assert got_cyc == cyc
+
+    got_ctx = {}
+    for i, rg in enumerate(tables.rg_names):
+        nz = np.nonzero(tables.ctx_obs[i])
+        for q, c in zip(*nz):
+            got_ctx[(rg, int(q), int(c))] = [
+                int(tables.ctx_obs[i, q, c]), int(tables.ctx_mism[i, q, c])
+            ]
+    want_ctx = {(rg, q, _ctx_key_to_idx(k)): v for (rg, q, k), v in ctx.items()}
+    assert got_ctx == want_ctx
+
+
+def test_finalize_matches_oracle(setup):
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    tables = recal.recalibrate(hdr, batch, MAX_CYCLE)
+    tables.finalize()
+    for i, rg in enumerate(tables.rg_names):
+        for q in range(94):
+            if tables.qs_obs[i, q] > 0:
+                want = bqsr_oracle.empirical_quality(
+                    int(tables.qs_obs[i, q]), int(tables.qs_mism[i, q]), float(q)
+                )
+                assert int(tables.qs_eq[i, q]) == want
+
+
+def test_combined_rg_table(setup):
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    tables = recal.recalibrate(hdr, batch, MAX_CYCLE)
+    qs, _, _ = bqsr_oracle.recalibrate_oracle(hdr, batch, genome, known, MAX_CYCLE)
+    want = bqsr_oracle.combined_rg_oracle(qs)
+    got = tables.combined_rg_table()
+    assert set(got) == set(want)
+    for rg in want:
+        assert got[rg][1:] == want[rg][1:]
+        assert got[rg][0] == pytest.approx(want[rg][0], abs=1e-9)
+
+
+def test_apply_bqsr_matches_oracle(setup):
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    tables = recal.recalibrate(hdr, batch, MAX_CYCLE)
+    tables.finalize()
+    qs, cyc, ctx = bqsr_oracle.recalibrate_oracle(hdr, batch, genome, known, MAX_CYCLE)
+    ctx_idx = {(rg, q, _ctx_key_to_idx(k)): v for (rg, q, k), v in ctx.items()}
+
+    _, quant = tables.quantization(0)  # quantizeLevels=0 -> identity
+    want_quals = bqsr_oracle.apply_oracle(hdr, batch, qs, cyc, ctx, MAX_CYCLE, quant, None)
+
+    bf = apply_bqsr_filter(tables, quantize_levels=0, sqq=(), max_cycle=MAX_CYCLE)(hdr)
+    bf(batch)
+    for i in range(len(batch)):
+        got = batch.qual.row(i).tobytes()
+        assert got == want_quals[i], f"read {i}: {list(got[:20])} != {list(want_quals[i][:20])}"
+
+
+def test_report_prints(setup, tmp_path):
+    from elprep_tpu.filters.bqsr_report import print_bqsr_tables
+
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    tables = recal.recalibrate(hdr, batch, MAX_CYCLE)
+    tables.finalize()
+    out = str(tmp_path / "recal.txt")
+    print_bqsr_tables(tables, out)
+    text = open(out).read()
+    assert text.startswith("#:GATKReport.v1.1:5\n")
+    assert "#:GATKTable:RecalTable0:\n" in text
+    assert "#:GATKTable:RecalTable1:\n" in text
+    assert "#:GATKTable:RecalTable2:\n" in text
+    assert "Quantized:Quality quantization map" in text
+
+
+def test_static_quantized_scores():
+    lut = initialize_static_quantized_scores([10, 20, 30])
+    assert lut[0] == 0 and lut[5] == 5
+    assert all(int(v) in (10, 20, 30) for v in lut[10:200])
+
+
+def test_intermediate_roundtrip(setup, tmp_path):
+    from elprep_tpu.filters.bqsr_report import load_intermediate, save_intermediate
+
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    tables = recal.recalibrate(hdr, batch, MAX_CYCLE)
+    p = str(tmp_path / "tabs.npz")
+    save_intermediate(tables, p)
+    loaded = load_intermediate(p)
+    assert loaded.rg_names == tables.rg_names
+    np.testing.assert_array_equal(loaded.qs_obs, tables.qs_obs)
+    np.testing.assert_array_equal(loaded.cyc_mism, tables.cyc_mism)
