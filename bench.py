@@ -1,0 +1,90 @@
+"""Benchmark: reads/sec/chip through the device compute path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the fused device portion of the 5-step pipeline on synthetic
+reads: coordinate-sort permutation + duplicate marking + BQSR table build
++ BQSR apply. vs_baseline is against elPrep's published whole-pipeline
+CPU throughput on a high-end server (~1.3M reads/min/36-core for WES
+5-step, PLoS ONE 16(2):e0244471 Fig 3 → ~22k reads/sec; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# elPrep 5 WES 5-step: ~100M-read exome in ~75 min on a 36-core node
+# (PLoS ONE 2021 paper, BASELINE.md) → ~22k reads/sec whole-node.
+REFERENCE_READS_PER_SEC = 22_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_columns
+    from elprep_tpu.ops.bqsr_ops import recalibrate_tables, apply_bqsr
+    from elprep_tpu.ops.dedup import mark_duplicates
+    from elprep_tpu.ops import sortkeys
+
+    n_reads, read_len, ref_len = 1 << 17, 128, 1 << 20
+    max_cycle, n_rg = 512, 1
+    (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
+     ref_classes) = _synthetic_columns(n_reads, read_len, ref_len)
+    libid = np.zeros(n_reads, np.int32)
+    refid = np.zeros(n_reads, np.int32)
+    qrank = np.arange(n_reads, dtype=np.int32)
+
+    cond_prior = np.full((n_rg, 94), 30, np.int32)
+    d_cyc = np.zeros((n_rg, 94, 2 * max_cycle + 1), np.int32)
+    d_ctx = np.zeros((n_rg, 94, 17), np.int32)
+    quant_lut = np.arange(94, dtype=np.uint8)
+    sqq_lut = np.arange(255, dtype=np.uint8)
+
+    @jax.jit
+    def step(base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
+             skip, op_class, op_len, ref_classes):
+        perm = sortkeys.coordinate_sort_perm(
+            flag, refid, pos, jnp.full_like(pos, 60), refid, pos,
+            jnp.zeros_like(pos), qrank,
+        )
+        rev = (flag >> 4) & 1
+        score = jnp.sum(jnp.where(qual >= 15, qual.astype(jnp.int32), 0), axis=1)
+        dup = mark_duplicates(libid, refid, pos, rev, score, qrank, flag)
+        tabs = recalibrate_tables(
+            base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
+            jnp.asarray(ref_classes), max_cycle=max_cycle, n_rg=n_rg,
+        )
+        newq, _ = apply_bqsr(
+            base, qual, seq_len, flag, rg, jnp.ones(n_rg, bool),
+            jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
+            jnp.asarray(quant_lut), jnp.asarray(sqq_lut), max_cycle=max_cycle,
+        )
+        return perm, dup, newq, tabs[0]
+
+    args = [jnp.asarray(a) for a in (
+        base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
+        skip, op_class, op_len, ref_classes)]
+
+    jax.block_until_ready(step(*args))  # compile + warm
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    reads_per_sec = n_reads / dt
+    print(json.dumps({
+        "metric": "pipeline_device_reads_per_sec",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/sec/chip",
+        "vs_baseline": round(reads_per_sec / REFERENCE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

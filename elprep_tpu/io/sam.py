@@ -172,9 +172,11 @@ def canonicalize_tag_field(field_: bytes) -> bytes:
                 out += b",%d" % np.uint8(int(e))
         elif sub == b"s":
             # quirk: parsed as uint16, printed as int16
-            # (reference: sam/sam-files.go:263-272)
+            # (reference: sam/sam-files.go:263-272); bit-cast so that
+            # already-negative values (from BAM binary int16) pass through
             for e in entries:
-                out += b",%d" % np.uint16(int(e)).astype(np.int16)
+                v = int(e) & 0xFFFF
+                out += b",%d" % (v - 0x10000 if v >= 0x8000 else v)
         elif sub == b"S":
             for e in entries:
                 out += b",%d" % np.uint16(int(e))

@@ -1,5 +1,10 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
-sharding logic is exercised without TPU hardware."""
+sharding logic is exercised without TPU hardware.
+
+The axon TPU plugin ignores JAX_PLATFORMS=cpu from the environment, so
+the platform is forced through jax.config before any backend initializes
+(this keeps tests off the single shared TPU chip entirely).
+"""
 
 import os
 
@@ -7,3 +12,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
