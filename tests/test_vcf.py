@@ -1,0 +1,126 @@
+"""VCF model/format tests (reference semantics: vcf/vcf-files.go)."""
+
+from elprep_tpu.io import vcf
+from elprep_tpu.io.vcf import (
+    FormatInformation,
+    Genotype,
+    MetaInformation,
+    NUMBER_A,
+    NUMBER_G,
+    NUMBER_R,
+    Variant,
+    VcfHeader,
+    format_value,
+    format_variant,
+)
+
+
+def test_format_value_float_rules():
+    # (reference: formatValue, vcf-files.go:1048-1063)
+    assert format_value(0.0) == "0.00"
+    assert format_value(1e-21) == "0.00"
+    assert format_value(0.005) == "5.000e-03"
+    assert format_value(0.5) == "0.500"
+    assert format_value(1.0) == "1.00"
+    assert format_value(35.25) == "35.25"
+    assert format_value(42) == "42"
+    assert format_value("a;b") == "a%3Bb"
+
+
+def test_format_variant_basic():
+    v = Variant(chrom="chr1", pos=12345, id=["rs1"], ref="A", alt=["T"],
+                qual=51.77, filter=["PASS"], info={"DP": 10, "AF": [0.5]})
+    assert format_variant(v) == "chr1\t12345\trs1\tA\tT\t51.77\tPASS\tDP=10;AF=0.500\n"
+
+
+def test_format_variant_qual_strip():
+    v = Variant(chrom="c", pos=1, ref="A", alt=["T"], qual=50.0)
+    assert format_variant(v) == "c\t1\t.\tA\tT\t50\t.\t.\n"
+    v.qual = None
+    assert format_variant(v) == "c\t1\t.\tA\tT\t.\t.\t.\n"
+
+
+def test_format_genotypes_and_trim():
+    v = Variant(
+        chrom="c", pos=5, ref="A", alt=["G"], qual=12.0,
+        genotype_format=["GT", "AD", "DP", "GQ", "PL"],
+        genotypes=[Genotype(phased=False, gt=[0, 1],
+                            data={"AD": [3, 4], "DP": 7, "GQ": 55, "PL": [12, 0, 60]})],
+    )
+    assert format_variant(v).rstrip("\n").split("\t")[-1] == "0/1:3,4:7:55:12,0,60"
+    # trailing missing fields are trimmed (vcf-files.go:1140-1182)
+    v.genotypes = [Genotype(gt=[0, 0], data={"AD": [1, 0], "DP": None, "GQ": None, "PL": None})]
+    assert format_variant(v).rstrip("\n").split("\t")[-1] == "0/0:1,0"
+    # phased separator
+    v.genotypes = [Genotype(phased=True, gt=[1, -1], data={"AD": None, "DP": 3, "GQ": None, "PL": None})]
+    assert format_variant(v).rstrip("\n").split("\t")[-1] == "1|.:.:3"
+
+
+def test_flag_info():
+    v = Variant(chrom="c", pos=1, ref="A", alt=["T"], info={"DB": True, "DP": 3})
+    assert "DB;DP=3" in format_variant(v)
+
+
+def test_header_format_and_reparse():
+    hdr = VcfHeader()
+    hdr.infos.append(FormatInformation(id="DP", number=1, type="Integer",
+                                       description="Approximate read depth"))
+    hdr.infos.append(FormatInformation(id="AF", number=NUMBER_A, type="Float",
+                                       description="Allele Frequency"))
+    hdr.formats.append(FormatInformation(id="GT", number=1, type="String",
+                                         description="Genotype"))
+    hdr.formats.append(FormatInformation(id="PL", number=NUMBER_G, type="Integer",
+                                         description="Phred-scaled likelihoods"))
+    hdr.meta["contig"] = [MetaInformation(id="chr1", fields={"length": "1000"})]
+    hdr.meta["source"] = ["elprep_tpu"]
+    hdr.columns = vcf.DEFAULT_COLUMNS + ["FORMAT", "sample1"]
+    text = vcf.format_header(hdr)
+    assert text.startswith("##fileformat=VCFv4.2\n")
+    assert '##INFO=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth">' in text
+    assert "##INFO=<ID=AF,Number=A,Type=Float" in text
+    assert "##FORMAT=<ID=PL,Number=G,Type=Integer" in text
+    assert "##contig=<ID=chr1,length=1000>" in text
+    assert "##source=elprep_tpu" in text
+    assert text.rstrip().endswith("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsample1")
+
+    hdr2 = vcf.parse_header(text.rstrip().split("\n"))
+    assert [f.id for f in hdr2.infos] == ["DP", "AF"]
+    assert hdr2.infos[1].number == NUMBER_A
+    assert hdr2.formats[1].number == NUMBER_G
+    assert hdr2.columns[-1] == "sample1"
+    # reformat is stable
+    assert vcf.format_header(hdr2) == text
+
+
+def test_vcf_roundtrip(tmp_path):
+    hdr = VcfHeader()
+    hdr.infos.append(FormatInformation(id="DP", number=1, type="Integer", description="d"))
+    hdr.formats.append(FormatInformation(id="GT", number=1, type="String", description="g"))
+    hdr.formats.append(FormatInformation(id="AD", number=NUMBER_R, type="Integer", description="a"))
+    hdr.columns = vcf.DEFAULT_COLUMNS + ["FORMAT", "s1"]
+    variants = [
+        Variant(chrom="chr1", pos=100, ref="A", alt=["T"], qual=31.5, filter=["PASS"],
+                info={"DP": 5},
+                genotype_format=["GT", "AD"],
+                genotypes=[Genotype(gt=[0, 1], data={"AD": [2, 3]})]),
+        Variant(chrom="chr1", pos=200, ref="G", alt=["C", "T"], qual=None,
+                info={}, genotype_format=["GT"],
+                genotypes=[Genotype(phased=True, gt=[1, 2])]),
+    ]
+    for name in ("t.vcf", "t.vcf.gz"):
+        p = str(tmp_path / name)
+        vcf.write_vcf_file(p, hdr, variants)
+        hdr2, variants2 = vcf.read_vcf_file(p)
+        assert vcf.format_vcf(hdr2, variants2) == vcf.format_vcf(hdr, variants)
+        assert variants2[0].info == {"DP": 5}
+        assert variants2[0].genotypes[0].gt == [0, 1]
+        assert variants2[0].genotypes[0].data["AD"] == [2, 3]
+        assert variants2[1].genotypes[0].phased
+        assert variants2[1].genotypes[0].gt == [1, 2]
+
+
+def test_variant_end():
+    v = Variant(chrom="c", pos=100, ref="ACGT")
+    assert v.end() == 103
+    v.info["END"] = 250
+    assert v.end() == 250
