@@ -46,6 +46,7 @@ class ClipRead:
     qual: bytes
     rname: bytes = b""
     rnext: bytes = b""
+    qname: bytes = b""
     # original batch row + current kept subrange of original read bases
     row: int = -1
     base_start: int = 0  # offset of seq[0] in the original read
