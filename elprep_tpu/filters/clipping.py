@@ -454,3 +454,18 @@ def hard_clip_to_region(r: ClipRead, start: int, stop: int) -> None:
             hard_clip_by_reference_coordinates_left_tail(r, start - 1)
     else:
         empty_read(r)
+
+
+def is_inside_deletion(cigar: CigarOps, offset: int) -> bool:
+    """(reference: filters/utils.go:182-203)"""
+    if offset < 0:
+        return False
+    pos = 0
+    prev_pos = 0
+    for length, op in cigar:
+        if op in "ISDM=X":
+            prev_pos = pos
+            pos += length
+        if prev_pos < offset <= pos and op == "D":
+            return True
+    return False

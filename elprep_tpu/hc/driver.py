@@ -1,0 +1,513 @@
+"""HaplotypeCaller driver: region trimming, callRegion, and CallVariants
+(reference: filters/call-region.go, filters/haplotypecaller.go:445-950).
+
+The reference runs two chained pargo pipelines (activity → regions →
+calls → ordered GVCF combine → write). Here the orchestration is a host
+loop over contigs and regions — regions are data-independent except for
+the deletions side info, which flows sequentially exactly as the
+reference's side channel would deliver it; the heavy per-region math
+(PairHMM) dispatches to the batched device kernel.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.header import Header
+from ..io import vcf as vcfmod
+from ..io.vcf import FormatInformation, MetaInformation, Variant, VcfHeader
+from ..filters.clipping import ClipRead, hard_clip_to_region, read_length_from_cigar
+from ..ops import pairhmm, sw
+from . import tables
+from .activity import (
+    AssemblyRegion,
+    HCParams,
+    aln_slice,
+    band_pass_states,
+    compute_activity,
+    compute_assembly_regions,
+    downsample,
+    filter_non_passing_reads,
+    finalize_assembly_region,
+    max_reference_length,
+    read_end,
+    read_overlaps_region,
+)
+from .assembly import Haplotype, assemble_reads
+from .genotyping import (
+    NON_REF,
+    DeletionsHandler,
+    ReadLikelihoods,
+    assign_genotype_likelihoods,
+    compute_genotype_format,
+    formatf,
+    make_event_map,
+    realign_reads_to_best_haplotype,
+)
+from .refconf import (
+    SingleVariant,
+    VariantCombiner,
+    calculate_ref_confidence,
+    reference_model_for_no_variation,
+    reference_variant_to_full,
+)
+
+
+@dataclass
+class TrimmingResult:
+    needs_trimming: bool = False
+    left_flank_start: int = 0
+    left_flank_end: int = 0
+    right_flank_start: int = 0
+    right_flank_end: int = 0
+    extended_span_start: int = 0
+    extended_span_end: int = 0
+    callable_span_start: int = 0
+    callable_span_end: int = 0
+
+
+def trim(params: HCParams, region: AssemblyRegion,
+         variation_events: Dict[int, Variant]) -> TrimmingResult:
+    """(reference: trim, call-region.go:41-133)"""
+    if not variation_events:
+        return TrimmingResult(needs_trimming=False, left_flank_start=region.start,
+                              left_flank_end=region.end)
+    span_start = 2 ** 31 - 1
+    span_end = -(2 ** 31)
+    within = 0
+    found_non_snp = False
+    for vc in variation_events.values():
+        if vc.pos <= region.end:
+            end = vc.end()
+            if end >= region.start:
+                if not found_non_snp:
+                    if len(vc.ref) != 1:
+                        found_non_snp = True
+                    else:
+                        for a in vc.alt:
+                            if len(a) != 1:
+                                found_non_snp = True
+                                break
+                span_start = min(span_start, vc.pos)
+                span_end = max(span_end, end)
+                within += 1
+    if within == 0:
+        return TrimmingResult(needs_trimming=False, left_flank_start=region.start,
+                              left_flank_end=region.end)
+    padding = 150 if found_non_snp else 20
+    maximum_start = max(region.start - 25, 1)
+    maximum_end = min(region.end + 25, region.contig_length)
+    ideal_start = max(span_start - padding, 1)
+    ideal_end = min(span_end + padding, region.contig_length)
+    final_start = min(max(maximum_start, ideal_start), span_start)
+    final_end = max(min(maximum_end, ideal_end), span_end)
+    if params.confidence_mode == "NONE":
+        callable_start = span_start
+        callable_end = span_end
+    else:
+        callable_start = max(span_start, region.start)
+        callable_end = min(span_end, region.end)
+    left_start = left_end = right_start = right_end = 0
+    if region.start < callable_start:
+        left_start = region.start
+        left_end = callable_start - 1
+    if region.end > callable_end:
+        right_start = callable_end + 1
+        right_end = region.end
+    return TrimmingResult(
+        needs_trimming=True,
+        left_flank_start=left_start, left_flank_end=left_end,
+        right_flank_start=right_start, right_flank_end=right_end,
+        extended_span_start=final_start, extended_span_end=final_end,
+        callable_span_start=span_start, callable_span_end=span_end,
+    )
+
+
+def _coordinate_sort_key(r: ClipRead):
+    flag = r.flag
+    return (r.pos, (flag & 0x10) != 0, r.qname, flag, r.mapq, r.pnext, r.tlen)
+
+
+def trim_region(region: AssemblyRegion, span_start: int, span_end: int,
+                extended_start: int, extended_end: int) -> AssemblyRegion:
+    """(reference: trimRegion, call-region.go:135-166)"""
+    sub_start = max(region.start, span_start)
+    sub_end = min(region.end, span_end)
+    required_right = max(extended_end - sub_end, 0)
+    required_left = max(sub_start - extended_start, 0)
+    required_extension = min(max(required_left, required_right), region.extension)
+    result = AssemblyRegion(
+        contig=region.contig, reference=region.reference,
+        start=sub_start, end=sub_end, extension=required_extension,
+        contig_length=region.contig_length, is_active=region.is_active,
+    )
+    loc_start = result.padded_start()
+    loc_end = result.padded_end()
+    trimmed: List[ClipRead] = []
+    for aln in region.reads:
+        r = ClipRead(flag=aln.flag, pos=aln.pos, pnext=aln.pnext, tlen=aln.tlen,
+                     mapq=aln.mapq, cigar=list(aln.cigar), seq=aln.seq,
+                     qual=aln.qual, rname=aln.rname, rnext=aln.rnext,
+                     qname=aln.qname, row=aln.row)
+        hard_clip_to_region(r, loc_start, loc_end)
+        if read_overlaps_region(r, loc_start, loc_end):
+            trimmed.append(r)
+    trimmed.sort(key=_coordinate_sort_key)
+    result.reads = trimmed
+    return result
+
+
+def trim_region1(region: AssemblyRegion, span_start: int, span_end: int,
+                 extension: int) -> AssemblyRegion:
+    extended_start = max(1, span_start - extension)
+    extended_end = min(span_end + extension, region.contig_length)
+    return trim_region(region, span_start, span_end, extended_start, extended_end)
+
+
+def trim_haplotype(h: Haplotype, span_start: int, span_end: int) -> Optional[Haplotype]:
+    """(reference: haplotype.trim, call-region.go:182-252)"""
+    new_start = span_start - h.location
+    new_end = span_end - h.location
+    ref_pos = 0
+    bases_pos = 0
+    bases_start = -1
+    bases_stop = -1
+    for ln, op in h.cigar:
+        if op == "I":
+            bases_pos += ln
+        elif op in "MX=":
+            if ref_pos <= new_start < ref_pos + ln:
+                bases_start = bases_pos + new_start - ref_pos
+            if ref_pos <= new_end < ref_pos + ln:
+                bases_stop = bases_pos + new_end - ref_pos
+                break
+            ref_pos += ln
+            bases_pos += ln
+        elif op == "D":
+            if (ref_pos <= new_start < ref_pos + ln) or (ref_pos <= new_end < ref_pos + ln):
+                return None
+            ref_pos += ln
+    if bases_start < 0 or bases_stop < 0:
+        return None
+    new_bases = h.bases[bases_start : bases_stop + 1]
+    new_cigar: List[sw.CigOp] = []
+    pos = 0
+    for ln, op in h.cigar:
+        if pos > new_end:
+            break
+        if op in "MX=D":
+            length = min(pos + ln - 1, new_end) - max(pos, new_start) + 1
+            if length > 0:
+                new_cigar.append((length, op))
+            pos += ln
+        elif op in "SI":
+            if pos >= new_start:
+                new_cigar.append((ln, op))
+    if not new_cigar:
+        return None
+    if new_cigar[0][1] in "ID" or new_cigar[-1][1] in "ID":
+        return None
+    merged: List[sw.CigOp] = []
+    i = 0
+    # replicate the reference's skip-by-two merge quirk (call-region.go:243-250)
+    nc = list(new_cigar)
+    i = 1
+    while i < len(nc):
+        if nc[i - 1][1] == nc[i][1]:
+            nc[i - 1] = (nc[i - 1][0] + nc[i][0], nc[i][1])
+            del nc[i]
+            i += 1
+        else:
+            i += 2
+    return Haplotype(bases=new_bases, location=span_start, cigar=nc,
+                     is_ref=h.is_ref, score=h.score)
+
+
+# ---------------------------------------------------------------------------
+# callRegion (call-region.go:254-426)
+# ---------------------------------------------------------------------------
+
+
+def call_region(params: HCParams, region: AssemblyRegion,
+                incoming_deletions: List[Tuple[int, int]],
+                use_device_pairhmm: bool = True
+                ) -> Tuple[List[SingleVariant], List[Tuple[int, int]]]:
+    """Returns (variants, outgoing deletions). Variants are SingleVariants
+    (full or reduced reference blocks) in order."""
+    gvcf = params.confidence_mode != "NONE"
+    variants: List[SingleVariant] = []
+
+    def ref_model_exit(target_region: AssemblyRegion):
+        if params.confidence_mode == "NONE":
+            return variants, incoming_deletions
+        reference_model_for_no_variation(params, variants, target_region, gvcf)
+        return variants, incoming_deletions
+
+    if not region.is_active or not region.reads:
+        if params.confidence_mode == "NONE":
+            return variants, incoming_deletions
+        finalize_assembly_region(region, params)
+        return ref_model_exit(region)
+    finalize_assembly_region(region, params)
+
+    haplotypes = assemble_reads(
+        region.reference_bases(), region.padded_start(),
+        [(r.seq, r.qual) for r in region.reads],
+        min_base_qual=params.min_base_qual,
+    )
+
+    variation_events: Dict[int, Variant] = {}
+    for i, h in enumerate(haplotypes):
+        events = make_event_map("HC%d" % i, region.contig, h, region.reference)
+        h.events = events
+        for vc in events:
+            variation_events[vc.pos] = vc
+
+    trimming = trim(params, region, variation_events)
+    if not trimming.needs_trimming:
+        return ref_model_exit(region)
+
+    if params.confidence_mode == "NONE":
+        region_for_genotyping = trim_region(
+            region, trimming.extended_span_start, trimming.extended_span_end,
+            trimming.extended_span_start, trimming.extended_span_end)
+    else:
+        region_for_genotyping = trim_region(
+            region, trimming.callable_span_start, trimming.callable_span_end,
+            trimming.extended_span_start, trimming.extended_span_end)
+
+    trimmed_haplotypes: List[Haplotype] = []
+    for h in haplotypes:
+        th = trim_haplotype(h, region_for_genotyping.padded_start(),
+                            region_for_genotyping.padded_end())
+        if th is None:
+            continue
+        dup = False
+        for i, existing in enumerate(trimmed_haplotypes):
+            if th.bases == existing.bases:
+                if th.is_ref:
+                    trimmed_haplotypes[i] = th
+                dup = True
+                break
+        if not dup:
+            trimmed_haplotypes.append(th)
+    trimmed_haplotypes.sort(key=lambda h: (len(h.bases), h.bases))
+    haplotypes = trimmed_haplotypes
+    variation_present = any(not h.is_ref for h in haplotypes)
+    if not variation_present:
+        return ref_model_exit(region)
+
+    region_for_genotyping.reads = [
+        r for r in region_for_genotyping.reads if len(r.seq) >= 10
+    ]
+    filtered_reads = filter_non_passing_reads(region_for_genotyping)
+    if not region_for_genotyping.reads:
+        return ref_model_exit(region)
+
+    # PairHMM likelihoods (device) + cap/filter (ops/pairhmm.py)
+    reads_in = [(r.seq, np.frombuffer(r.qual, np.uint8), r.mapq)
+                for r in region_for_genotyping.reads]
+    hap_bases = [h.bases for h in haplotypes]
+    hap_is_ref = [h.is_ref for h in haplotypes]
+    vals, keep = pairhmm.compute_read_likelihoods(
+        reads_in, hap_bases, hap_is_ref, use_device=use_device_pairhmm)
+    kept_alns = [r for r, k in zip(region_for_genotyping.reads, keep) if k]
+    likelihoods = ReadLikelihoods(haps=haplotypes, alns=kept_alns, values=vals)
+
+    realign_reads_to_best_haplotype(likelihoods, haplotypes)
+    deletions = DeletionsHandler(incoming_deletions)
+    return_calls, _called = assign_genotype_likelihoods(
+        params, region_for_genotyping, filtered_reads, haplotypes, likelihoods,
+        deletions)
+    outgoing = deletions.slice
+
+    if not return_calls:
+        if params.confidence_mode == "NONE":
+            return variants, outgoing
+        v, _ = ref_model_exit(region)
+        return v, outgoing
+
+    if params.confidence_mode == "NONE":
+        for call in return_calls:
+            raw = call.info.pop("RAW_MQandDP", None)
+            if raw is not None:
+                ssum, depth = raw
+                rms = math.sqrt(ssum / depth)
+                call.info["MQ"] = formatf(rms, 2)
+            compute_genotype_format(call)
+        variants.extend(SingleVariant(full_variant=c) for c in return_calls)
+        return variants, outgoing
+
+    for call in return_calls:
+        compute_genotype_format(call)
+
+    if trimming.left_flank_end >= trimming.left_flank_start:
+        reference_model_for_no_variation(
+            params, variants,
+            trim_region1(region, trimming.left_flank_start, trimming.left_flank_end,
+                         region.extension), gvcf)
+    calculate_ref_confidence(params, variants, region_for_genotyping,
+                             likelihoods.alns, return_calls, gvcf)
+    if trimming.right_flank_end >= trimming.right_flank_start:
+        reference_model_for_no_variation(
+            params, variants,
+            trim_region1(region, trimming.right_flank_start, trimming.right_flank_end,
+                         region.extension), gvcf)
+    return variants, outgoing
+
+
+# ---------------------------------------------------------------------------
+# VCF header (haplotypecaller.go:445-674)
+# ---------------------------------------------------------------------------
+
+PROGRAM_NAME = "elprep_tpu"
+PROGRAM_VERSION = "5.1.3"
+PROGRAM_URL = "https://github.com/exascience/elprep"
+
+
+def write_vcf_header(params: HCParams, sam_header: Header, sample_name: str,
+                     get_reference, now: Optional[str] = None) -> VcfHeader:
+    hdr = VcfHeader(meta={})
+    if now is None:
+        now = time.strftime("%a %b %d %H:%M:%S %Z %Y")
+    hdr.meta["elPrepCommandLine"] = [MetaInformation(
+        id=PROGRAM_NAME,
+        fields={"CommandLine": params.command_line, "Version": PROGRAM_VERSION,
+                "URL": PROGRAM_URL, "Date": now},
+    )]
+    infos = [
+        FormatInformation("BaseQRankSum", "Z-score from Wilcoxon rank sum test of Alt Vs. Ref base qualities", 1, "Float"),
+        FormatInformation("DP", "Approximate read depth; some reads may have been filtered", 1, "Integer"),
+        FormatInformation("DS", "Were any of the samples downsampled?", 0, "Flag"),
+        FormatInformation("ExcessHet", "Phred-scaled p-value for exact test of excess heterozygosity", 1, "Float"),
+        FormatInformation("InbreedingCoeff", "Inbreeding coefficient as estimated from the genotype likelihoods per-sample when compared against the Hardy-Weinberg expectation", 1, "Float"),
+        FormatInformation("MLEAC", "Maximum likelihood expectation (MLE) for the allele counts (not necessarily the same as the AC), for each ALT allele, in the same order as listed", vcfmod.NUMBER_A, "Integer"),
+        FormatInformation("MLEAF", "Maximum likelihood expectation (MLE) for the allele frequency (not necessarily the same as the AF), for each ALT allele, in the same order as listed", vcfmod.NUMBER_A, "Float"),
+        FormatInformation("MQRankSum", "Z-score From Wilcoxon rank sum test of Alt vs. Ref read mapping qualities", 1, "Float"),
+        FormatInformation("ReadPosRankSum", "Z-score from Wilcoxon rank sum test of Alt vs. Ref read position bias", 1, "Float"),
+    ]
+    formats = [
+        FormatInformation("AD", "Allelic depths for the ref and alt alleles in the order listed", vcfmod.NUMBER_R, "Integer"),
+        FormatInformation("DP", "Approximate read depth (reads with MQ=255 or with bad mates are filtered)", 1, "Integer"),
+        FormatInformation("GQ", "Genotype Quality", 1, "Integer"),
+        FormatInformation("GT", "Genotype", 1, "String"),
+        FormatInformation("PL", "Normalized, Phred-scaled likelihoods for genotypes as defined in the VCF specification", vcfmod.NUMBER_G, "Integer"),
+    ]
+    hdr.meta["FILTER"] = [MetaInformation(id="LowQual", description="Low quality")]
+    hdr.meta["contig"] = [
+        MetaInformation(id=sq["SN"], fields={"length": str(len(get_reference(sq["SN"])))})
+        for sq in sam_header.sq
+    ]
+    hdr.meta["source"] = ["HaplotypeCaller"]
+    if params.confidence_mode == "NONE":
+        infos += [
+            FormatInformation("AC", "Allele count in genotypes, for each ALT allele, in the same order as listed", vcfmod.NUMBER_A, "Integer"),
+            FormatInformation("AF", "Allele Frequency, for each ALT allele, in the same order as listed", vcfmod.NUMBER_A, "Float"),
+            FormatInformation("AN", "Total number of alleles in called genotypes", 1, "Integer"),
+            FormatInformation("FS", "Phred-scaled p-value using Fisher's exact test to detect strand bias", 1, "Float"),
+            FormatInformation("MQ", "RMS Mapping Quality", 1, "Float"),
+            FormatInformation("QD", "Variant Confidence/Quality by Depth", 1, "Float"),
+            FormatInformation("SOR", "Symmetric Odds Ratio of 2x2 contingency table to detect strand bias", 1, "Float"),
+        ]
+    else:
+        infos.append(FormatInformation("RAW_MQandDP", "Raw data (sum of squared MQ and total depth) for improved RMS Mapping Quality calculation. Incompatible with deprecated RAW_MQ formulation.", 2, "Integer"))
+        formats += [
+            FormatInformation("PGT", "Physical phasing haplotype information, describing how the alternate alleles are phased in relation to one another", 1, "String"),
+            FormatInformation("PID", "Physical phasing ID information, where each unique ID within a given sample (but not across samples) connects records within a phasing group", 1, "String"),
+            FormatInformation("PS", "Phasing set (typically the position of the first variant in the set)", 1, "Integer"),
+            FormatInformation("SB", "Per-sample component statistics which comprise the Fisher's Exact Test to detect strand bias.", 4, "Integer"),
+        ]
+        hdr.meta["ALT"] = [MetaInformation(id="NON_REF", description="Represents any possible alternative allele at this location")]
+        if params.confidence_mode == "GVCF":
+            infos.append(FormatInformation("END", "Stop position of the interval", 1, "Integer"))
+            formats.append(FormatInformation("MIN_DP", "Minimum DP observed within the GVCF block", 1, "Integer"))
+            for i in range(1, len(params.gq_bands)):
+                mn, mx = params.gq_bands[i - 1], params.gq_bands[i]
+                hdr.meta["GVCFBlock%d-%d" % (mn, mx)] = [
+                    "minGQ=%d(inclusive),maxGQ=%d(exclusive)" % (mn, mx)]
+    hdr.formats = sorted(formats, key=lambda f: f.id)
+    hdr.infos = sorted(infos, key=lambda f: f.id)
+    hdr.columns = list(vcfmod.DEFAULT_COLUMNS) + ["FORMAT", sample_name]
+    return hdr
+
+
+# ---------------------------------------------------------------------------
+# CallVariants (haplotypecaller.go:677-950)
+# ---------------------------------------------------------------------------
+
+
+def call_variants(
+    params: HCParams,
+    sam_header: Header,
+    reads_by_contig: Dict[str, List[ClipRead]],
+    get_reference,
+    sample_name: str = "",
+    bed_regions: Optional[Dict[str, List[Tuple[int, int]]]] = None,
+    use_device_pairhmm: bool = True,
+    now: Optional[str] = None,
+) -> Tuple[VcfHeader, List[Variant]]:
+    """Run the full HaplotypeCaller over coordinate-sorted reads.
+
+    ``reads_by_contig`` maps contig name -> coordinate-sorted ClipReads;
+    ``get_reference(contig) -> bytes`` supplies the (upper/N-normalized)
+    reference sequence. Returns (vcf header, variants)."""
+    vcf_header = write_vcf_header(params, sam_header, sample_name, get_reference, now)
+    gvcf = params.confidence_mode == "GVCF"
+    combiner = VariantCombiner(params, get_reference) if gvcf else None
+    out_variants: List[Variant] = []
+
+    prev_contig: Optional[str] = None
+    deletions: List[Tuple[int, int]] = []
+
+    for sq in sam_header.sq:
+        contig = sq["SN"]
+        contig_length = sam_header.sq_ln(sq)
+        contig_reads = downsample(reads_by_contig.get(contig, []), params)
+        reference = get_reference(contig)
+        if bed_regions is not None:
+            spans = bed_regions.get(contig)
+            if not spans:
+                continue
+        else:
+            spans = [(0, contig_length)]
+        max_ref_len = max_reference_length(contig_reads)
+        for start, stop in spans:
+            padded_lo = max(0, start - params.padding)
+            padded_hi = min(contig_length, stop + params.padding)
+            region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi, max_ref_len) \
+                if bed_regions is not None else (contig_reads, 0)
+            # activity over [start+1, stop+1) in 1-based space
+            states = np.zeros(stop - start, np.float64)
+            is_active, hq_mean = compute_activity(
+                region_reads, reference, start + 1, stop + 1, params)
+            states = band_pass_states(is_active, hq_mean, params)
+            regions = compute_assembly_regions(
+                contig, reference, start, stop, contig_length, states, params)
+            for region in regions:
+                region.reads, _ = aln_slice(region_reads, region.padded_start(),
+                                            region.padded_end(), max_ref_len)
+                if prev_contig != contig:
+                    deletions = []
+                    prev_contig = contig
+                region_variants, deletions = call_region(
+                    params, region, deletions, use_device_pairhmm=use_device_pairhmm)
+                for sv in region_variants:
+                    if gvcf:
+                        out_variants = combiner.set_contig(out_variants, contig)
+                        out_variants = combiner.merge_variant(out_variants, sv)
+                    else:
+                        if sv.full_variant is not None:
+                            out_variants.append(sv.full_variant)
+                        else:
+                            out_variants.append(
+                                reference_variant_to_full(contig, reference, sv))
+    if gvcf and combiner is not None:
+        final = combiner.finalize()
+        if final is not None:
+            out_variants.append(final)
+    return vcf_header, out_variants

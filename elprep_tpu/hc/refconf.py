@@ -1,0 +1,582 @@
+"""Reference confidence model + GVCF block combiner
+(reference: filters/ref-confidence.go, filters/variant-combiner.go).
+
+Per-position ref-vs-any genotype likelihoods with indel-informative-read
+PLs (ref-confidence.go:112-373), and the strictly ordered GVCF block
+combiner with GQ bands, median DP and min PLs (variant-combiner.go:141-263).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.vcf import Genotype, Variant
+from ..filters.clipping import ClipRead, compute_adaptor_boundary
+from . import tables
+from .activity import AssemblyRegion, HCParams, filter_non_passing_reads, read_end
+from .genotyping import (
+    LOG10_ONE,
+    LOG10_PLOIDY,
+    NON_REF,
+    _go_round,
+    formatf,
+)
+
+LOG10_ONE_THIRD = -0.47712125471966244
+MAX_INDEL_INFORMATIVE_READS = 40
+
+NO_VARIATION_GT = [0, 0]
+NO_VARIATION_FORMAT_GVCF = ["GT", "DP", "GQ", "MIN_DP", "PL"]
+NO_VARIATION_FORMAT_NON_GVCF = ["GT", "AD", "DP", "GQ", "PL"]
+
+# IUPAC nucleotide masks (ref-confidence.go:42-81)
+_MASKS = {"A": 1, "C": 2, "G": 4, "T": 8}
+_IUPAC = {
+    "R": 5, "Y": 10, "S": 6, "W": 9, "K": 12, "M": 3,
+    "B": 14, "D": 13, "H": 11, "V": 7, "N": 15, "X": 0, "U": 8,
+}
+BASE_TO_MASK = np.zeros(256, np.int64)
+for _c, _m in {**_MASKS, **_IUPAC}.items():
+    BASE_TO_MASK[ord(_c)] = _m
+    BASE_TO_MASK[ord(_c.lower())] = _m
+
+
+def _nucleotide_intersect(a: int, b: int) -> bool:
+    return (BASE_TO_MASK[a] & BASE_TO_MASK[b]) != 0
+
+
+# precomputed indel PLs (ref-confidence.go:203-226)
+def _make_indel_pls() -> np.ndarray:
+    log10_0 = float("-inf")
+    log10_1 = 0.0
+    log10_2 = math.log10(2)
+    denominator = -log10_2
+    indel_qual = int(_go_round(-4.5 * -10))
+    no_indel = tables.QUAL_TO_PROB_LOG10[indel_qual]
+    indel = indel_qual / -10
+    pls = np.zeros((MAX_INDEL_INFORMATIVE_READS + 1, 3), np.float64)
+    pls[1] = [
+        no_indel,
+        tables.approximate_log10_sum_log10(no_indel + log10_1, indel + log10_1) + denominator,
+        tables.approximate_log10_sum_log10(no_indel + log10_0, indel + log10_2) + denominator,
+    ]
+    for i in range(2, MAX_INDEL_INFORMATIVE_READS + 1):
+        pls[i] = pls[i - 1] + pls[1]
+    return pls
+
+
+INDEL_PLS = _make_indel_pls()
+
+
+def compute_gq(pls: List[int]) -> int:
+    s = sorted(pls)
+    return s[1] - s[0]
+
+
+def _get_gq_log10(likelihoods) -> float:
+    qual = likelihoods[0] - max(likelihoods[1], likelihoods[2])
+    if qual < 0:
+        mx = max(likelihoods)
+        normalized = [10 ** (l - mx) for l in likelihoods]
+        total = sum(normalized)
+        return math.log10(1 - normalized[0] / total)
+    return -1 * qual
+
+
+# ---------------------------------------------------------------------------
+# Cursor pileup (pileup.go:58-405) — per-element op context needed here
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PileupElement:
+    read: ClipRead
+    base_index: int
+    cigar_index: int
+    cigar_offset: int
+
+    def op(self) -> Tuple[int, str]:
+        return self.read.cigar[self.cigar_index]
+
+    def base(self) -> int:
+        return self.read.seq[self.base_index] if 0 <= self.base_index < len(self.read.seq) else 0
+
+    def qual(self) -> int:
+        return self.read.qual[self.base_index] if 0 <= self.base_index < len(self.read.qual) else 0
+
+    def next_op(self) -> Optional[Tuple[int, str]]:
+        ln, op = self.read.cigar[self.cigar_index]
+        if self.cigar_offset + 1 < ln:
+            return (ln, op)
+        if self.cigar_index + 1 < len(self.read.cigar):
+            return self.read.cigar[self.cigar_index + 1]
+        return None
+
+    def _advance_to_next_genome_op(self) -> bool:
+        cigar = self.read.cigar
+        self.cigar_index += 1
+        while self.cigar_index < len(cigar):
+            ln, op = cigar[self.cigar_index]
+            if op in "HP":
+                pass
+            elif op in "IS":
+                self.base_index += ln
+            elif op in "DN":
+                self.cigar_offset = 0
+                return True
+            elif op in "M=X":
+                self.base_index += 1
+                self.cigar_offset = 0
+                return True
+            else:
+                raise ValueError(f"invalid cigar op {op}")
+            self.cigar_index += 1
+        return False
+
+    def advance(self) -> bool:
+        ln, op = self.read.cigar[self.cigar_index]
+        self.cigar_offset += 1
+        if self.cigar_offset < ln:
+            if op in "M=X":
+                self.base_index += 1
+            return True
+        return self._advance_to_next_genome_op()
+
+
+def _first_element(read: ClipRead) -> Optional[PileupElement]:
+    el = PileupElement(read, -1, -1, 0)
+    if el._advance_to_next_genome_op():
+        return el
+    return None
+
+
+def iter_pileups(reads: List[ClipRead], low: int, high: int,
+                 include_empty: bool) -> Iterator[Tuple[int, List[PileupElement]]]:
+    """Yield (location, live elements) for positions [low, high)
+    (reference: forEachPileup[IncludingEmpty], pileup.go:309-405).
+    Reads must be coordinate-sorted; elements stay in read order."""
+    if high <= 1 or low >= high:
+        return
+    elements: List[PileupElement] = []
+    pending: List[Tuple[int, PileupElement]] = []
+    for read in reads:
+        el = _first_element(read)
+        if el is None:
+            continue
+        # advance to >= low
+        loc = read.pos
+        ok = True
+        while loc < low and ok:
+            ok = el.advance()
+            if ok:
+                ln, op = read.cigar[el.cigar_index]
+                # reconstruct location: track separately
+                loc += 1
+        if not ok:
+            continue
+        pending.append((loc, el))
+    pending.sort(key=lambda t: t[0])
+    # NB: sort is stable; reads arrive in coordinate order so this keeps
+    # the reference's read ordering
+    pi = 0
+    location = low
+    while location < high:
+        while pi < len(pending) and pending[pi][0] == location:
+            elements.append(pending[pi][1])
+            pi += 1
+        if elements or include_empty:
+            yield location, list(elements)
+        location += 1
+        if location >= high:
+            return
+        nxt: List[PileupElement] = []
+        for el in elements:
+            if el.advance():
+                nxt.append(el)
+        elements = nxt
+        if not elements and not include_empty and pi >= len(pending):
+            return
+
+
+def filter_adaptor_elements(location: int, elements: List[PileupElement]
+                            ) -> List[PileupElement]:
+    """(reference: pileup.go:252-278)"""
+    out = []
+    for el in elements:
+        r = el.read
+        if r.tlen > 100:
+            out.append(el)
+            continue
+        boundary, _, well = compute_adaptor_boundary(r)
+        if not well:
+            out.append(el)
+            continue
+        if r.is_reversed():
+            if location > boundary:
+                out.append(el)
+        else:
+            if location < boundary:
+                out.append(el)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ref-vs-any likelihoods (pileup.go:470-508 with isAltAfterAssembly)
+# ---------------------------------------------------------------------------
+
+
+def _is_alt_after_assembly(el: PileupElement, ref_base: int) -> bool:
+    if el.base() != ref_base:
+        return True
+    if el.op()[1] == "D":
+        return True
+    return False
+
+
+@dataclass
+class RefConfidence:
+    ref_depth: int = 0
+    non_ref_depth: int = 0
+    gls: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+
+
+def calculate_ref_vs_any(elements: List[PileupElement], ref_base: int,
+                         min_base_qual: int) -> RefConfidence:
+    rc = RefConfidence()
+    read_count = 0.0
+    for el in elements:
+        if el.op()[1] == "D":
+            qual = 30
+        else:
+            qual = el.qual()
+            if qual <= min_base_qual:
+                continue
+        read_count += 1
+        is_alt = _is_alt_after_assembly(el, ref_base)
+        ref_lik = tables.QUAL_TO_PROB_LOG10[qual]
+        non_ref_lik = qual / -10.0 + LOG10_ONE_THIRD
+        if is_alt:
+            ref_lik, non_ref_lik = non_ref_lik, ref_lik
+            rc.non_ref_depth += 1
+        else:
+            rc.ref_depth += 1
+        rc.gls[0] += ref_lik + LOG10_PLOIDY
+        rc.gls[1] += tables.approximate_log10_sum_log10(ref_lik + LOG10_ONE,
+                                                        non_ref_lik + LOG10_ONE)
+        rc.gls[2] += non_ref_lik + LOG10_PLOIDY
+    denominator = read_count * LOG10_PLOIDY
+    rc.gls[0] -= denominator
+    rc.gls[1] -= denominator
+    rc.gls[2] -= denominator
+    return rc
+
+
+# ---------------------------------------------------------------------------
+# indel-informative reads (ref-confidence.go:10-200)
+# ---------------------------------------------------------------------------
+
+_CONSUMES_REF_OR_S = frozenset("MDN=XS")
+_CONSUMES_READ = frozenset("MIS=X")
+_CONSUMES_REF = frozenset("MDN=X")
+
+
+def _bases_and_quals_one_to_one(r: ClipRead) -> Tuple[bytes, bytes]:
+    if not any(op in "ID" for _, op in r.cigar):
+        return r.seq, r.qual
+    out_b = bytearray()
+    out_q = bytearray()
+    pos = 0
+    for ln, op in r.cigar:
+        if op in _CONSUMES_READ:
+            end = pos + ln
+            if op in _CONSUMES_REF:
+                out_b += r.seq[pos:end]
+                out_q += r.qual[pos:end]
+            pos = end
+        elif op in _CONSUMES_REF:
+            out_b += b"-" * ln
+            out_q += b"\x00" * ln
+    return bytes(out_b), bytes(out_q)
+
+
+def _baseline_mismatch_sums(read_bases: bytes, read_quals: bytes, read_start: int,
+                            ref: bytes, ref_index: int, padded_end: int) -> np.ndarray:
+    n = min(len(read_bases) - read_start, padded_end - ref_index)
+    results = np.zeros(n, np.int64)
+    total = 0
+    for i in range(n - 1, -1, -1):
+        rb = read_bases[read_start + i]
+        fb = ref[ref_index + i]
+        if not _nucleotide_intersect(rb, fb) and rb != ord("-"):
+            total += read_quals[read_start + i]
+        results[i] = total
+    return results
+
+
+def read_has_no_plausible_indels(cache: Dict[int, np.ndarray], params: HCParams,
+                                 r: ClipRead, read_start: int, ref: bytes,
+                                 ref_index: int, padded_end: int) -> bool:
+    """(reference: readHasNoPlausibleIndelsOfMaxIndelSize,
+    ref-confidence.go:137-200, incl. its first-call caching quirk)"""
+    key = id(r)
+    if key in cache:
+        bits = cache[key]
+        return bool(bits[read_start]) if read_start < len(bits) else False
+    read_length = len(r.seq)
+    informative = np.zeros(read_length, bool)
+    max_indel = params.indel_size_to_eliminate_in_ref_model
+    if read_length - read_start < max_indel or padded_end - ref_index < max_indel:
+        cache[key] = informative
+        return False
+    secondary_break = read_length - max_indel
+    read_bases, read_quals = _bases_and_quals_one_to_one(r)
+    if len(read_bases) - read_start <= max_indel:
+        cache[key] = informative
+        return False
+    last_relevant = padded_end - ref_index + read_start + 1
+    reference_was_shorter = len(read_bases) >= last_relevant
+    if not reference_was_shorter:
+        last_relevant = len(read_bases) - max_indel
+    baseline = _baseline_mismatch_sums(read_bases, read_quals, read_start, ref,
+                                       ref_index, padded_end)
+    info_big = np.zeros(max(len(read_bases) + 1, read_length), bool)
+
+    def traverse(ins_len: int, del_len: int) -> None:
+        global_cost = baseline[0]
+        base_qual_sum = 0
+        n_direct = min(len(read_bases) - read_start - ins_len,
+                       padded_end - ref_index - del_len)
+        read_off = n_direct + ins_len - 1
+        ref_off = n_direct + del_len - 1
+        while read_off >= 0 and ref_off >= 0:
+            rb = read_bases[read_start + read_off]
+            fb = ref[ref_index + ref_off]
+            if not _nucleotide_intersect(rb, fb) and rb != ord("-"):
+                base_qual_sum += read_quals[read_start + read_off]
+                if base_qual_sum > global_cost:
+                    break
+            site = min(read_off, ref_off)
+            if (read_bases[read_start + site] != ord("-")
+                    and read_start + site < last_relevant
+                    and read_start + site <= secondary_break
+                    and baseline[site] >= base_qual_sum):
+                info_big[read_start + site] = True
+            read_off -= 1
+            ref_off -= 1
+
+    for indel_size in range(1, max_indel + 1):
+        traverse(0, indel_size)
+        traverse(indel_size, 0)
+    if last_relevant <= secondary_break:
+        info_big[:last_relevant] = ~info_big[:last_relevant]
+        if reference_was_shorter:
+            info_big[last_relevant - 1] = False
+    else:
+        info_big[: secondary_break + 1] = ~info_big[: secondary_break + 1]
+    informative = info_big[:max(read_length, 1)]
+    cache[key] = informative
+    return bool(informative[read_start]) if read_start < len(informative) else False
+
+
+# ---------------------------------------------------------------------------
+# calculateRefConfidence (ref-confidence.go:266-373)
+# ---------------------------------------------------------------------------
+
+
+def _coordinate_sort_key(r: ClipRead):
+    flag = r.flag
+    return (r.pos, (flag & 0x10) != 0, r.qname, flag, r.mapq, r.pnext, r.tlen)
+
+
+@dataclass
+class SingleVariant:
+    """Either a full variant or reduced reference-block info
+    (variant-combiner.go:23-36)."""
+
+    full_variant: Optional[Variant] = None
+    location: int = 0
+    dp: int = 0
+    ad: Tuple[int, int] = (0, 0)
+    pls: Tuple[int, int, int] = (0, 0, 0)
+    gq: int = 0
+
+
+def reference_variant_to_full(contig: str, reference: bytes, sv: SingleVariant) -> Variant:
+    """(reference: fullVariants.addReference, variant-combiner.go:60-84)"""
+    ref_byte = reference[sv.location - 1]
+    g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
+    g.data["AD"] = [sv.ad[0], sv.ad[1]]
+    g.data["DP"] = sv.dp
+    g.data["GQ"] = sv.gq
+    g.data["PL"] = list(sv.pls)
+    return Variant(source="HC", chrom=contig, pos=sv.location,
+                   ref=chr(ref_byte), alt=[NON_REF],
+                   genotype_format=list(NO_VARIATION_FORMAT_NON_GVCF),
+                   genotypes=[g])
+
+
+def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
+                             region: AssemblyRegion, reads: List[ClipRead],
+                             calls: Optional[List[Variant]],
+                             gvcf_mode: bool) -> List[SingleVariant]:
+    """(reference: calculateRefConfidence, ref-confidence.go:266-361).
+    Appends SingleVariants (full or reduced) to ``variants``."""
+    ref = region.reference
+    cache: Dict[int, np.ndarray] = {}
+    padded_end = region.padded_end()
+    reads = sorted(reads, key=_coordinate_sort_key)
+    for location, all_elements in iter_pileups(reads, region.start, region.end + 1, True):
+        elements = filter_adaptor_elements(location, all_elements)
+        overlapping: Optional[Variant] = None
+        for vc in calls or []:
+            if vc.pos <= location <= vc.end() and (overlapping is None or vc.pos > overlapping.pos):
+                overlapping = vc
+        if overlapping is not None and overlapping.pos == location:
+            variants.append(SingleVariant(full_variant=overlapping))
+            continue
+        rc = calculate_ref_vs_any(elements, ref[location - 1], 6)
+        for i in range(1, 3):
+            rc.gls[i] = min(rc.gls[0], rc.gls[i])
+        n_informative = 0
+        for el in elements:
+            ln, op = el.read.cigar[el.cigar_index]
+            if op == "D":
+                continue
+            if el.cigar_offset == ln - 1:
+                nxt = el.next_op()
+                if nxt is not None and nxt[1] in "DI":
+                    continue
+            offset = (el.cigar_offset if op in _CONSUMES_REF_OR_S else 0)
+            for ln2, op2 in el.read.cigar[: el.cigar_index]:
+                if op2 in _CONSUMES_REF_OR_S:
+                    offset += ln2
+            if read_has_no_plausible_indels(cache, params, el.read, offset, ref,
+                                            location - 1, padded_end):
+                n_informative += 1
+                if n_informative > MAX_INDEL_INFORMATIVE_READS:
+                    n_informative = MAX_INDEL_INFORMATIVE_READS
+                    break
+        indel_gls = INDEL_PLS[n_informative]
+        gq_snp = _get_gq_log10(rc.gls)
+        gq_indel = _get_gq_log10(indel_gls)
+        least = indel_gls if gq_indel > gq_snp else rc.gls
+        adjust = max(least[0], least[1], least[2])
+        pls = [int(_go_round(min(-10 * (least[i] - adjust), np.iinfo(np.int32).max)))
+               for i in range(3)]
+        gq = min(compute_gq(list(pls)), 99)
+        variants.append(SingleVariant(
+            location=location,
+            dp=rc.ref_depth + rc.non_ref_depth,
+            ad=(rc.ref_depth, rc.non_ref_depth),
+            pls=(pls[0], pls[1], pls[2]),
+            gq=gq,
+        ))
+    return variants
+
+
+def reference_model_for_no_variation(params: HCParams, variants: List[SingleVariant],
+                                     region: AssemblyRegion,
+                                     gvcf_mode: bool) -> List[SingleVariant]:
+    filter_non_passing_reads(region)
+    return calculate_ref_confidence(params, variants, region, region.reads, None,
+                                    gvcf_mode)
+
+
+# ---------------------------------------------------------------------------
+# GVCF variant combiner (variant-combiner.go:105-263)
+# ---------------------------------------------------------------------------
+
+
+class VariantCombiner:
+    def __init__(self, params: HCParams, get_reference) -> None:
+        self.params = params
+        self.get_reference = get_reference
+        self.contig = ""
+        self.ref: bytes = b""
+        self.first = True
+        self.v_pos = 0
+        self.v_end = 0
+        self.next_start = -1
+        self.v_ref = ""
+        self.dps: List[int] = []
+        self.min_pls = [0, 0, 0]
+        self.min_gq = 0
+        self.max_gq = 0
+
+    def _find_gq_band(self, gq: int) -> Tuple[int, int]:
+        if gq > 99:
+            gq = 99
+        bands = self.params.gq_bands
+        import bisect
+
+        index = bisect.bisect_right(bands, gq)
+        return bands[index - 1], bands[index]
+
+    def set_contig(self, variants: List[Variant], contig: str) -> List[Variant]:
+        if self.contig == contig:
+            return variants
+        if not self.first:
+            variants.append(self._finalize_block())
+        self.contig = contig
+        self.ref = self.get_reference(contig)
+        self.first = True
+        self.next_start = -1
+        return variants
+
+    def _init_block(self, sv: SingleVariant) -> None:
+        self.v_pos = sv.location
+        self.v_end = sv.location
+        self.v_ref = chr(self.ref[sv.location - 1])
+        self.dps = [sv.dp]
+        self.min_pls = list(sv.pls)
+        self.min_gq, self.max_gq = self._find_gq_band(sv.gq)
+
+    def _finalize_block(self) -> Variant:
+        dps = sorted(self.dps)
+        if len(dps) % 2 == 0:
+            half = len(dps) // 2
+            median_dp = int(_go_round((dps[half - 1] + dps[half]) / 2))
+        else:
+            median_dp = dps[(len(dps) + 1) // 2 - 1]
+        g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
+        g.data["DP"] = median_dp
+        g.data["GQ"] = min(compute_gq(list(self.min_pls)), 99)
+        g.data["MIN_DP"] = dps[0]
+        g.data["PL"] = list(self.min_pls)
+        v = Variant(chrom=self.contig, pos=self.v_pos, ref=self.v_ref,
+                    alt=[NON_REF], genotype_format=list(NO_VARIATION_FORMAT_GVCF),
+                    genotypes=[g])
+        v.info["END"] = self.v_end
+        return v
+
+    def merge_variant(self, variants: List[Variant], sv: SingleVariant) -> List[Variant]:
+        if sv.full_variant is not None:
+            if not self.first:
+                variants.append(self._finalize_block())
+                self.first = True
+            self.next_start = sv.full_variant.end()
+            variants.append(sv.full_variant)
+            return variants
+        if sv.location <= self.next_start:
+            return variants
+        if self.first:
+            self.first = False
+            self._init_block(sv)
+            return variants
+        if (sv.location == self.v_end + 1 and self.min_gq <= sv.gq < self.max_gq):
+            self.v_end = sv.location
+            self.dps.append(sv.dp)
+            self.min_pls = [min(a, b) for a, b in zip(self.min_pls, sv.pls)]
+            return variants
+        variants.append(self._finalize_block())
+        self._init_block(sv)
+        return variants
+
+    def finalize(self) -> Optional[Variant]:
+        if self.first:
+            return None
+        return self._finalize_block()

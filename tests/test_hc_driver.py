@@ -1,0 +1,158 @@
+"""End-to-end HaplotypeCaller tests on synthetic data
+(reference semantics: filters/call-region.go, haplotypecaller.go)."""
+
+import numpy as np
+import pytest
+
+from elprep_tpu.core.header import Header
+from elprep_tpu.filters.clipping import ClipRead
+from elprep_tpu.hc import driver
+from elprep_tpu.hc.activity import make_hc_params
+from elprep_tpu.io import vcf as vcfmod
+
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _mkref(rng, n):
+    return rng.choice(_BASES, n).tobytes()
+
+
+def _read(qname, pos, seq, qual=35, first=True, tlen=300, pnext=None):
+    flag = 0x63 if first else 0x93
+    return ClipRead(
+        flag=flag, pos=pos,
+        pnext=pnext if pnext is not None else pos + 150,
+        tlen=tlen if first else -tlen, mapq=60,
+        cigar=[(len(seq), "M")], seq=seq, qual=bytes([qual]) * len(seq),
+        rname=b"chr1", rnext=b"=", qname=qname,
+    )
+
+
+def _sam_header(n):
+    hdr = Header()
+    hdr.sq = [{"SN": "chr1", "LN": str(n)}]
+    return hdr
+
+
+def _make_pileup_reads(hap, ref_len, n_reads, read_len, rng, start_offset=0):
+    reads = []
+    for i in range(n_reads):
+        start = start_offset + (i * 7) % max(1, len(hap) - read_len)
+        seq = hap[start : start + read_len]
+        if len(seq) < read_len:
+            continue
+        reads.append(_read(b"r%04d" % i, start + 1, seq, first=(i % 2 == 0)))
+    return reads
+
+
+@pytest.fixture(scope="module")
+def snp_setup():
+    rng = np.random.RandomState(42)
+    ref = _mkref(rng, 2000)
+    # het SNP at 1-based position 1001
+    alt = ref[:1000] + (b"A" if ref[1000:1001] != b"A" else b"C") + ref[1001:]
+    reads = []
+    for i in range(40):
+        hap = ref if i % 2 == 0 else alt
+        start = 900 + (i * 5) % 100
+        seq = hap[start : start + 120]
+        reads.append(_read(b"rd%04d" % i, start + 1, seq, first=(i % 2 == 0)))
+    reads.sort(key=lambda r: r.pos)
+    return ref, alt, reads
+
+
+def test_snp_called(snp_setup):
+    ref, alt, reads = snp_setup
+    params = make_hc_params("NONE", command_line="test")
+    hdr, variants = driver.call_variants(
+        params, _sam_header(len(ref)), {"chr1": reads}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False,
+    )
+    assert len(variants) >= 1
+    v = next((v for v in variants if v.pos == 1001), None)
+    assert v is not None, [x.pos for x in variants]
+    assert v.ref == chr(ref[1000])
+    assert v.alt == [chr(alt[1000])]
+    gt = v.genotypes[0]
+    assert sorted(gt.gt) == [0, 1]  # heterozygous
+    assert "PL" in gt.data and "GQ" in gt.data and "AD" in gt.data
+    assert "DP" in v.info and "MQ" in v.info and "QD" in v.info
+    assert v.qual is not None and v.qual > 50
+    # format line sanity through the VCF formatter
+    line = vcfmod.format_variant(v)
+    assert line.startswith("chr1\t1001\t.\t")
+    assert "GT:AD:DP:GQ:PL" in line
+
+
+def test_hom_deletion_called():
+    rng = np.random.RandomState(7)
+    ref = _mkref(rng, 2000)
+    alt = ref[:1000] + ref[1004:]  # 4bp homozygous deletion after pos 1000
+    reads = []
+    for i in range(40):
+        start = 900 + (i * 5) % 100
+        seq = alt[start : start + 120]
+        reads.append(_read(b"rd%04d" % i, start + 1, seq, first=(i % 2 == 0)))
+    reads.sort(key=lambda r: r.pos)
+    params = make_hc_params("NONE", command_line="test")
+    hdr, variants = driver.call_variants(
+        params, _sam_header(len(ref)), {"chr1": reads}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False,
+    )
+    v = next((v for v in variants if v.pos == 1000), None)
+    assert v is not None, [(x.pos, x.ref, x.alt) for x in variants]
+    assert len(v.ref) == 5 and len(v.alt[0]) == 1
+    assert v.genotypes[0].gt == [1, 1]
+
+
+def test_no_variants_no_calls(snp_setup):
+    rng = np.random.RandomState(3)
+    ref = _mkref(rng, 1500)
+    reads = []
+    for i in range(30):
+        start = 600 + (i * 6) % 120
+        reads.append(_read(b"q%04d" % i, start + 1, ref[start : start + 100],
+                           first=(i % 2 == 0)))
+    reads.sort(key=lambda r: r.pos)
+    params = make_hc_params("NONE", command_line="test")
+    hdr, variants = driver.call_variants(
+        params, _sam_header(len(ref)), {"chr1": reads}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False,
+    )
+    assert variants == []
+
+
+def test_gvcf_mode_blocks(snp_setup):
+    ref, alt, reads = snp_setup
+    params = make_hc_params("GVCF", command_line="test")
+    hdr, variants = driver.call_variants(
+        params, _sam_header(len(ref)), {"chr1": reads}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False,
+    )
+    assert variants, "GVCF should emit reference blocks and the call"
+    # the SNP site appears with <NON_REF> in alts
+    v = next((v for v in variants if v.pos == 1001 and len(v.alt) > 1), None)
+    assert v is not None, [(x.pos, x.alt) for x in variants[:20]]
+    assert v.alt[-1] == "<NON_REF>"
+    # reference blocks carry END info and GT:DP:GQ:MIN_DP:PL format
+    blocks = [v for v in variants if v.alt == ["<NON_REF>"]]
+    assert blocks
+    b = blocks[0]
+    assert "END" in b.info
+    assert b.genotype_format == ["GT", "DP", "GQ", "MIN_DP", "PL"]
+    # header has GVCF machinery
+    text = vcfmod.format_header(hdr)
+    assert "##ALT=<ID=NON_REF" in text
+    assert "##GVCFBlock0-1=" in text
+
+
+def test_vcf_header_none_mode(snp_setup):
+    ref, alt, reads = snp_setup
+    params = make_hc_params("NONE", command_line="cmd")
+    hdr = driver.write_vcf_header(params, _sam_header(len(ref)), "s1", lambda c: ref,
+                                  now="Mon Jan 02 15:04:05 UTC 2006")
+    text = vcfmod.format_header(hdr)
+    assert "##contig=<ID=chr1,length=2000>" in text
+    assert "##INFO=<ID=QD" in text
+    assert "##FORMAT=<ID=GT" in text
+    assert text.rstrip().endswith("FORMAT\ts1")
