@@ -1,0 +1,426 @@
+"""Command-line interface (reference: main.go, cmd/filter.go, cmd/convert.go).
+
+Subcommands: ``filter`` (the 5-step best-practices pipeline over one
+file), ``vcf-to-elsites``, ``bed-to-elsites``, ``fasta-to-elfasta``,
+``split``, ``merge``, ``sfm``.
+
+The phase order is fixed regardless of option order
+(reference: README.md:276-294): filters -> (optical) duplicate marking
+-> BQSR -> sort -> output / variant calling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _timed(enabled: bool, msg: str, fn):
+    if not enabled:
+        return fn()
+    t0 = time.time()
+    print(msg, file=sys.stderr)
+    out = fn()
+    print(f"  done in {time.time() - t0:.2f}s", file=sys.stderr)
+    return out
+
+
+def _build_filter_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="elprep_tpu filter", add_help=True)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--output-type", choices=["sam", "bam"], default="")
+    p.add_argument("--filter-unmapped-reads", action="store_true")
+    p.add_argument("--filter-unmapped-reads-strict", action="store_true")
+    p.add_argument("--filter-mapping-quality", type=int, default=0)
+    p.add_argument("--filter-non-exact-mapping-reads", action="store_true")
+    p.add_argument("--filter-non-exact-mapping-reads-strict", action="store_true")
+    p.add_argument("--filter-non-overlapping-reads", default="")
+    p.add_argument("--clear-duplicate-flag", action="store_true")
+    p.add_argument("--rename-chromosomes", action="store_true")
+    p.add_argument("--clean-sam", action="store_true")
+    p.add_argument("--replace-reference-sequences", default="")
+    p.add_argument("--replace-read-group", default="")
+    p.add_argument("--mark-duplicates", action="store_true")
+    p.add_argument("--mark-optical-duplicates", default="")
+    p.add_argument("--mark-optical-duplicates-intermediate", default="")
+    p.add_argument("--optical-duplicates-pixel-distance", type=int, default=100)
+    p.add_argument("--remove-duplicates", action="store_true")
+    p.add_argument("--remove-optional-fields", default="")
+    p.add_argument("--keep-optional-fields", default="")
+    p.add_argument("--sorting-order", default="keep",
+                   choices=["keep", "unknown", "unsorted", "queryname", "coordinate"])
+    p.add_argument("--bqsr", default="")
+    p.add_argument("--bqsr-tables-only", default="")
+    p.add_argument("--bqsr-apply", default="")
+    p.add_argument("--recal-file", default="")
+    p.add_argument("--reference", default="")
+    p.add_argument("--known-sites", default="")
+    p.add_argument("--quantize-levels", type=int, default=0)
+    p.add_argument("--sqq", default="")
+    p.add_argument("--max-cycle", type=int, default=500)
+    p.add_argument("--haplotypecaller", default="")
+    p.add_argument("--reference-confidence", default="GVCF",
+                   choices=["GVCF", "BP_RESOLUTION", "NONE"])
+    p.add_argument("--sample-name", default="")
+    p.add_argument("--target-regions", default="")
+    p.add_argument("--spread-file", default="")
+    p.add_argument("--random-seed-file", default="")
+    p.add_argument("--nr-of-threads", type=int, default=0)
+    p.add_argument("--timed", action="store_true")
+    p.add_argument("--mark-duplicates-deterministic", action="store_true")  # compat no-op
+    p.add_argument("--host-pairhmm", action="store_true",
+                   help="use the f64 host PairHMM instead of the device kernel")
+    return p
+
+
+def filter_command(argv: List[str]) -> int:
+    from .core.header import SortingOrder
+    from .core.pipeline import SamData, run_pipeline
+    from .io import sam as samio
+    from . import filters as F
+    from .filters import simple as fsimple
+    from .filters.markdup import MarkDuplicatesState, mark_duplicates_filter
+    from .filters import optical as foptical
+    from .filters import bqsr as fbqsr
+    from .filters import bqsr_report
+    from .io.fasta import MappedFasta, RefIndex
+    from .io import bed as bedio
+    from .io import intervals as iv
+
+    args = _build_filter_parser().parse_args(argv)
+    command_line = "elprep_tpu filter " + " ".join(argv)
+
+    sorting_order = SortingOrder(args.sorting_order)
+    want_bqsr = bool(args.bqsr or args.bqsr_tables_only)
+    want_hc = bool(args.haplotypecaller)
+    if (want_bqsr or args.bqsr_apply) and not args.reference:
+        print("error: --reference required for BQSR", file=sys.stderr)
+        return 2
+    if want_hc and not args.reference:
+        print("error: --reference required for --haplotypecaller", file=sys.stderr)
+        return 2
+
+    # filters1 construction mirrors cmd/filter.go:691-780
+    filters1: List = []
+    if args.filter_unmapped_reads_strict:
+        filters1.append(fsimple.remove_unmapped_reads_strict)
+    elif args.filter_unmapped_reads:
+        filters1.append(fsimple.remove_unmapped_reads)
+    if args.filter_mapping_quality > 0:
+        filters1.append(fsimple.remove_mapping_quality_less_than(args.filter_mapping_quality))
+    if args.filter_non_exact_mapping_reads:
+        filters1.append(fsimple.remove_non_exact_mapping_reads)
+    if args.filter_non_exact_mapping_reads_strict:
+        filters1.append(fsimple.remove_non_exact_mapping_reads_strict)
+    if args.filter_non_overlapping_reads:
+        bed = bedio.parse_bed(args.filter_non_overlapping_reads)
+        filters1.append(fsimple.remove_non_overlapping_reads(bed))
+    if args.clear_duplicate_flag:
+        filters1.append(fsimple.clear_duplicate_flag)
+    if args.rename_chromosomes:
+        filters1.append(fsimple.rename_chromosomes)
+    if args.clean_sam:
+        filters1.append(fsimple.clean_sam)
+    if args.replace_reference_sequences:
+        filters1.append(fsimple.replace_reference_sequence_dictionary_from_sam_file(
+            args.replace_reference_sequences))
+    if args.replace_read_group:
+        from .core.header import parse_header_line_from_string
+
+        filters1.append(fsimple.add_or_replace_read_group(
+            parse_header_line_from_string(args.replace_read_group)))
+    if (args.replace_reference_sequences or args.mark_duplicates
+            or sorting_order in (SortingOrder.COORDINATE, SortingOrder.QUERYNAME)
+            or want_bqsr or args.bqsr_apply or want_hc):
+        filters1.append(fsimple.add_refid)
+    md_state = None
+    if args.mark_duplicates:
+        md_state = MarkDuplicatesState()
+        filters1.append(mark_duplicates_filter(state=md_state))
+    filters1.append(fsimple.remove_optional_reads)
+
+    filters2: List = []
+    if args.remove_duplicates:
+        filters2.append(fsimple.remove_duplicate_reads)
+    if args.remove_optional_fields:
+        if args.remove_optional_fields == "all":
+            filters2.append(fsimple.remove_optional_fields([]))
+        else:
+            tags = [t.strip() for t in args.remove_optional_fields.split(",")]
+            filters2.append(fsimple.remove_optional_fields(tags))
+    if args.keep_optional_fields:
+        if args.keep_optional_fields == "none":
+            filters2.append(fsimple.keep_optional_fields([]))
+        else:
+            tags = [t.strip() for t in args.keep_optional_fields.split(",")]
+            filters2.append(fsimple.keep_optional_fields(tags))
+    filters1.insert(0, fsimple.add_pg_line({
+        "ID": "elprep_tpu", "PN": "elprep_tpu", "VN": "5.1.3", "CL": command_line,
+    }))
+
+    bed_obj = None
+    bed_regions = None
+    if args.target_regions:
+        bed_obj = bedio.parse_bed(args.target_regions)
+        bed_regions = iv.from_bed(bed_obj)
+        for c in list(bed_regions):
+            bed_regions[c] = iv.flatten(iv.sort_by_start(bed_regions[c]))
+
+    # Phase 1: read into memory + filters + sort
+    def read_phase():
+        hdr, batch = samio.read_sam_file(args.input)
+        return run_pipeline(SamData(hdr, batch), filters1, sorting_order)
+
+    data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase)
+
+    # Phase 2: optical duplicates
+    if args.mark_optical_duplicates or args.mark_optical_duplicates_intermediate:
+        def optical_phase():
+            ctrs = foptical.mark_optical_duplicates(
+                data.batch, data.header, md_state.aux,
+                pixel_distance=args.optical_duplicates_pixel_distance)
+            if args.mark_optical_duplicates:
+                foptical.print_duplicates_metrics(
+                    args.mark_optical_duplicates, command_line, ctrs)
+            else:
+                foptical.save_metrics_intermediate(
+                    args.mark_optical_duplicates_intermediate, ctrs)
+
+        _timed(args.timed, "Marking optical duplicates.", optical_phase)
+
+    post_sort = sorting_order
+    if post_sort != SortingOrder.UNSORTED:
+        post_sort = SortingOrder.KEEP
+
+    ref_index = None
+    mapped_fasta = None
+    if args.reference:
+        mapped_fasta = MappedFasta(args.reference)
+        ref_index = RefIndex(mapped_fasta)
+
+    # Phase 3-5: BQSR
+    recal_file = args.bqsr or args.bqsr_tables_only
+    if recal_file:
+        known = [s for s in args.known_sites.split(",") if s]
+        recal = fbqsr.BaseRecalibrator(known, ref_index)
+        if bed_obj is not None:
+            data.batch = run_pipeline(
+                data, [fsimple.remove_non_overlapping_reads(bed_obj)],
+                post_sort).batch
+        tables = _timed(args.timed, "Base recalibration.",
+                        lambda: recal.recalibrate(data.header, data.batch, args.max_cycle))
+        tables.finalize()
+        os.makedirs(os.path.dirname(os.path.abspath(recal_file)) or ".", exist_ok=True)
+        bqsr_report.print_bqsr_tables(tables, recal_file)
+        if args.bqsr:  # apply unless tables-only
+            sqq = [int(s) for s in args.sqq.split(",") if s]
+
+            def apply_phase():
+                return run_pipeline(
+                    data,
+                    [fbqsr.apply_bqsr_filter(tables, args.quantize_levels, sqq,
+                                             args.max_cycle)],
+                    post_sort)
+
+            data = _timed(args.timed, "Apply BQSR.", apply_phase)
+    elif args.bqsr_apply:
+        tables = bqsr_report.load_and_combine_bqsr_tables(args.bqsr_apply)
+        tables.finalize()
+        if args.recal_file:
+            bqsr_report.print_bqsr_tables(tables, args.recal_file)
+        sqq = [int(s) for s in args.sqq.split(",") if s]
+        data = run_pipeline(
+            data, [fbqsr.apply_bqsr_filter(tables, args.quantize_levels, sqq,
+                                           args.max_cycle)], post_sort)
+
+    # remaining pipeline (cmd/filter.go:66-140)
+    write_output = args.output not in ("/dev/null", "/dev/zero")
+    if args.spread_file:
+        data = _merge_spread_file(data, args.spread_file, post_sort)
+    if write_output:
+        def write_phase():
+            fmt = args.output_type or ("bam" if args.output.endswith(".bam") else "sam")
+            out = run_pipeline(data, filters2, post_sort)
+            samio.write_sam_file(args.output, out.header, out.batch, fmt=fmt)
+            return out
+
+        data = _timed(args.timed, "Write to file.", write_phase)
+
+    if want_hc:
+        _timed(args.timed, "Calling variants.",
+               lambda: _run_haplotypecaller(args, data, mapped_fasta, bed_regions,
+                                            command_line, post_sort))
+    return 0
+
+
+def _merge_spread_file(data, spread_file: str, post_sort):
+    """(reference: parseAndMergeSpreadFile, cmd/filter.go:44-64)"""
+    from .core.batch import ReadBatch
+    from .core.header import SortingOrder
+    from .core.pipeline import SamData, run_pipeline
+    from .io import sam as samio
+    from .filters import simple as fsimple
+
+    hdr2, spread = samio.read_sam_file(spread_file)
+    contigs = {sq["SN"].encode() for sq in data.header.sq}
+    names_pool = np.array(spread.names, dtype=bytes) if spread.names else np.array([b""], dtype=bytes)
+    keep = np.array([names_pool[spread.rname_id[i]] in contigs for i in range(len(spread))], bool)
+    spread = spread.select(keep)
+    sd = run_pipeline(SamData(data.header, spread), [fsimple.add_refid], SortingOrder.KEEP)
+    merged = ReadBatch.concat([data.batch, sd.batch])
+    out = SamData(data.header, merged)
+    return run_pipeline(out, [fsimple.add_refid], SortingOrder.COORDINATE)
+
+
+def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
+                         post_sort) -> None:
+    from .core.pipeline import run_pipeline
+    from .filters.hcprep import filter_reads_by_sample_name, haplotype_call_aln
+    from .filters.clipping import ClipRead
+    from .hc import driver as hcdriver
+    from .hc.activity import make_hc_params
+    from .io import vcf as vcfmod
+
+    sample_box = [args.sample_name]
+    data = run_pipeline(data, [filter_reads_by_sample_name(sample_box),
+                               haplotype_call_aln], post_sort)
+    params = make_hc_params(args.reference_confidence, command_line=command_line)
+    if args.random_seed_file and os.path.exists(args.random_seed_file):
+        content = open(args.random_seed_file).read().strip()
+        if content != "init":
+            from .hc.activity import JavaRandom
+
+            params.random = JavaRandom.from_reflect(int(content))
+
+    # normalized reference accessor (fasta.ToUpperAndN semantics)
+    _norm = bytes(
+        (ord(chr(c).upper()) if chr(c).upper() in "ACGT"
+         else (ord("N") if chr(c).upper() in "NRYMKWSBDHV" else c))
+        for c in range(256)
+    )
+    ref_cache: Dict[str, bytes] = {}
+
+    def get_reference(contig: str) -> bytes:
+        if contig not in ref_cache:
+            seq = mapped_fasta.seq(contig)
+            if seq is None:
+                raise ValueError(f"contig {contig} not found in reference")
+            ref_cache[contig] = np.asarray(seq).tobytes().translate(_norm)
+        return ref_cache[contig]
+
+    # columnar batch -> per-contig ClipReads (coordinate order preserved)
+    batch = data.batch
+    names_pool = np.array(batch.names, dtype=bytes) if batch.names else np.array([b""], dtype=bytes)
+    reads_by_contig: Dict[str, List[ClipRead]] = {}
+    qnames = batch.qname.astype(bytes)
+    for i in range(len(batch)):
+        rname = names_pool[batch.rname_id[i]].decode()
+        reads_by_contig.setdefault(rname, []).append(ClipRead(
+            flag=int(batch.flag[i]), pos=int(batch.pos[i]),
+            pnext=int(batch.pnext[i]), tlen=int(batch.tlen[i]),
+            mapq=int(batch.mapq[i]),
+            cigar=list(zip(batch.cigar_len.row(i).tolist(),
+                           batch.cigar_op.row(i).tobytes().decode())),
+            seq=batch.seq.row(i).tobytes(), qual=batch.qual.row(i).tobytes(),
+            rname=names_pool[batch.rname_id[i]],
+            rnext=names_pool[batch.rnext_id[i]], qname=qnames[i], row=i,
+        ))
+
+    bed_spans = None
+    if bed_regions is not None:
+        bed_spans = {c: [(int(s), int(e)) for s, e in ivals]
+                     for c, ivals in bed_regions.items()}
+    vcf_header, variants = hcdriver.call_variants(
+        params, data.header, reads_by_contig, get_reference,
+        sample_name=sample_box[0], bed_regions=bed_spans,
+        use_device_pairhmm=not args.host_pairhmm,
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".",
+                exist_ok=True)
+    vcfmod.write_vcf_file(args.haplotypecaller, vcf_header, variants)
+    if args.random_seed_file:
+        with open(args.random_seed_file, "w") as f:
+            f.write(str(params.random.reflect_seed()))
+
+
+# ---------------------------------------------------------------------------
+# converters (cmd/convert.go:35-100)
+# ---------------------------------------------------------------------------
+
+
+def vcf_to_elsites(argv: List[str]) -> int:
+    from .io import intervals as iv
+    from .io import vcf as vcfmod
+
+    p = argparse.ArgumentParser(prog="elprep_tpu vcf-to-elsites")
+    p.add_argument("vcf")
+    p.add_argument("elsites")
+    args = p.parse_args(argv)
+    _, variants = vcfmod.read_vcf_file(args.vcf)
+    by_chrom: Dict[str, list] = {}
+    for v in variants:
+        by_chrom.setdefault(v.chrom, []).append((v.pos - 1, v.end()))
+    ivals = {c: iv.flatten(iv.sort_by_start(iv.make([s for s, _ in xs],
+                                                    [e for _, e in xs])))
+             for c, xs in by_chrom.items()}
+    iv.to_elsites_file(ivals, args.elsites)
+    return 0
+
+
+def bed_to_elsites(argv: List[str]) -> int:
+    from .io import bed as bedio
+    from .io import intervals as iv
+
+    p = argparse.ArgumentParser(prog="elprep_tpu bed-to-elsites")
+    p.add_argument("bed")
+    p.add_argument("elsites")
+    args = p.parse_args(argv)
+    bed = bedio.parse_bed(args.bed)
+    ivals = {c: iv.flatten(iv.sort_by_start(x)) for c, x in iv.from_bed(bed).items()}
+    iv.to_elsites_file(ivals, args.elsites)
+    return 0
+
+
+def fasta_to_elfasta(argv: List[str]) -> int:
+    from .io import fasta as fastaio
+
+    p = argparse.ArgumentParser(prog="elprep_tpu fasta-to-elfasta")
+    p.add_argument("fasta")
+    p.add_argument("elfasta")
+    args = p.parse_args(argv)
+    contigs = fastaio.parse_fasta(args.fasta)
+    fastaio.to_elfasta(contigs, args.elfasta)
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(
+            "elprep_tpu — TPU-native secondary-analysis engine\n"
+            "commands: filter, split, merge, sfm, vcf-to-elsites, "
+            "bed-to-elsites, fasta-to-elfasta",
+            file=sys.stderr,
+        )
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "filter":
+        return filter_command(rest)
+    if cmd == "vcf-to-elsites":
+        return vcf_to_elsites(rest)
+    if cmd == "bed-to-elsites":
+        return bed_to_elsites(rest)
+    if cmd == "fasta-to-elfasta":
+        return fasta_to_elfasta(rest)
+    if cmd in ("split", "merge", "sfm", "merge-optical-duplicates-metrics"):
+        from . import splitmerge_cli
+
+        return splitmerge_cli.run(cmd, rest)
+    print(f"unknown command {cmd}", file=sys.stderr)
+    return 1

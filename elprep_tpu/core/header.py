@@ -105,7 +105,7 @@ class Header:
         records = self.user_records.get("@cs")
         if not records:
             return None
-        return [r["cn"] for r in records if "cn" in r]
+        return [r["cs"] for r in records if "cs" in r]
 
     def clone(self) -> "Header":
         h = Header()

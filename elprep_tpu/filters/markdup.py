@@ -33,6 +33,9 @@ def mark_duplicates_filter(also_opticals: bool = False, state: Optional[MarkDupl
     def filter_(header: Header) -> BatchFilter:
         def bf(batch: ReadBatch) -> None:
             if len(batch) == 0:
+                if state is not None and state.aux is None:
+                    z = np.zeros(0, np.int32)
+                    state.aux = {"libid": z, "upos": z, "score": z, "qrank": z}
                 return None
             dup, aux = mark_duplicates_batch(batch, header)
             batch.flag = np.where(dup, batch.flag | DUPLICATE, batch.flag).astype(np.int32)

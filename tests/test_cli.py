@@ -1,0 +1,204 @@
+"""CLI integration tests: the full 5-step pipeline, converters,
+split/merge, and sfm (reference: cmd/)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from elprep_tpu import cli
+
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _mkref(rng, n):
+    return rng.choice(_BASES, n).tobytes()
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("cli")
+    rng = np.random.RandomState(99)
+    ref1 = _mkref(rng, 4000)
+    ref2 = _mkref(rng, 3000)
+    # FASTA
+    fasta = wd / "ref.fasta"
+    with open(fasta, "w") as f:
+        f.write(">chr1 test\n")
+        for i in range(0, len(ref1), 70):
+            f.write(ref1[i : i + 70].decode() + "\n")
+        f.write(">chr2\n")
+        for i in range(0, len(ref2), 70):
+            f.write(ref2[i : i + 70].decode() + "\n")
+    assert cli.main(["fasta-to-elfasta", str(fasta), str(wd / "ref.elfasta")]) == 0
+
+    # SAM with a het SNP at chr1:2001 and duplicates
+    alt1 = ref1[:2000] + (b"A" if ref1[2000:2001] != b"A" else b"C") + ref1[2001:]
+    lines = [
+        "@HD\tVN:1.6\tSO:unknown",
+        "@SQ\tSN:chr1\tLN:4000",
+        "@SQ\tSN:chr2\tLN:3000",
+        "@RG\tID:rg1\tLB:lib1\tSM:sample1\tPU:unit1",
+    ]
+    qual = "I" * 100
+
+    def pair(qname, chrom, hap, p1, p2):
+        s1 = hap[p1 - 1 : p1 - 1 + 100].decode()
+        s2 = hap[p2 - 1 : p2 - 1 + 100].decode()
+        tl = p2 - p1 + 100
+        return [
+            f"{qname}\t99\t{chrom}\t{p1}\t60\t100M\t=\t{p2}\t{tl}\t{s1}\t{qual}\tRG:Z:rg1",
+            f"{qname}\t147\t{chrom}\t{p2}\t60\t100M\t=\t{p1}\t{-tl}\t{s2}\t{qual}\tRG:Z:rg1",
+        ]
+
+    reads = []
+    for i in range(30):
+        hap = ref1 if i % 2 == 0 else alt1
+        start = 1900 + i * 3  # unique starts: no accidental duplicates
+        reads += pair(f"M:R:F:1:2203:{1000+i*10}:{2000}", "chr1", hap, start, start + 150)
+    # duplicates: same positions, same library
+    reads += pair("M:R:F:1:2203:5000:6000", "chr1", ref1, 500, 700)
+    reads += pair("M:R:F:1:2203:5004:6004", "chr1", ref1, 500, 700)
+    # chr2 reads
+    for i in range(6):
+        start = 1000 + i * 40
+        reads += pair(f"M:R:F:1:1101:{2000+i*17}:{3000}", "chr2", ref2, start, start + 120)
+    sam = wd / "in.sam"
+    with open(sam, "w") as f:
+        f.write("\n".join(lines) + "\n" + "\n".join(reads) + "\n")
+
+    # known sites (empty bed -> elsites via bed)
+    bed = wd / "sites.bed"
+    with open(bed, "w") as f:
+        f.write("chr1\t100\t200\n")
+    assert cli.main(["bed-to-elsites", str(bed), str(wd / "sites.elsites")]) == 0
+    return wd
+
+
+def test_five_step_pipeline(workdir):
+    wd = workdir
+    rc = cli.main([
+        "filter", str(wd / "in.sam"), str(wd / "out.bam"),
+        "--mark-duplicates", "--mark-optical-duplicates", str(wd / "metrics.txt"),
+        "--sorting-order", "coordinate",
+        "--bqsr", str(wd / "out.recal"),
+        "--known-sites", str(wd / "sites.elsites"),
+        "--reference", str(wd / "ref.elfasta"),
+        "--haplotypecaller", str(wd / "out.vcf.gz"),
+        "--reference-confidence", "NONE",
+        "--host-pairhmm",
+    ])
+    assert rc == 0
+    # BAM output exists and is coordinate-sorted with dup flags
+    from elprep_tpu.io import sam as samio
+
+    hdr, batch = samio.read_sam_file(str(wd / "out.bam"))
+    assert hdr.hd["SO"] == "coordinate"
+    assert ((batch.flag & 0x400) != 0).sum() == 2  # one duplicate pair
+    # metrics in Picard format
+    metrics = open(wd / "metrics.txt").read()
+    assert "picard.sam.DuplicationMetrics" in metrics
+    assert "lib1" in metrics
+    # recal report in GATK format
+    recal = open(wd / "out.recal").read()
+    assert recal.startswith("#:GATKReport.v1.1:5")
+    # VCF has the het SNP at chr1:2001
+    from elprep_tpu.io import vcf as vcfmod
+
+    vhdr, variants = vcfmod.read_vcf_file(str(wd / "out.vcf.gz"))
+    v = next((v for v in variants if v.chrom == "chr1" and v.pos == 2001), None)
+    assert v is not None, [(x.chrom, x.pos) for x in variants]
+    assert sorted(v.genotypes[0].gt) == [0, 1]
+
+
+def test_split_merge_roundtrip(workdir, tmp_path):
+    wd = workdir
+    split_dir = tmp_path / "splits_out"
+    rc = cli.main(["split", str(wd / "in.sam"), str(split_dir),
+                   "--output-prefix", "t", "--contig-group-size", "1"])
+    assert rc == 0
+    # one group per contig + unmapped
+    import glob
+
+    groups = sorted(glob.glob(str(split_dir / "splits" / "t-group*.sam")))
+    assert len(groups) == 2
+    # group headers carry @cs records
+    from elprep_tpu.io import sam as samio
+
+    ghdr, _ = samio.read_sam_file(groups[0])
+    assert ghdr.contigs() == ["chr1"]
+    merged = tmp_path / "merged.sam"
+    rc = cli.main(["merge", str(split_dir / "splits"), str(merged),
+                   "--input-prefix", "t"])
+    # spread file lives one level up; copy it in place as sfm would
+    import shutil
+
+    shutil.copy(str(split_dir / "t-spread.sam"), str(split_dir / "splits" / "t-spread.sam"))
+    rc = cli.main(["merge", str(split_dir / "splits"), str(merged),
+                   "--input-prefix", "t"])
+    assert rc == 0
+    hdr0, b0 = samio.read_sam_file(str(wd / "in.sam"))
+    hdr1, b1 = samio.read_sam_file(str(merged))
+    assert len(b0) == len(b1)
+    assert sorted(b0.qname.astype(bytes)) == sorted(b1.qname.astype(bytes))
+
+
+def test_sfm_pipeline(workdir, tmp_path):
+    wd = workdir
+    out = tmp_path / "sfm_out.sam"
+    rc = cli.main([
+        "sfm", str(wd / "in.sam"), str(out),
+        "--tmp-path", str(tmp_path / "sfmtmp"),
+        "--contig-group-size", "1",
+        "--mark-optical-duplicates", str(tmp_path / "sfm_metrics.txt"),
+        "--mark-duplicates", "--sorting-order", "coordinate",
+    ])
+    assert rc == 0
+    from elprep_tpu.io import sam as samio
+
+    hdr, batch = samio.read_sam_file(str(out))
+    hdr0, b0 = samio.read_sam_file(str(wd / "in.sam"))
+    assert len(batch) == len(b0)
+    assert hdr.hd["SO"] == "coordinate"
+    assert ((batch.flag & 0x400) != 0).sum() == 2
+    assert "picard.sam.DuplicationMetrics" in open(tmp_path / "sfm_metrics.txt").read()
+
+
+def test_sfm_equals_whole_file(workdir, tmp_path):
+    """sfm output must match whole-file filter output (README.md:134-137)."""
+    wd = workdir
+    whole = tmp_path / "whole.sam"
+    rc = cli.main(["filter", str(wd / "in.sam"), str(whole),
+                   "--mark-duplicates", "--sorting-order", "coordinate"])
+    assert rc == 0
+    sfm_out = tmp_path / "sfm.sam"
+    rc = cli.main(["sfm", str(wd / "in.sam"), str(sfm_out),
+                   "--tmp-path", str(tmp_path / "tmp2"),
+                   "--contig-group-size", "1",
+                   "--mark-duplicates", "--sorting-order", "coordinate"])
+    assert rc == 0
+    from elprep_tpu.io import sam as samio
+
+    h1, b1 = samio.read_sam_file(str(whole))
+    h2, b2 = samio.read_sam_file(str(sfm_out))
+    assert len(b1) == len(b2)
+    # flags (incl duplicate marks) and coordinates agree
+    k1 = sorted(zip(b1.qname.astype(bytes), b1.flag, b1.pos))
+    k2 = sorted(zip(b2.qname.astype(bytes), b2.flag, b2.pos))
+    assert k1 == k2
+
+
+def test_vcf_to_elsites(workdir, tmp_path):
+    wd = workdir
+    vcf_file = tmp_path / "x.vcf"
+    with open(vcf_file, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        f.write("chr1\t100\t.\tA\tT\t50\t.\t.\n")
+        f.write("chr1\t200\t.\tAC\tA\t50\t.\t.\n")
+    rc = cli.main(["vcf-to-elsites", str(vcf_file), str(tmp_path / "x.elsites")])
+    assert rc == 0
+    from elprep_tpu.io import intervals as iv
+
+    sites = iv.from_elsites_file(str(tmp_path / "x.elsites"))
+    assert "chr1" in sites and len(sites["chr1"]) == 2

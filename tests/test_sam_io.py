@@ -41,7 +41,7 @@ def test_header_roundtrip_sorts_fields():
 
 
 def test_header_user_records():
-    data = b"@sr\tss:1\n@cs\tcn:chr1\n@cs\tcn:chr2\nr1\t0\tchr1\t1\t0\t1M\t*\t0\t0\tA\t+\n"
+    data = b"@sr\tss:1\n@cs\tcs:chr1\n@cs\tcs:chr2\nr1\t0\tchr1\t1\t0\t1M\t*\t0\t0\tA\t+\n"
     hdr, pos = parse_sam_header(data)
     assert "@sr" in hdr.user_records
     assert hdr.contigs() == ["chr1", "chr2"]
