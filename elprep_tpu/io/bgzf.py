@@ -88,9 +88,16 @@ def _inflate_block(data: bytes, span: range) -> bytes:
 
 
 def decompress(data: bytes) -> bytes:
-    """Decompress a whole BGZF byte buffer (all blocks, parallel)."""
+    """Decompress a whole BGZF byte buffer (all blocks, parallel).
+    Uses the native C++ codec when available (elprep_tpu.native)."""
     if not data:
         return b""
+    from .. import native
+
+    if native.available():
+        out = native.bgzf_decompress(data)
+        if out is not None:
+            return out
     spans = _frame_blocks(data)
     if len(spans) == 1:
         return _inflate_block(data, spans[0])
@@ -116,7 +123,14 @@ def _deflate_block(chunk: bytes, level: int) -> bytes:
 
 def compress(data: bytes, level: int = 6, eof: bool = True) -> bytes:
     """Compress a byte buffer into BGZF blocks (64KB chop, parallel) and
-    append the EOF marker (reference: bgzf-files.go:324-431)."""
+    append the EOF marker (reference: bgzf-files.go:324-431).
+    Uses the native C++ codec when available."""
+    from .. import native
+
+    if native.available():
+        out = native.bgzf_compress(data, level=level, eof=eof)
+        if out is not None:
+            return out
     chunks = [data[i : i + MAX_BLOCK_SIZE] for i in range(0, len(data), MAX_BLOCK_SIZE)]
     if len(chunks) <= 1:
         blocks = [_deflate_block(c, level) for c in chunks]

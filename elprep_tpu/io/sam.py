@@ -74,7 +74,164 @@ def parse_sam(data: bytes) -> Tuple[Header, ReadBatch]:
 
 
 def parse_alignments(data: bytes, start: int = 0) -> ReadBatch:
-    """Parse alignment lines (reference: sam/sam-files.go:386-410)."""
+    """Parse alignment lines (reference: sam/sam-files.go:386-410).
+    Dispatches to the native-tokenizer fast path when available."""
+    from .. import native
+
+    if native.available():
+        out = _parse_alignments_fast(data, start)
+        if out is not None:
+            return out
+    return _parse_alignments_py(data, start)
+
+
+def _ranged_gather(u8: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> Ragged:
+    lens = (ends - starts).astype(np.int64)
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    if total == 0:
+        return Ragged(np.zeros(0, u8.dtype), off)
+    idx = np.repeat(starts - off[:-1], lens) + np.arange(total, dtype=np.int64)
+    return Ragged(u8[idx], off)
+
+
+_CIGAR_OP_VALID = np.zeros(256, bool)
+for _c in b"MIDNSHP=XmidnshpxX":
+    _CIGAR_OP_VALID[_c] = True
+_CIGAR_UPPER = np.arange(256, dtype=np.uint8)
+for _c in b"midnshpx":
+    _CIGAR_UPPER[_c] = _c - 32
+
+
+def _parse_cigars_vectorized(cig: Ragged):
+    """Flat-vectorized CIGAR parse of all rows at once. Returns
+    (cigar_len Ragged int32, cigar_op Ragged uint8) or None if any row
+    needs the scalar path (adjacent-equal merge)."""
+    data = cig.data
+    n_rows = len(cig)
+    if len(data) == 0:
+        z = np.zeros(n_rows + 1, np.int64)
+        return Ragged(np.zeros(0, np.int32), z), Ragged(np.zeros(0, np.uint8), z)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), cig.lengths.astype(np.int64))
+    is_digit = (data >= ord("0")) & (data <= ord("9"))
+    is_star = data == ord("*")
+    star_rows = np.zeros(n_rows, bool)
+    # '*' rows must be exactly length-1
+    star_rows_idx = row_of[is_star]
+    star_rows[star_rows_idx] = True
+    if star_rows.any():
+        bad = star_rows & (cig.lengths != 1)
+        if bad.any():
+            raise ValueError("invalid CIGAR operation")
+    op_mask = ~is_digit & ~is_star
+    if not np.all(_CIGAR_OP_VALID[data[op_mask]]):
+        raise ValueError("invalid CIGAR operation")
+    op_pos = np.flatnonzero(op_mask)
+    op_row = row_of[op_pos]
+    # every non-star row must end with an op and alternate digits/ops;
+    # verify each op is preceded by >=1 digit within the row
+    prev_op = np.concatenate([[-1], op_pos[:-1]])
+    seg_start = np.maximum(prev_op + 1, cig.offsets[op_row])
+    ndig = op_pos - seg_start
+    if (ndig < 1).any():
+        raise ValueError("invalid CIGAR operation")
+    # rows must end at an op
+    row_end_ok = np.zeros(n_rows, bool)
+    row_end_ok[op_row[np.concatenate([op_row[1:] != op_row[:-1], [True]])]] = True
+    nonstar = ~star_rows
+    if not np.all(row_end_ok[nonstar] | (cig.lengths[nonstar] == 0)):
+        raise ValueError("invalid CIGAR operation")
+    # parse lengths: up to 9 digits
+    max_d = int(ndig.max())
+    if max_d > 9:
+        return None
+    vals = np.zeros(len(op_pos), np.int64)
+    for k in range(max_d):
+        p = op_pos - 1 - k
+        valid = (p >= seg_start)
+        d = np.where(valid, data[np.maximum(p, 0)] - ord("0"), 0)
+        vals += d.astype(np.int64) * (10 ** k) * valid
+    ops = _CIGAR_UPPER[data[op_pos]]
+    # adjacent-equal ops within a row need merging: rare; bail out
+    same_row = np.concatenate([[False], op_row[1:] == op_row[:-1]])
+    if np.any(same_row & np.concatenate([[False], ops[1:] == ops[:-1]])):
+        return None
+    ops_per_row = np.bincount(op_row, minlength=n_rows)
+    off = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(ops_per_row, out=off[1:])
+    return Ragged(vals.astype(np.int32), off), Ragged(ops.astype(np.uint8), off)
+
+
+def _parse_alignments_fast(data: bytes, start: int) -> "ReadBatch | None":
+    from .. import native
+
+    tok = native.sam_tokenize(data, start)
+    if tok is None:
+        return None
+    n, cols, (f_start, f_end) = tok
+    u8 = np.frombuffer(data, np.uint8)
+    if n == 0:
+        return ReadBatch.empty()
+
+    qname_rg = _ranged_gather(u8, f_start[0], f_end[0])
+    w = max(int(qname_rg.lengths.max(initial=1)), 1)
+    qname_pad, _ = qname_rg.to_padded(w)
+    qnames = qname_pad.view(f"S{w}").reshape(n)
+
+    # interning of rname/rnext in first-appearance order
+    rn_rg = _ranged_gather(u8, f_start[1], f_end[1])
+    rx_rg = _ranged_gather(u8, f_start[3], f_end[3])
+    wname = max(int(rn_rg.lengths.max(initial=1)), int(rx_rg.lengths.max(initial=1)), 1)
+    rn_pad, _ = rn_rg.to_padded(wname)
+    rx_pad, _ = rx_rg.to_padded(wname)
+    both = np.concatenate([rn_pad.view(f"S{wname}").reshape(n),
+                           rx_pad.view(f"S{wname}").reshape(n)])
+    uniq, inv = np.unique(both, return_inverse=True)
+    # reorder pool to first appearance (matches the reference's interning)
+    first_pos = np.full(len(uniq), 2 * n, np.int64)
+    np.minimum.at(first_pos, inv, np.arange(2 * n))
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    inv = rank[inv]
+    names = [uniq[order[i]] for i in range(len(uniq))]
+    rname_ids = inv[:n].astype(np.int32)
+    rnext_ids = inv[n:].astype(np.int32)
+
+    cig_rg = _ranged_gather(u8, f_start[2], f_end[2])
+    parsed = _parse_cigars_vectorized(cig_rg)
+    if parsed is None:
+        return None  # rare merge case: fall back entirely
+    cigar_len, cigar_op = parsed
+
+    seq_rg = _ranged_gather(u8, f_start[4], f_end[4])
+    seq_rg = Ragged(np.frombuffer(seq_rg.data.tobytes().translate(_SEQ_TRANS), np.uint8),
+                    seq_rg.offsets)
+    qual_rg = _ranged_gather(u8, f_start[5], f_end[5])
+    qual_rg = Ragged((qual_rg.data - np.uint8(33)).astype(np.uint8), qual_rg.offsets)
+    tags_rg = _ranged_gather(u8, f_start[6], f_end[6])
+
+    return ReadBatch(
+        qname=qnames,
+        flag=cols["flag"],
+        rname_id=rname_ids,
+        pos=cols["pos"],
+        mapq=cols["mapq"],
+        cigar_len=cigar_len,
+        cigar_op=cigar_op,
+        rnext_id=rnext_ids,
+        pnext=cols["pnext"],
+        tlen=cols["tlen"],
+        seq=seq_rg,
+        qual=qual_rg,
+        tags=TagsColumn(tags_rg),
+        names=names,
+    )
+
+
+def _parse_alignments_py(data: bytes, start: int = 0) -> ReadBatch:
+    """Pure-Python parser (reference semantics, fallback path)."""
     body = data[start:]
     if body.endswith(b"\n"):
         body = body[:-1]

@@ -1,0 +1,140 @@
+"""ctypes bindings for the native runtime components
+(elprep_native.cpp: parallel BGZF codec + SAM tokenizer).
+
+The shared library is built on demand with g++ (cached next to the
+source); all entry points degrade to the pure-Python implementations
+when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "elprep_native.cpp")
+_LIB = os.path.join(_DIR, "libelprep_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB, _SRC, "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=240,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    lib.bgzf_decompressed_size.restype = ctypes.c_longlong
+    lib.bgzf_decompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.bgzf_decompress.restype = ctypes.c_int
+    lib.bgzf_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_int]
+    lib.bgzf_compress_bound.restype = ctypes.c_size_t
+    lib.bgzf_compress_bound.argtypes = [ctypes.c_size_t]
+    lib.bgzf_compress.restype = ctypes.c_longlong
+    lib.bgzf_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.sam_count_lines.restype = ctypes.c_longlong
+    lib.sam_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t]
+    lib.sam_tokenize.restype = ctypes.c_longlong
+    lib.sam_tokenize.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_longlong,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def bgzf_decompress(data: bytes, n_threads: int = 0) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    size = lib.bgzf_decompressed_size(data, len(data))
+    if size < 0:
+        raise ValueError("invalid BGZF stream")
+    out = np.empty(size, np.uint8)
+    rc = lib.bgzf_decompress(data, len(data), out.ctypes.data, size, n_threads)
+    if rc != 0:
+        raise ValueError(f"BGZF decompress failed (code {rc})")
+    return out.tobytes()
+
+
+def bgzf_compress(data: bytes, level: int = 6, n_threads: int = 0,
+                  eof: bool = True) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = lib.bgzf_compress_bound(len(data))
+    out = np.empty(cap, np.uint8)
+    n = lib.bgzf_compress(data, len(data), out.ctypes.data, cap, level, n_threads,
+                          1 if eof else 0)
+    if n < 0:
+        raise ValueError(f"BGZF compress failed (code {n})")
+    return out[:n].tobytes()
+
+
+def sam_tokenize(data: bytes, start: int) -> Optional[Tuple]:
+    """Tokenize alignment lines. Returns (n, int_cols dict, ranges [7] of
+    (start,end) int64 arrays) or None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_lines = lib.sam_count_lines(data, len(data), start)
+    if max_lines == 0:
+        z32 = np.zeros(0, np.int32)
+        z64 = np.zeros((7, 0), np.int64)
+        return 0, dict(flag=z32, pos=z32, mapq=z32, pnext=z32, tlen=z32), (z64, z64)
+    flag = np.empty(max_lines, np.int32)
+    pos = np.empty(max_lines, np.int32)
+    mapq = np.empty(max_lines, np.int32)
+    pnext = np.empty(max_lines, np.int32)
+    tlen = np.empty(max_lines, np.int32)
+    f_start = np.empty((7, max_lines), np.int64)
+    f_end = np.empty((7, max_lines), np.int64)
+    n = lib.sam_tokenize(
+        data, len(data), start, max_lines,
+        flag.ctypes.data, pos.ctypes.data, mapq.ctypes.data,
+        pnext.ctypes.data, tlen.ctypes.data,
+        f_start.ctypes.data, f_end.ctypes.data)
+    if n < 0:
+        errpos = -(n + 1)
+        line_start = data.rfind(b"\n", 0, int(errpos)) + 1
+        line_end = data.find(b"\n", int(errpos))
+        if line_end < 0:
+            line_end = len(data)
+        raise ValueError(
+            f"missing tabulator in SAM alignment line: {data[line_start:line_end]!r}")
+    n = int(n)
+    return n, dict(flag=flag[:n], pos=pos[:n], mapq=mapq[:n], pnext=pnext[:n],
+                   tlen=tlen[:n]), (f_start[:, :n], f_end[:, :n])

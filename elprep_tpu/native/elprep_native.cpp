@@ -1,0 +1,306 @@
+// Native runtime components: parallel BGZF codec and SAM tokenizer.
+//
+// The reference gets its I/O throughput from goroutine pipelines over
+// Go's flate (reference: utils/bgzf/bgzf-files.go, sam/sam-files.go).
+// Here the equivalents are C++ with std::thread fan-out over zlib,
+// exposed through a plain C ABI consumed via ctypes — these feed the
+// TPU host pipeline so device compute is never starved by parsing.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+#include <atomic>
+#include <zlib.h>
+#include <functional>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+struct BgzfBlock {
+  size_t in_off;     // offset of gzip member
+  size_t in_size;    // bsize
+  size_t payload_off;
+  size_t payload_size;
+  size_t out_off;    // offset in output buffer
+  size_t out_size;   // isize
+};
+
+// Frame all blocks; returns number of blocks, or -1 on error.
+// out arrays must hold max_blocks entries.
+static int frame_blocks(const uint8_t* data, size_t n, std::vector<BgzfBlock>& blocks) {
+  size_t pos = 0;
+  size_t out_off = 0;
+  while (pos < n) {
+    if (pos + 18 > n || data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+    uint8_t flg = data[pos + 3];
+    if (!(flg & 4)) return -1;
+    uint16_t xlen = (uint16_t)(data[pos + 10] | (data[pos + 11] << 8));
+    size_t xpos = pos + 12, xend = xpos + xlen;
+    if (xend > n) return -1;
+    long bsize = -1;
+    while (xpos + 4 <= xend) {
+      uint8_t si1 = data[xpos], si2 = data[xpos + 1];
+      uint16_t slen = (uint16_t)(data[xpos + 2] | (data[xpos + 3] << 8));
+      if (si1 == 0x42 && si2 == 0x43 && slen == 2)
+        bsize = (long)(data[xpos + 4] | (data[xpos + 5] << 8)) + 1;
+      xpos += 4 + slen;
+    }
+    if (bsize < 0 || pos + (size_t)bsize > n) return -1;
+    size_t payload_off = pos + 12 + xlen;
+    size_t payload_size = (size_t)bsize - (12 + xlen) - 8;
+    uint32_t isize;
+    memcpy(&isize, data + pos + bsize - 4, 4);
+    BgzfBlock b{pos, (size_t)bsize, payload_off, payload_size, out_off, isize};
+    blocks.push_back(b);
+    out_off += isize;
+    pos += bsize;
+  }
+  return (int)blocks.size();
+}
+
+// Decompressed size of a whole BGZF buffer; -1 on framing error.
+long long bgzf_decompressed_size(const uint8_t* data, size_t n) {
+  std::vector<BgzfBlock> blocks;
+  if (frame_blocks(data, n, blocks) < 0) return -1;
+  size_t total = 0;
+  for (auto& b : blocks) total += b.out_size;
+  return (long long)total;
+}
+
+// Decompress all blocks in parallel into out (size must equal
+// bgzf_decompressed_size). Returns 0 ok, nonzero error.
+int bgzf_decompress(const uint8_t* data, size_t n, uint8_t* out, size_t out_n,
+                    int n_threads) {
+  std::vector<BgzfBlock> blocks;
+  if (frame_blocks(data, n, blocks) < 0) return 1;
+  size_t total = 0;
+  for (auto& b : blocks) total += b.out_size;
+  if (total != out_n) return 2;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > (int)blocks.size()) n_threads = (int)blocks.size();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<size_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || err.load()) return;
+      const BgzfBlock& b = blocks[i];
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) { err.store(3); return; }
+      zs.next_in = const_cast<Bytef*>(data + b.payload_off);
+      zs.avail_in = (uInt)b.payload_size;
+      zs.next_out = out + b.out_off;
+      zs.avail_out = (uInt)b.out_size;
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END || zs.total_out != b.out_size) { err.store(4); return; }
+      uint32_t crc = (uint32_t)crc32(0L, out + b.out_off, (uInt)b.out_size);
+      uint32_t want;
+      memcpy(&want, data + b.in_off + b.in_size - 8, 4);
+      if (crc != want) { err.store(5); return; }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return err.load();
+}
+
+// Compress data into BGZF blocks (64KB chunks). out must be at least
+// bgzf_compress_bound(n). Returns output length or -1.
+size_t bgzf_compress_bound(size_t n) {
+  size_t chunks = n / 65536 + 2;
+  return n + chunks * (18 + 8 + 64) + 4096 + n / 64;
+}
+
+long long bgzf_compress(const uint8_t* data, size_t n, uint8_t* out, size_t out_cap,
+                        int level, int n_threads, int append_eof) {
+  const size_t CHUNK = 65536;
+  size_t n_chunks = (n + CHUNK - 1) / CHUNK;
+  if (n == 0) n_chunks = 0;
+  std::vector<std::vector<uint8_t>> results(n_chunks);
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > (int)n_chunks) n_threads = (int)n_chunks;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<size_t> next(0);
+  std::atomic<int> err(0);
+  std::function<int(const uint8_t*, size_t, std::vector<uint8_t>&)> compress_chunk =
+      [&](const uint8_t* src, size_t len, std::vector<uint8_t>& dst) -> int {
+    // deflate; if the block would exceed 65536 total, halve recursively
+    std::vector<uint8_t> payload(compressBound((uLong)len) + 64);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+      return 3;
+    zs.next_in = const_cast<Bytef*>(src);
+    zs.avail_in = (uInt)len;
+    zs.next_out = payload.data();
+    zs.avail_out = (uInt)payload.size();
+    int r = deflate(&zs, Z_FINISH);
+    size_t psize = zs.total_out;
+    deflateEnd(&zs);
+    if (r != Z_STREAM_END) return 4;
+    size_t bsize = psize + 12 + 6 + 8;
+    if (bsize > 65536) {
+      std::vector<uint8_t> left, right;
+      size_t half = len / 2;
+      int e = compress_chunk(src, half, left);
+      if (e) return e;
+      e = compress_chunk(src + half, len - half, right);
+      if (e) return e;
+      dst = std::move(left);
+      dst.insert(dst.end(), right.begin(), right.end());
+      return 0;
+    }
+    dst.resize(bsize);
+    uint8_t* p = dst.data();
+    const uint8_t hdr[16] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff, 6, 0, 'B', 'C', 2, 0};
+    memcpy(p, hdr, 16);
+    uint16_t bs16 = (uint16_t)(bsize - 1);
+    memcpy(p + 16, &bs16, 2);
+    memcpy(p + 18, payload.data(), psize);
+    uint32_t crc = (uint32_t)crc32(0L, src, (uInt)len);
+    uint32_t is = (uint32_t)len;
+    memcpy(p + 18 + psize, &crc, 4);
+    memcpy(p + 18 + psize + 4, &is, 4);
+    return 0;
+  };
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= n_chunks || err.load()) return;
+      size_t off = i * CHUNK;
+      size_t len = (off + CHUNK <= n) ? CHUNK : n - off;
+      int e = compress_chunk(data + off, len, results[i]);
+      if (e) { err.store(e); return; }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  if (err.load()) return -1;
+  static const uint8_t EOF_BLOCK[28] = {
+      0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
+      0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00};
+  size_t pos = 0;
+  for (auto& r : results) {
+    if (pos + r.size() > out_cap) return -2;
+    memcpy(out + pos, r.data(), r.size());
+    pos += r.size();
+  }
+  if (append_eof) {
+    if (pos + 28 > out_cap) return -2;
+    memcpy(out + pos, EOF_BLOCK, 28);
+    pos += 28;
+  }
+  return (long long)pos;
+}
+
+// ---------------------------------------------------------------------------
+// SAM tokenizer: one pass over alignment lines, producing fixed columns
+// and field byte ranges for ragged columns (reference parser semantics:
+// sam/sam-files.go:386-410).
+// ---------------------------------------------------------------------------
+
+// For n lines, fills:
+//   flag,pos,mapq,pnext,tlen      int32[n] (parsed in C)
+//   starts/ends for qname(0), rname(1), cigar(2), rnext(3), seq(4),
+//   qual(5), tags(6): int64[n] each (offsets into data; tags may be
+//   empty with start==end)
+// Returns number of lines parsed, or -1-errpos on parse error.
+long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long max_lines,
+                       int32_t* flag, int32_t* pos, int32_t* mapq, int32_t* pnext,
+                       int32_t* tlen,
+                       int64_t* f_start, int64_t* f_end /* [7][max_lines] flat */) {
+  size_t p = start;
+  long long line = 0;
+  while (p < n && line < max_lines) {
+    // field 0: qname
+    size_t fs[12], fe[12];
+    int field = 0;
+    fs[0] = p;
+    while (p < n) {
+      uint8_t c = data[p];
+      if (c == '\t') {
+        fe[field] = p;
+        field++;
+        p++;
+        if (field < 11) {
+          fs[field] = p;
+          continue;
+        } else {
+          fs[11] = p;  // tags start
+          // scan to end of line
+          while (p < n && data[p] != '\n') p++;
+          fe[11] = p;
+          break;
+        }
+      } else if (c == '\n') {
+        fe[field] = p;
+        break;
+      }
+      p++;
+    }
+    if (field < 10) return -1 - (long long)p;  // missing tabulator
+    size_t tags_s, tags_e;
+    if (field >= 11) {
+      tags_s = fs[11];
+      tags_e = fe[11];
+    } else {
+      // exactly 11 fields, no tags; last field ended at newline
+      tags_s = tags_e = fe[10];
+    }
+    // integer parses
+    auto parse_i32 = [&](size_t s, size_t e, int32_t* out_v) -> bool {
+      int64_t v = 0;
+      bool neg = false;
+      size_t i = s;
+      if (i < e && (data[i] == '-' || data[i] == '+')) { neg = data[i] == '-'; i++; }
+      if (i == e) return false;
+      for (; i < e; i++) {
+        if (data[i] < '0' || data[i] > '9') return false;
+        v = v * 10 + (data[i] - '0');
+        if (v > 4294967295LL) return false;
+      }
+      *out_v = (int32_t)(neg ? -v : v);
+      return true;
+    };
+    if (!parse_i32(fs[1], fe[1], flag + line)) return -1 - (long long)fs[1];
+    if (!parse_i32(fs[3], fe[3], pos + line)) return -1 - (long long)fs[3];
+    if (!parse_i32(fs[4], fe[4], mapq + line)) return -1 - (long long)fs[4];
+    if (!parse_i32(fs[7], fe[7], pnext + line)) return -1 - (long long)fs[7];
+    if (!parse_i32(fs[8], fe[8], tlen + line)) return -1 - (long long)fs[8];
+    // ragged ranges: qname, rname, cigar, rnext, seq, qual, tags
+    const int src_idx[7] = {0, 2, 5, 6, 9, 10, -1};
+    for (int k = 0; k < 6; k++) {
+      f_start[k * max_lines + line] = (int64_t)fs[src_idx[k]];
+      f_end[k * max_lines + line] = (int64_t)fe[src_idx[k]];
+    }
+    f_start[6 * max_lines + line] = (int64_t)tags_s;
+    f_end[6 * max_lines + line] = (int64_t)tags_e;
+    line++;
+    // advance past newline
+    while (p < n && data[p] != '\n') p++;
+    if (p < n) p++;
+  }
+  return line;
+}
+
+// Count alignment lines from `start`.
+long long sam_count_lines(const uint8_t* data, size_t n, size_t start) {
+  long long count = 0;
+  for (size_t p = start; p < n; p++)
+    if (data[p] == '\n') count++;
+  if (n > start && data[n - 1] != '\n') count++;
+  return count;
+}
+
+}  // extern "C"
