@@ -78,11 +78,42 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     reads_per_sec = n_reads / dt
+
+    # PairHMM GCUPS (the roofline metric from BASELINE): realistic WES
+    # shapes — 151bp reads x ~400bp haplotypes, 64 reads x 8 haplotypes
+    from elprep_tpu.ops.pairhmm import _pairhmm_f32_scan, F32_INITIAL_POW
+
+    rng = np.random.RandomState(1)
+    n_r, n_h, lr, lh = 64, 8, 152, 400
+    B = n_r * n_h
+    nn = lr + 1
+    P_off = lr + 2
+    x = np.zeros((B, nn), np.int16)
+    x[:, 1:] = rng.randint(65, 69, (B, lr))
+    hbp = np.zeros((B, P_off + lh + P_off), np.int16)
+    hbp[:, P_off:P_off + lh] = rng.randint(65, 69, (B, lh))
+    mp = np.full((B, nn), 0.999, np.float32)
+    nmp = np.full((B, nn), 0.0003, np.float32)
+    m2m = np.full((B, nn), 0.9998, np.float32)
+    m2i = np.full((B, nn), 1e-4, np.float32)
+    rl = np.full(B, lr, np.int32)
+    hl = np.full(B, lh, np.int32)
+    init = np.full(B, np.float32(2.0 ** F32_INITIAL_POW / lh), np.float32)
+    hmm_args = [jnp.asarray(a) for a in (x, hbp, mp, nmp, m2m, m2i, rl, hl, init)]
+    jax.block_until_ready(_pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        hmm_out = _pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh)
+    jax.block_until_ready(hmm_out)
+    hmm_dt = (time.perf_counter() - t0) / iters
+    gcups = B * lr * lh / hmm_dt / 1e9
+
     print(json.dumps({
         "metric": "pipeline_device_reads_per_sec",
         "value": round(reads_per_sec, 1),
         "unit": "reads/sec/chip",
         "vs_baseline": round(reads_per_sec / REFERENCE_READS_PER_SEC, 3),
+        "pairhmm_gcups": round(gcups, 3),
     }))
 
 

@@ -172,9 +172,18 @@ def filter_command(argv: List[str]) -> int:
         for c in list(bed_regions):
             bed_regions[c] = iv.flatten(iv.sort_by_start(bed_regions[c]))
 
-    # Phase 1: read into memory + filters + sort
+    # Phase 1: read into memory + filters + sort. A directory input
+    # merges all contained files (reference: sam/merge-inputs.go).
     def read_phase():
-        hdr, batch = samio.read_sam_file(args.input)
+        if os.path.isdir(args.input):
+            from .io.merge_inputs import read_and_merge_files
+
+            files = sorted(
+                os.path.join(args.input, f) for f in os.listdir(args.input)
+                if not f.startswith("."))
+            hdr, batch = read_and_merge_files(files)
+        else:
+            hdr, batch = samio.read_sam_file(args.input)
         return run_pipeline(SamData(hdr, batch), filters1, sorting_order)
 
     data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase)
