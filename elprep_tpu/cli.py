@@ -172,6 +172,50 @@ def filter_command(argv: List[str]) -> int:
         for c in list(bed_regions):
             bed_regions[c] = iv.flatten(iv.sort_by_start(bed_regions[c]))
 
+    # Streaming fast path (reference: runBestPracticesPipeline,
+    # cmd/filter.go:328-341): no sort/dedup/BQSR/HC -> constant memory
+    streaming_ok = (
+        sorting_order in (SortingOrder.KEEP, SortingOrder.UNKNOWN, SortingOrder.UNSORTED)
+        and not args.mark_duplicates and not want_bqsr and not args.bqsr_apply
+        and not want_hc and not args.spread_file
+        and not os.path.isdir(args.input)
+        and args.output not in ("/dev/null", "/dev/zero")
+    )
+    if streaming_ok:
+        def streaming_phase():
+            from .core.pipeline import apply_filters, compose_filters, effective_sorting_order
+
+            fmt = args.output_type or ("bam" if args.output.endswith(".bam") else "sam")
+            all_filters = filters1 + filters2
+            first = True
+            bfs = None
+            if fmt == "sam":
+                with open(args.output, "wb") as f:
+                    for hdr, batch in samio.iter_sam_chunks(args.input):
+                        if first:
+                            bfs = compose_filters(hdr, all_filters)
+                            effective_sorting_order(sorting_order, hdr, hdr.hd_so())
+                            f.write(samio.format_sam_header(hdr))
+                            first = False
+                        f.write(samio.format_alignments(apply_filters(batch, bfs)))
+            else:
+                from .core.batch import ReadBatch
+
+                header_out = None
+                batches_out = []
+                for hdr, batch in samio.iter_sam_chunks(args.input):
+                    if first:
+                        bfs = compose_filters(hdr, all_filters)
+                        effective_sorting_order(sorting_order, hdr, hdr.hd_so())
+                        header_out = hdr
+                        first = False
+                    batches_out.append(apply_filters(batch, bfs))
+                samio.write_sam_file(args.output, header_out,
+                                     ReadBatch.concat(batches_out), fmt=fmt)
+
+        _timed(args.timed, "Running pipeline.", streaming_phase)
+        return 0
+
     # Phase 1: read into memory + filters + sort. A directory input
     # merges all contained files (reference: sam/merge-inputs.go).
     def read_phase():

@@ -401,6 +401,52 @@ def format_sam(hdr: Header, batch: ReadBatch) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Streaming chunk reader (reference's constant-memory fast path,
+# sam/filter-pipeline.go:282-296 + README.md:130-132)
+# ---------------------------------------------------------------------------
+
+
+def iter_sam_chunks(path: str, chunk_bytes: int = 64 << 20):
+    """Yield (header, batch) pairs streaming a SAM text file in chunks;
+    header is parsed once and repeated with every chunk. BAM/gzip inputs
+    fall back to one whole-file chunk."""
+    with open(path, "rb") as f:
+        head = f.read(1)
+        f.seek(0)
+        if head == b"\x1f":  # BAM/BGZF: in-memory fallback
+            hdr, batch = read_sam_file(path)
+            yield hdr, batch
+            return
+        # read header lines
+        header_buf = bytearray()
+        carry = b""
+        while True:
+            pos = f.tell()
+            line = f.readline()
+            if not line:
+                break
+            if line.startswith(b"@"):
+                header_buf += line
+            else:
+                f.seek(pos)
+                break
+        hdr, _ = parse_sam_header(bytes(header_buf))
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                if carry:
+                    yield hdr, parse_alignments(carry)
+                break
+            chunk = carry + chunk
+            last_nl = chunk.rfind(b"\n")
+            if last_nl < 0:
+                carry = chunk
+                continue
+            carry = chunk[last_nl + 1 :]
+            yield hdr, parse_alignments(chunk[: last_nl + 1])
+
+
+# ---------------------------------------------------------------------------
 # File-level API with content sniffing (reference: sam/aln-files.go:144-251)
 # ---------------------------------------------------------------------------
 

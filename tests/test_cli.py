@@ -202,3 +202,26 @@ def test_vcf_to_elsites(workdir, tmp_path):
 
     sites = iv.from_elsites_file(str(tmp_path / "x.elsites"))
     assert "chr1" in sites and len(sites["chr1"]) == 2
+
+
+def test_streaming_fast_path(workdir, tmp_path):
+    """No sort/dedup/bqsr/hc -> the streaming path runs and matches the
+    in-memory result (reference: cmd/filter.go:328-341)."""
+    wd = workdir
+    out_stream = tmp_path / "stream.sam"
+    rc = cli.main(["filter", str(wd / "in.sam"), str(out_stream),
+                   "--filter-mapping-quality", "30"])
+    assert rc == 0
+    out_mem = tmp_path / "mem.sam"
+    rc = cli.main(["filter", str(wd / "in.sam"), str(out_mem),
+                   "--filter-mapping-quality", "30", "--sorting-order", "keep",
+                   "--mark-duplicates"])  # force in-memory path
+    assert rc == 0
+    s1 = open(out_stream, "rb").read()
+    s2 = open(out_mem, "rb").read()
+    # same reads (in-memory adds dup flags; compare qnames + positions)
+    b1 = [l.split(b"\t")[:4] for l in s1.splitlines() if not l.startswith(b"@")]
+    b2 = [l.split(b"\t")[:4] for l in s2.splitlines() if not l.startswith(b"@")]
+    def strip_flag(rows):
+        return [(r[0], r[2], r[3]) for r in rows]
+    assert strip_flag(b1) == strip_flag(b2)
