@@ -20,14 +20,49 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
-def _timed(enabled: bool, msg: str, fn):
-    if not enabled:
-        return fn()
-    t0 = time.time()
-    print(msg, file=sys.stderr)
-    out = fn()
-    print(f"  done in {time.time() - t0:.2f}s", file=sys.stderr)
+_PHASE = [0]
+
+
+def _timed(enabled: bool, msg: str, fn, profile: str = ""):
+    """(reference: timedRun, cmd/util.go:262-281)"""
+    _PHASE[0] += 1
+    if profile:
+        import cProfile
+
+        pr = cProfile.Profile()
+        pr.enable()
+    if enabled:
+        t0 = time.time()
+        print(msg, file=sys.stderr)
+        out = fn()
+        print(f"  done in {time.time() - t0:.2f}s", file=sys.stderr)
+    else:
+        out = fn()
+    if profile:
+        pr.disable()
+        pr.dump_stats(f"{profile}{_PHASE[0]}.prof")
     return out
+
+
+def _setup_log(log_path: str, command_line: str) -> None:
+    """Tee stderr into a timestamped log file
+    (reference: cmd/util.go:228-260)."""
+    if not log_path:
+        return
+    os.makedirs(log_path, exist_ok=True)
+    name = os.path.join(log_path, "elprep_tpu-%s.log" % time.strftime("%Y-%m-%d-%H-%M-%S"))
+    class _Tee:
+        def __init__(self, f1, f2):
+            self.f1, self.f2 = f1, f2
+        def write(self, s):
+            self.f1.write(s)
+            self.f2.write(s)
+        def flush(self):
+            self.f1.flush()
+            self.f2.flush()
+    fh = open(name, "a")
+    fh.write(command_line + "\n")
+    sys.stderr = _Tee(sys.stderr, fh)
 
 
 def _build_filter_parser() -> argparse.ArgumentParser:
@@ -73,6 +108,11 @@ def _build_filter_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-seed-file", default="")
     p.add_argument("--nr-of-threads", type=int, default=0)
     p.add_argument("--timed", action="store_true")
+    p.add_argument("--profile", default="",
+                   help="write a cProfile dump per phase to PREFIX<phase>.prof")
+    p.add_argument("--log-path", default="")
+    p.add_argument("--activity-profile", default="")
+    p.add_argument("--assembly-regions", default="")
     p.add_argument("--mark-duplicates-deterministic", action="store_true")  # compat no-op
     p.add_argument("--host-pairhmm", action="store_true",
                    help="use the f64 host PairHMM instead of the device kernel")
@@ -230,7 +270,8 @@ def filter_command(argv: List[str]) -> int:
             hdr, batch = samio.read_sam_file(args.input)
         return run_pipeline(SamData(hdr, batch), filters1, sorting_order)
 
-    data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase)
+    _setup_log(args.log_path, command_line)
+    data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase, args.profile)
 
     # Phase 2: optical duplicates
     if args.mark_optical_duplicates or args.mark_optical_duplicates_intermediate:
@@ -245,7 +286,7 @@ def filter_command(argv: List[str]) -> int:
                 foptical.save_metrics_intermediate(
                     args.mark_optical_duplicates_intermediate, ctrs)
 
-        _timed(args.timed, "Marking optical duplicates.", optical_phase)
+        _timed(args.timed, "Marking optical duplicates.", optical_phase, args.profile)
 
     post_sort = sorting_order
     if post_sort != SortingOrder.UNSORTED:
@@ -267,7 +308,8 @@ def filter_command(argv: List[str]) -> int:
                 data, [fsimple.remove_non_overlapping_reads(bed_obj)],
                 post_sort).batch
         tables = _timed(args.timed, "Base recalibration.",
-                        lambda: recal.recalibrate(data.header, data.batch, args.max_cycle))
+                        lambda: recal.recalibrate(data.header, data.batch, args.max_cycle),
+                        args.profile)
         tables.finalize()
         os.makedirs(os.path.dirname(os.path.abspath(recal_file)) or ".", exist_ok=True)
         bqsr_report.print_bqsr_tables(tables, recal_file)
@@ -281,7 +323,7 @@ def filter_command(argv: List[str]) -> int:
                                              args.max_cycle)],
                     post_sort)
 
-            data = _timed(args.timed, "Apply BQSR.", apply_phase)
+            data = _timed(args.timed, "Apply BQSR.", apply_phase, args.profile)
     elif args.bqsr_apply:
         tables = bqsr_report.load_and_combine_bqsr_tables(args.bqsr_apply)
         tables.finalize()
@@ -303,12 +345,12 @@ def filter_command(argv: List[str]) -> int:
             samio.write_sam_file(args.output, out.header, out.batch, fmt=fmt)
             return out
 
-        data = _timed(args.timed, "Write to file.", write_phase)
+        data = _timed(args.timed, "Write to file.", write_phase, args.profile)
 
     if want_hc:
         _timed(args.timed, "Calling variants.",
                lambda: _run_haplotypecaller(args, data, mapped_fasta, bed_regions,
-                                            command_line, post_sort))
+                                            command_line, post_sort), args.profile)
     return 0
 
 
@@ -389,11 +431,20 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
     if bed_regions is not None:
         bed_spans = {c: [(int(s), int(e)) for s, e in ivals]
                      for c, ivals in bed_regions.items()}
-    vcf_header, variants = hcdriver.call_variants(
-        params, data.header, reads_by_contig, get_reference,
-        sample_name=sample_box[0], bed_regions=bed_spans,
-        use_device_pairhmm=not args.host_pairhmm,
-    )
+    ap = open(args.activity_profile, "w") if args.activity_profile else None
+    ar = open(args.assembly_regions, "w") if args.assembly_regions else None
+    try:
+        vcf_header, variants = hcdriver.call_variants(
+            params, data.header, reads_by_contig, get_reference,
+            sample_name=sample_box[0], bed_regions=bed_spans,
+            use_device_pairhmm=not args.host_pairhmm,
+            activity_profile=ap, assembly_regions_out=ar,
+        )
+    finally:
+        if ap:
+            ap.close()
+        if ar:
+            ar.close()
     os.makedirs(os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".",
                 exist_ok=True)
     vcfmod.write_vcf_file(args.haplotypecaller, vcf_header, variants)

@@ -632,7 +632,8 @@ class AssemblyRegion:
 
 def compute_assembly_regions(contig: str, reference: bytes, region_start: int,
                              region_stop: int, contig_length: int,
-                             states: np.ndarray, params: HCParams
+                             states: np.ndarray, params: HCParams,
+                             keep_states: bool = False,
                              ) -> List[AssemblyRegion]:
     """(reference: computeAssemblyRegions, haplotypecaller.go:328-378)"""
     regions: List[AssemblyRegion] = []
@@ -673,7 +674,8 @@ def compute_assembly_regions(contig: str, reference: bytes, region_start: int,
             extension=params.padding,
             contig_length=contig_length,
             is_active=is_active_region,
-            supporting_states=None,
+            supporting_states=(states[start - region_start : end_of_active - region_start].copy()
+                               if keep_states else None),
         ))
         start = end_of_active
     return regions

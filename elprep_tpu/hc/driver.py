@@ -58,6 +58,25 @@ from .refconf import (
 )
 
 
+def _print_assembly_regions(region_file, activity_file, regions) -> None:
+    """IGV-format traces (reference: printAssemblyRegions,
+    haploutils.go:456-479)."""
+    for region in regions:
+        if region_file is not None:
+            region_file.write("%s\t%d\t%d\tend-marker\t0.00000\n"
+                              % (region.contig, region.start - 1, region.start))
+            activity = 1.0 if region.is_active else -1.0
+            region_file.write("%s\t%d\t%d\tsize=%d\t%.5f\n"
+                              % (region.contig, region.start - 1, region.end,
+                                 region.end - region.start + 1, activity))
+        if activity_file is not None and region.supporting_states is not None:
+            for index, state in enumerate(region.supporting_states):
+                activity_file.write("%s\t%d\t%d\tstate\t%.5f\n"
+                                    % (region.contig, region.start - 1 + index,
+                                       region.start + index, min(state, 1.0)))
+            region.supporting_states = None
+
+
 @dataclass
 class TrimmingResult:
     needs_trimming: bool = False
@@ -450,6 +469,8 @@ def call_variants(
     bed_regions: Optional[Dict[str, List[Tuple[int, int]]]] = None,
     use_device_pairhmm: bool = True,
     now: Optional[str] = None,
+    activity_profile=None,
+    assembly_regions_out=None,
 ) -> Tuple[VcfHeader, List[Variant]]:
     """Run the full HaplotypeCaller over coordinate-sorted reads.
 
@@ -457,6 +478,12 @@ def call_variants(
     ``get_reference(contig) -> bytes`` supplies the (upper/N-normalized)
     reference sequence. Returns (vcf header, variants)."""
     vcf_header = write_vcf_header(params, sam_header, sample_name, get_reference, now)
+    if assembly_regions_out is not None:
+        assembly_regions_out.write("#track graphType=line\n")
+        assembly_regions_out.write("Chromosome\tStart\tEnd\tFeature\tAssemblyRegions\n")
+    if activity_profile is not None:
+        activity_profile.write("#track graphType=line\n")
+        activity_profile.write("Chromosome\tStart\tEnd\tFeature\tActivityProfile\n")
     gvcf = params.confidence_mode == "GVCF"
     combiner = VariantCombiner(params, get_reference) if gvcf else None
     out_variants: List[Variant] = []
@@ -487,7 +514,10 @@ def call_variants(
                 region_reads, reference, start + 1, stop + 1, params)
             states = band_pass_states(is_active, hq_mean, params)
             regions = compute_assembly_regions(
-                contig, reference, start, stop, contig_length, states, params)
+                contig, reference, start, stop, contig_length, states, params,
+                keep_states=activity_profile is not None)
+            if assembly_regions_out is not None or activity_profile is not None:
+                _print_assembly_regions(assembly_regions_out, activity_profile, regions)
             for region in regions:
                 region.reads, _ = aln_slice(region_reads, region.padded_start(),
                                             region.padded_end(), max_ref_len)
