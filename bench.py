@@ -16,6 +16,20 @@ import time
 
 import numpy as np
 
+
+def _sync(out) -> float:
+    """Force real completion: block_until_ready does not synchronize
+    through the axon relay, so pull one device-reduced scalar to host."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel") and l.size]
+    acc = None
+    for l in leaves:
+        v = l.ravel()[0].astype(jnp.float32)
+        acc = v if acc is None else acc + v
+    return float(acc) if acc is not None else 0.0
+
 # elPrep 5 WES 5-step: ~100M-read exome in ~75 min on a 36-core node
 # (PLoS ONE 2021 paper, BASELINE.md) → ~22k reads/sec whole-node.
 REFERENCE_READS_PER_SEC = 22_000.0
@@ -23,6 +37,16 @@ REFERENCE_READS_PER_SEC = 22_000.0
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: first run pays the axon remote
+    # compile, subsequent driver runs start hot
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_columns
@@ -69,12 +93,12 @@ def main() -> None:
         base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
         skip, op_class, op_len, ref_classes)]
 
-    jax.block_until_ready(step(*args))  # compile + warm
+    _sync(step(*args))  # compile + warm
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
 
     reads_per_sec = n_reads / dt
@@ -100,11 +124,11 @@ def main() -> None:
     hl = np.full(B, lh, np.int32)
     init = np.full(B, np.float32(2.0 ** F32_INITIAL_POW / lh), np.float32)
     hmm_args = [jnp.asarray(a) for a in (x, hbp, mp, nmp, m2m, m2i, rl, hl, init)]
-    jax.block_until_ready(_pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh))
+    _sync(_pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh))
     t0 = time.perf_counter()
     for _ in range(iters):
         hmm_out = _pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh)
-    jax.block_until_ready(hmm_out)
+    _sync(hmm_out)
     hmm_dt = (time.perf_counter() - t0) / iters
     gcups = B * lr * lh / hmm_dt / 1e9
 

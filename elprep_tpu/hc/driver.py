@@ -508,10 +508,21 @@ def call_variants(
             padded_hi = min(contig_length, stop + params.padding)
             region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi, max_ref_len) \
                 if bed_regions is not None else (contig_reads, 0)
-            # activity over [start+1, stop+1) in 1-based space
-            states = np.zeros(stop - start, np.float64)
-            is_active, hq_mean = compute_activity(
-                region_reads, reference, start + 1, stop + 1, params)
+            # activity over [start+1, stop+1) in 1-based space, chunked
+            # to bound the flat pileup expansion (the reference uses
+            # 512-position chunks, haplotypecaller.go:826-852)
+            span = stop - start
+            is_active = np.zeros(span, np.float64)
+            hq_mean = np.zeros(span, np.float64)
+            CHUNK = 1 << 18
+            for cs in range(start, stop, CHUNK):
+                ce = min(cs + CHUNK, stop)
+                chunk_reads, _ = aln_slice(region_reads, cs + 1 - max_ref_len,
+                                           ce + 1, max_ref_len)
+                ia, hm = compute_activity(chunk_reads, reference, cs + 1, ce + 1,
+                                          params)
+                is_active[cs - start : ce - start] = ia
+                hq_mean[cs - start : ce - start] = hm
             states = band_pass_states(is_active, hq_mean, params)
             regions = compute_assembly_regions(
                 contig, reference, start, stop, contig_length, states, params,
