@@ -94,7 +94,7 @@ def main() -> None:
         skip, op_class, op_len, ref_classes)]
 
     _sync(step(*args))  # compile + warm
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
@@ -103,31 +103,31 @@ def main() -> None:
 
     reads_per_sec = n_reads / dt
 
-    # PairHMM GCUPS (the roofline metric from BASELINE): realistic WES
-    # shapes — 151bp reads x ~400bp haplotypes, 64 reads x 8 haplotypes
-    from elprep_tpu.ops.pairhmm import _pairhmm_f32_scan, F32_INITIAL_POW
+    # PairHMM GCUPS (the roofline metric from BASELINE): Pallas kernel,
+    # realistic WES shapes — 152bp reads x 400bp haplotypes, 16K pairs
+    from elprep_tpu.ops.pairhmm import F32_INITIAL_POW
+    from elprep_tpu.ops.pairhmm_pallas import pairhmm_pallas
 
     rng = np.random.RandomState(1)
-    n_r, n_h, lr, lh = 64, 8, 152, 400
-    B = n_r * n_h
-    nn = lr + 1
-    P_off = lr + 2
-    x = np.zeros((B, nn), np.int16)
-    x[:, 1:] = rng.randint(65, 69, (B, lr))
-    hbp = np.zeros((B, P_off + lh + P_off), np.int16)
-    hbp[:, P_off:P_off + lh] = rng.randint(65, 69, (B, lh))
-    mp = np.full((B, nn), 0.999, np.float32)
-    nmp = np.full((B, nn), 0.0003, np.float32)
-    m2m = np.full((B, nn), 0.9998, np.float32)
-    m2i = np.full((B, nn), 1e-4, np.float32)
-    rl = np.full(B, lr, np.int32)
-    hl = np.full(B, lh, np.int32)
-    init = np.full(B, np.float32(2.0 ** F32_INITIAL_POW / lh), np.float32)
+    lr, lh = 152, 400
+    n_pad = 160
+    pad_off = n_pad + 1
+    B = 16384
+    x = rng.randint(65, 69, (n_pad, B)).astype(np.float32)
+    hb_rows = ((pad_off + lh + pad_off + 7) // 8) * 8
+    hbp = rng.randint(65, 69, (hb_rows, B)).astype(np.float32)
+    mp = np.full((n_pad, B), 0.999, np.float32)
+    nmp = np.full((n_pad, B), 0.0003, np.float32)
+    m2m = np.full((n_pad, B), 0.9998, np.float32)
+    m2i = np.full((n_pad, B), 1e-4, np.float32)
+    rl = np.full((1, B), lr, np.int32)
+    hl = np.full((1, B), lh, np.int32)
+    init = np.full((1, B), np.float32(2.0 ** F32_INITIAL_POW / lh), np.float32)
     hmm_args = [jnp.asarray(a) for a in (x, hbp, mp, nmp, m2m, m2i, rl, hl, init)]
-    _sync(_pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh))
+    _sync(pairhmm_pallas(*hmm_args, n_pad=n_pad, lh_pad=lh, pad_off=pad_off))
     t0 = time.perf_counter()
     for _ in range(iters):
-        hmm_out = _pairhmm_f32_scan(*hmm_args, lr_pad=lr, lh_pad=lh)
+        hmm_out = pairhmm_pallas(*hmm_args, n_pad=n_pad, lh_pad=lh, pad_off=pad_off)
     _sync(hmm_out)
     hmm_dt = (time.perf_counter() - t0) / iters
     gcups = B * lr * lh / hmm_dt / 1e9

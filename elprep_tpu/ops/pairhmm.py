@@ -299,8 +299,16 @@ def pairhmm_f32_batch(
     haps: Sequence[bytes],
 ) -> np.ndarray:
     """log10 likelihoods [n_reads, n_haps]: f32 TPU wavefront with f64
-    host rescue for underflowing pairs."""
+    host rescue for underflowing pairs. On a real TPU the Pallas kernel
+    (VMEM-resident state, one dispatch) handles the batch; elsewhere the
+    lax.scan formulation runs."""
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        from .pairhmm_pallas import pairhmm_pallas_batch
+
+        return pairhmm_pallas_batch(reads, haps)
 
     n_reads, n_haps = len(reads), len(haps)
     if n_reads == 0 or n_haps == 0:

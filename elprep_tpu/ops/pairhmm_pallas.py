@@ -1,0 +1,207 @@
+"""Pallas TPU kernel for the PairHMM wavefront.
+
+The jnp version (ops/pairhmm.py) runs the anti-diagonal scan as ~500
+XLA ops with state round-tripping through HBM between steps. This
+kernel keeps the six diagonal state vectors resident in VMEM for the
+whole scan: one `pallas_call` per 128-pair tile, a `fori_loop` over
+diagonals inside, VPU ops of shape [n_pad, 128] per step.
+
+Layout: pairs on lanes (last dim, 128), diagonal index i on sublanes.
+The per-pair final-row accumulation uses a masked reduction over
+sublanes instead of a per-lane gather (TPUs hate cross-lane gathers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..hc import tables
+
+LANE = 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
+            rl_ref, hl_ref, init_ref, acc_ref,
+            md1, md2, id1, id2, dd1, dd2,
+            *, n_pad: int, lh_pad: int, pad_off: int, n_steps: int):
+    i2m = jnp.float32(tables.INDEL_TO_MATCH)
+    i2i = jnp.float32(tables.INDEL_TO_INDEL)
+    ord_n = jnp.float32(ord("N"))
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (n_pad, LANE), 0)
+    x = x_ref[:]            # [n_pad, LANE] f32 (read bases as floats)
+    mp = mp_ref[:]
+    nmp = nmp_ref[:]
+    m2m = m2m_ref[:]
+    m2i = m2i_ref[:]
+    rl = rl_ref[:]          # [1, LANE] int32
+    hl = hl_ref[:]
+    init = init_ref[:]      # [1, LANE] f32
+
+    md1[:] = jnp.zeros((n_pad, LANE), jnp.float32)
+    md2[:] = jnp.zeros((n_pad, LANE), jnp.float32)
+    id1[:] = jnp.zeros((n_pad, LANE), jnp.float32)
+    id2[:] = jnp.zeros((n_pad, LANE), jnp.float32)
+    dd2[:] = jnp.zeros((n_pad, LANE), jnp.float32)
+    # diagonal d=0: D[0,0] = initial
+    dd1[:] = jnp.where(iota_i == 0, init, 0.0)
+    acc_ref[:] = jnp.zeros((1, LANE), jnp.float32)
+
+    def shift1(a):
+        rolled = pltpu.roll(a, 1, axis=0)
+        return jnp.where(iota_i == 0, 0.0, rolled)
+
+    def step(d, _):
+        hb = hbp_ref[pl.ds(pad_off + lh_pad - d, n_pad), :]  # [n_pad, LANE]
+        is_match = (x == hb) | (x == ord_n) | (hb == ord_n)
+        prior = jnp.where(is_match, mp, nmp)
+        Md1 = md1[:]
+        Id1 = id1[:]
+        Dd1 = dd1[:]
+        Md2 = md2[:]
+        Id2 = id2[:]
+        Dd2 = dd2[:]
+        M_cur = prior * (shift1(Md2) * m2m + (shift1(Id2) + shift1(Dd2)) * i2m)
+        I_cur = shift1(Md1) * m2i + shift1(Id1) * i2i
+        D_cur = Md1 * m2i + Dd1 * i2i
+        valid = iota_i <= d - 1
+        M_cur = jnp.where(valid, M_cur, 0.0)
+        I_cur = jnp.where(valid, I_cur, 0.0)
+        D_cur = jnp.where(valid, D_cur, 0.0)
+        row0 = iota_i == 0
+        M_cur = jnp.where(row0, 0.0, M_cur)
+        I_cur = jnp.where(row0, 0.0, I_cur)
+        D_cur = jnp.where(row0, init, D_cur)
+        # final-row accumulation via masked sublane reduction
+        j_final = d - rl  # [1, LANE]
+        fin_mask = (iota_i == rl) & (j_final >= 1) & (j_final <= hl)
+        add = jnp.sum(jnp.where(fin_mask, M_cur + I_cur, 0.0), axis=0,
+                      keepdims=True)
+        acc_ref[:] = acc_ref[:] + add
+        md2[:] = Md1
+        id2[:] = Id1
+        dd2[:] = Dd1
+        md1[:] = M_cur
+        id1[:] = I_cur
+        dd1[:] = D_cur
+        return 0
+
+    jax.lax.fori_loop(1, n_steps + 1, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "lh_pad", "pad_off"))
+def pairhmm_pallas(x, hbp, mp, nmp, m2m, m2i, rl, hl, init,
+                   n_pad: int, lh_pad: int, pad_off: int):
+    """Batched PairHMM forward accumulation.
+
+    Shapes (B_pad a multiple of 128): x/mp/nmp/m2m/m2i [n_pad, B_pad] f32;
+    hbp [pad_off+lh_pad+pad_off, B_pad] f32; rl/hl [1, B_pad] i32;
+    init [1, B_pad] f32. Returns acc [1, B_pad] f32."""
+    B_pad = x.shape[1]
+    n_steps = (n_pad - 1) + lh_pad
+    grid = (B_pad // LANE,)
+
+    def tile(i):
+        return (0, i)
+
+    kern = functools.partial(_kernel, n_pad=n_pad, lh_pad=lh_pad,
+                             pad_off=pad_off, n_steps=n_steps)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, LANE), tile, memory_space=pltpu.VMEM),      # x
+            pl.BlockSpec((hbp.shape[0], LANE), tile, memory_space=pltpu.VMEM),  # hbp
+            pl.BlockSpec((n_pad, LANE), tile, memory_space=pltpu.VMEM),      # mp
+            pl.BlockSpec((n_pad, LANE), tile, memory_space=pltpu.VMEM),      # nmp
+            pl.BlockSpec((n_pad, LANE), tile, memory_space=pltpu.VMEM),      # m2m
+            pl.BlockSpec((n_pad, LANE), tile, memory_space=pltpu.VMEM),      # m2i
+            pl.BlockSpec((1, LANE), tile, memory_space=pltpu.VMEM),          # rl
+            pl.BlockSpec((1, LANE), tile, memory_space=pltpu.VMEM),          # hl
+            pl.BlockSpec((1, LANE), tile, memory_space=pltpu.VMEM),          # init
+        ],
+        out_specs=pl.BlockSpec((1, LANE), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_pad, LANE), jnp.float32) for _ in range(6)],
+        interpret=interpret,
+    )(x, hbp, mp, nmp, m2m, m2i, rl, hl, init)
+
+
+def pairhmm_pallas_batch(reads: Sequence[Tuple[bytes, np.ndarray, int]],
+                         haps: Sequence[bytes]) -> np.ndarray:
+    """Drop-in equivalent of ops.pairhmm.pairhmm_f32_batch using the
+    Pallas kernel (log10 likelihoods [n_reads, n_haps], f64 rescue)."""
+    from . import pairhmm as ph
+
+    n_reads, n_haps = len(reads), len(haps)
+    if n_reads == 0 or n_haps == 0:
+        return np.zeros((n_reads, n_haps), np.float64)
+    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 8)
+    lh_pad = _round_up(max(len(h) for h in haps), 8)
+    n_pad = _round_up(lr_pad + 1, 8)
+    pad_off = n_pad + 1
+    B = n_reads * n_haps
+    B_pad = _round_up(B, LANE)
+
+    x = np.zeros((n_pad, B_pad), np.float32)
+    mp = np.zeros((n_pad, B_pad), np.float32)
+    nmp = np.zeros((n_pad, B_pad), np.float32)
+    m2m = np.zeros((n_pad, B_pad), np.float32)
+    m2i = np.zeros((n_pad, B_pad), np.float32)
+    hb_rows = _round_up(pad_off + lh_pad + pad_off, 8)
+    hbp = np.zeros((hb_rows, B_pad), np.float32)
+    rl = np.ones((1, B_pad), np.int32)
+    hl = np.ones((1, B_pad), np.int32)
+    init = np.ones((1, B_pad), np.float32)
+
+    per_read = []
+    for seq, qual, mapq in reads:
+        m2m_a, m2i_a = ph.match_probs_for_read(seq)
+        mq = ph.modified_qualities(qual, mapq)
+        ep = ph.tables.QUAL_TO_ERROR_PROB[mq]
+        per_read.append((np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0,
+                         m2m_a, m2i_a))
+    for r in range(n_reads):
+        seq_u8, mpa, nmpa, m2m_a, m2i_a = per_read[r]
+        lr = len(seq_u8)
+        for h in range(n_haps):
+            b = r * n_haps + h
+            hap = np.frombuffer(haps[h], np.uint8)
+            lh = len(hap)
+            x[1 : lr + 1, b] = seq_u8
+            mp[1 : lr + 1, b] = mpa
+            nmp[1 : lr + 1, b] = nmpa
+            m2m[1 : lr + 1, b] = m2m_a
+            m2i[1 : lr + 1, b] = m2i_a
+            hbp[pad_off + (lh_pad - lh) : pad_off + lh_pad, b] = hap[::-1]
+            rl[0, b] = lr
+            hl[0, b] = lh
+            init[0, b] = np.float32(2.0 ** ph.F32_INITIAL_POW / lh)
+
+    acc = np.asarray(pairhmm_pallas(
+        jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mp), jnp.asarray(nmp),
+        jnp.asarray(m2m), jnp.asarray(m2i), jnp.asarray(rl), jnp.asarray(hl),
+        jnp.asarray(init), n_pad=n_pad, lh_pad=lh_pad, pad_off=pad_off,
+    ))[0]
+    log10_init = ph.F32_INITIAL_POW * np.log10(2.0)
+    with np.errstate(divide="ignore"):
+        out = np.log10(acc[:B].astype(np.float64)) - log10_init
+    bad = ~np.isfinite(out) | (out < ph.F32_RESCUE_LOG10)
+    for b in np.flatnonzero(bad):
+        r, h = divmod(int(b), n_haps)
+        seq, qual, mapq = reads[r]
+        out[b] = ph.pairhmm_f64_diag(seq, qual, mapq, haps[h])
+    return out.reshape(n_reads, n_haps)
