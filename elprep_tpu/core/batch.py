@@ -88,6 +88,13 @@ class Ragged:
         n = len(lens)
         if max_len is None:
             max_len = int(lens.max()) if n else 0
+        if n and max_len:
+            from .. import native
+
+            fast = native.ragged_to_padded(self.data, self.offsets, max_len,
+                                           fill, self.data.dtype)
+            if fast is not None:
+                return fast, lens.astype(np.int32)
         out = np.full((n, max_len), fill, dtype=self.data.dtype)
         if n and max_len:
             cols = np.arange(max_len, dtype=np.int64)

@@ -542,6 +542,11 @@ def format_bam_records(hdr: Header, batch: ReadBatch) -> bytes:
 
 
 def _scatter_ragged(out: np.ndarray, starts: np.ndarray, rg: Ragged) -> None:
+    from .. import native
+
+    if rg.data.dtype == np.uint8 and out.dtype == np.uint8 and \
+            native.ranged_scatter_u8(rg.data, rg.offsets, starts, out):
+        return
     lens = rg.offsets[1:] - rg.offsets[:-1]
     total = int(rg.offsets[-1])
     if total == 0:

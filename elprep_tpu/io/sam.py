@@ -86,6 +86,11 @@ def parse_alignments(data: bytes, start: int = 0) -> ReadBatch:
 
 
 def _ranged_gather(u8: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> Ragged:
+    from .. import native
+
+    fast = native.ranged_gather_u8(u8, starts, ends)
+    if fast is not None:
+        return Ragged(fast[0], fast[1])
     lens = (ends - starts).astype(np.int64)
     off = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=off[1:])

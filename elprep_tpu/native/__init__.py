@@ -138,3 +138,68 @@ def sam_tokenize(data: bytes, start: int) -> Optional[Tuple]:
     n = int(n)
     return n, dict(flag=flag[:n], pos=pos[:n], mapq=mapq[:n], pnext=pnext[:n],
                    tlen=tlen[:n]), (f_start[:, :n], f_end[:, :n])
+
+
+def _bind_ragged(lib) -> None:
+    for name in ("ranged_gather_u8", "ranged_scatter_u8", "ragged_to_padded"):
+        fn = getattr(lib, name, None)
+        if fn is None:
+            return
+    lib.ranged_gather_u8.restype = None
+    lib.ranged_gather_u8.argtypes = [ctypes.c_void_p] * 4 + [ctypes.c_longlong,
+                                                             ctypes.c_void_p, ctypes.c_int]
+    lib.ranged_scatter_u8.restype = None
+    lib.ranged_scatter_u8.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_longlong,
+                                                              ctypes.c_void_p, ctypes.c_int]
+    lib.ragged_to_padded.restype = None
+    lib.ragged_to_padded.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_longlong, ctypes.c_longlong,
+                                     ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int]
+
+
+def ranged_gather_u8(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Fast ragged gather of byte ranges. Returns (flat, offsets) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ranged_gather_u8"):
+        return None
+    _bind_ragged(lib)
+    lengths = (ends - starts).astype(np.int64)
+    off = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    out = np.empty(int(off[-1]), np.uint8)
+    data = np.ascontiguousarray(data)
+    starts = np.ascontiguousarray(starts.astype(np.int64))
+    ends = np.ascontiguousarray(ends.astype(np.int64))
+    lib.ranged_gather_u8(data.ctypes.data, starts.ctypes.data, ends.ctypes.data,
+                         off.ctypes.data, len(lengths), out.ctypes.data, 0)
+    return out, off
+
+
+def ranged_scatter_u8(src: np.ndarray, src_offsets: np.ndarray,
+                      dst_starts: np.ndarray, out: np.ndarray) -> bool:
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ranged_scatter_u8"):
+        return False
+    _bind_ragged(lib)
+    src = np.ascontiguousarray(src)
+    src_offsets = np.ascontiguousarray(src_offsets.astype(np.int64))
+    dst_starts = np.ascontiguousarray(dst_starts.astype(np.int64))
+    lib.ranged_scatter_u8(src.ctypes.data, src_offsets.ctypes.data,
+                          dst_starts.ctypes.data, len(dst_starts),
+                          out.ctypes.data, 0)
+    return True
+
+
+def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
+                     fill, dtype) -> "np.ndarray | None":
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ragged_to_padded"):
+        return None
+    _bind_ragged(lib)
+    n = len(offsets) - 1
+    out = np.full((n, width), fill, dtype=dtype)
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets.astype(np.int64))
+    lib.ragged_to_padded(data.ctypes.data, offsets.ctypes.data, n, width,
+                         data.dtype.itemsize, out.ctypes.data, 0)
+    return out

@@ -304,3 +304,86 @@ long long sam_count_lines(const uint8_t* data, size_t n, size_t start) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Parallel ragged gather: out[k] = data[src_index(k)] where rows are
+// (starts[i], ends[i]) ranges concatenated. out_offsets[i] gives the
+// output offset of row i (precomputed prefix sums, n+1 entries).
+void ranged_gather_u8(const uint8_t* data, const int64_t* starts,
+                      const int64_t* ends, const int64_t* out_offsets,
+                      int64_t n_rows, uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 4096;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        int64_t len = ends[i] - starts[i];
+        if (len > 0) memcpy(out + out_offsets[i], data + starts[i], (size_t)len);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Parallel ragged scatter: copy row i of (src + src_offsets[i], len)
+// into out + dst_starts[i].
+void ranged_scatter_u8(const uint8_t* src, const int64_t* src_offsets,
+                       const int64_t* dst_starts, int64_t n_rows,
+                       uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 4096;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        int64_t len = src_offsets[i + 1] - src_offsets[i];
+        if (len > 0) memcpy(out + dst_starts[i], src + src_offsets[i], (size_t)len);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Parallel pad: rows (flat + offsets) -> dense [n_rows, width] with fill,
+// elem_size bytes per element.
+void ragged_to_padded(const uint8_t* data, const int64_t* offsets,
+                      int64_t n_rows, int64_t width, int64_t elem_size,
+                      uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        int64_t len = offsets[i + 1] - offsets[i];
+        if (len > width) len = width;
+        if (len > 0)
+          memcpy(out + i * width * elem_size, data + offsets[i] * elem_size,
+                 (size_t)(len * elem_size));
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
