@@ -71,7 +71,7 @@ class Ragged:
         return Ragged(np.asarray(data, dtype=dtype), off)
 
     def gather(self, idx: np.ndarray) -> "Ragged":
-        """Row gather: standard repeat/arange trick, no Python loop."""
+        """Row gather (native parallel memcpy when available)."""
         lens = self.offsets[1:] - self.offsets[:-1]
         newlens = lens[idx]
         newoff = _as_offsets(newlens)
@@ -79,6 +79,16 @@ class Ragged:
         if total == 0:
             return Ragged(np.zeros(0, dtype=self.data.dtype), newoff)
         starts = self.offsets[:-1][idx]
+        if total > 16384:
+            from .. import native
+
+            itemsize = self.data.dtype.itemsize
+            data = np.ascontiguousarray(self.data)
+            fast = native.ranged_gather_u8(
+                data.view(np.uint8),
+                starts * itemsize, (starts + newlens) * itemsize)
+            if fast is not None:
+                return Ragged(fast[0].view(self.data.dtype), newoff)
         src = np.repeat(starts - newoff[:-1], newlens) + np.arange(total, dtype=np.int64)
         return Ragged(self.data[src], newoff)
 
@@ -163,6 +173,22 @@ class TagsColumn:
         similar string tags.
         """
         n = len(self)
+        if n > 2048:
+            from .. import native
+
+            rng = native.extract_z_tag(self.raw.data, self.raw.offsets, tag)
+            if rng is not None:
+                starts, ends = rng
+                w = max(int((ends - starts).max(initial=1)), 1)
+                from . import batch as _b  # self-module ok
+
+                gathered = native.ranged_gather_u8(self.raw.data, starts, ends)
+                if gathered is not None:
+                    flat, off = gathered
+                    lens = off[1:] - off[:-1]
+                    pad = native.ragged_to_padded(flat, off, w, 0, np.dtype(np.uint8))
+                    if pad is not None:
+                        return pad.view(f"S{w}").reshape(n)
         needle = tag + b":Z:"
         out = []
         for i in range(n):

@@ -437,8 +437,28 @@ def format_bam_records(hdr: Header, batch: ReadBatch) -> bytes:
     ref_len = refcons_cum[batch.cigar_len.offsets[1:]] - refcons_cum[batch.cigar_len.offsets[:-1]]
     bins = _compute_bins(batch.pos, batch.flag, ref_len)
 
-    tag_bins = [_text_tags_to_bam(batch.tags.row(i)) for i in range(n)]
-    tag_lens = np.fromiter((len(t) for t in tag_bins), np.int64, n)
+    from .. import native
+
+    fast_tags = native.sam_tags_to_bam(batch.tags.raw.data, batch.tags.raw.offsets)
+    if fast_tags is not None:
+        bin_flat, bin_offsets, fallback = fast_tags
+        if len(fallback):
+            # rows with B-type arrays: convert in Python and splice
+            rows = []
+            fset = set(fallback.tolist())
+            for i in range(n):
+                if i in fset:
+                    rows.append(np.frombuffer(_text_tags_to_bam(batch.tags.row(i)), np.uint8))
+                else:
+                    rows.append(bin_flat[bin_offsets[i]:bin_offsets[i + 1]])
+            tags_bin = Ragged.from_rows(rows, np.uint8)
+        else:
+            tags_bin = Ragged(bin_flat, bin_offsets)
+        tag_lens = tags_bin.lengths.astype(np.int64)
+    else:
+        tag_bins = [_text_tags_to_bam(batch.tags.row(i)) for i in range(n)]
+        tags_bin = Ragged.from_rows([np.frombuffer(t, np.uint8) for t in tag_bins], np.uint8)
+        tag_lens = tags_bin.lengths.astype(np.int64)
 
     ncig_out = np.where(long_cigar, 2, n_cigar)
     cg_extra = np.where(long_cigar, 8 + 4 * n_cigar, 0)
@@ -524,21 +544,21 @@ def format_bam_records(hdr: Header, batch: ReadBatch) -> bytes:
     qual_starts = seq_starts + packed_len
     _scatter_ragged(out, qual_starts, batch.qual)
 
-    # tags
+    # tags (ragged scatter; long-CIGAR escapes patched individually)
     tag_starts = qual_starts + l_seq
-    outb = bytearray(out.tobytes())
-    for i in range(n):
-        t = tag_bins[i]
-        if t:
-            outb[tag_starts[i] : tag_starts[i] + len(t)] = t
-        if long_cigar[i]:
+    _scatter_ragged(out, tag_starts, tags_bin)
+    if long_cigar.any():
+        outb = bytearray(out.tobytes())
+        for i in np.flatnonzero(long_cigar):
+            t = tags_bin.row(i).tobytes()
             o, e = batch.cigar_len.offsets[i], batch.cigar_len.offsets[i + 1]
             cg = bytearray(b"CGBI")
             cg += struct.pack("<i", int(n_cigar[i]))
             cg += np.ascontiguousarray(cigar_words[o:e]).tobytes()
             pos0 = tag_starts[i] + len(t)
             outb[pos0 : pos0 + len(cg)] = cg
-    return bytes(outb)
+        return bytes(outb)
+    return out.tobytes()
 
 
 def _scatter_ragged(out: np.ndarray, starts: np.ndarray, rg: Ragged) -> None:

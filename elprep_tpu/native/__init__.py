@@ -203,3 +203,54 @@ def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
     lib.ragged_to_padded(data.ctypes.data, offsets.ctypes.data, n, width,
                          data.dtype.itemsize, out.ctypes.data, 0)
     return out
+
+
+def sam_tags_to_bam(flat: np.ndarray, offsets: np.ndarray):
+    """Batch-convert canonical tag text rows to BAM binary blocks.
+    Returns (bin_flat, bin_offsets, fallback_row_indices) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sam_tags_to_bam"):
+        return None
+    if not hasattr(lib, "_tags_bound"):
+        lib.sam_tags_to_bam.restype = ctypes.c_longlong
+        lib.sam_tags_to_bam.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.extract_z_tag.restype = None
+        lib.extract_z_tag.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_ubyte, ctypes.c_ubyte, ctypes.c_void_p, ctypes.c_void_p]
+        lib._tags_bound = True
+    n = len(offsets) - 1
+    flat = np.ascontiguousarray(flat)
+    offsets = np.ascontiguousarray(offsets.astype(np.int64))
+    cap = int(len(flat) * 4 + 64 * (n + 1) + 1024)
+    out = np.empty(cap, np.uint8)
+    out_offsets = np.empty(n + 1, np.int64)
+    fallback = np.empty(n, np.int64)
+    n_fallback = np.zeros(1, np.int64)
+    rc = lib.sam_tags_to_bam(flat.ctypes.data, offsets.ctypes.data, n,
+                             out.ctypes.data, cap, out_offsets.ctypes.data,
+                             fallback.ctypes.data, n_fallback.ctypes.data, 0)
+    if rc < 0:
+        raise ValueError(f"invalid SAM tag field (code {rc})")
+    return out[:rc], out_offsets, fallback[: int(n_fallback[0])]
+
+
+def extract_z_tag(flat: np.ndarray, offsets: np.ndarray, tag: bytes):
+    """Per-row :Z: tag value ranges (start==end==0 when absent), or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "extract_z_tag"):
+        return None
+    sam_tags_to_bam.__wrapped__ = None  # ensure binding side effects ran
+    if not hasattr(lib, "_tags_bound"):
+        sam_tags_to_bam(np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    n = len(offsets) - 1
+    flat = np.ascontiguousarray(flat)
+    offsets = np.ascontiguousarray(offsets.astype(np.int64))
+    starts = np.empty(n, np.int64)
+    ends = np.empty(n, np.int64)
+    lib.extract_z_tag(flat.ctypes.data, offsets.ctypes.data, n,
+                      tag[0], tag[1], starts.ctypes.data, ends.ctypes.data)
+    return starts, ends

@@ -387,3 +387,135 @@ void ragged_to_padded(const uint8_t* data, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Convert canonical SAM tag text rows to BAM binary tag blocks.
+// In: flat text (rows at offsets[i]..offsets[i+1]).
+// Out: bin buffer (caller-sized via sam_tags_bin_bound), out_offsets[n+1].
+// Returns 0 ok, nonzero = error at row ~(-rc-1).
+static int tags_row_to_bam(const uint8_t* s, int64_t len, uint8_t* out,
+                           int64_t* out_len) {
+  int64_t o = 0;
+  int64_t i = 0;
+  while (i < len) {
+    // field: TG:T:VALUE up to tab or end
+    int64_t fend = i;
+    while (fend < len && s[fend] != '\t') fend++;
+    if (fend - i < 5) return 1;
+    out[o++] = s[i];
+    out[o++] = s[i + 1];
+    uint8_t typ = s[i + 3];
+    const uint8_t* val = s + i + 5;
+    int64_t vlen = fend - i - 5;
+    if (typ == 'A') {
+      out[o++] = 'A';
+      out[o++] = vlen > 0 ? val[0] : 0;
+    } else if (typ == 'i') {
+      long long v = 0;
+      bool neg = false;
+      int64_t k = 0;
+      if (vlen > 0 && (val[0] == '-' || val[0] == '+')) { neg = val[0] == '-'; k++; }
+      for (; k < vlen; k++) {
+        if (val[k] < '0' || val[k] > '9') return 2;
+        v = v * 10 + (val[k] - '0');
+      }
+      if (neg) v = -v;
+      if (v < 0) {
+        if (v >= -128) { out[o++] = 'c'; out[o++] = (uint8_t)(int8_t)v; }
+        else if (v >= -32768) { out[o++] = 's'; int16_t x = (int16_t)v; memcpy(out + o, &x, 2); o += 2; }
+        else if (v >= -2147483648LL) { out[o++] = 'i'; int32_t x = (int32_t)v; memcpy(out + o, &x, 4); o += 4; }
+        else return 3;
+      } else {
+        if (v <= 0xFF) { out[o++] = 'C'; out[o++] = (uint8_t)v; }
+        else if (v <= 0xFFFF) { out[o++] = 'S'; uint16_t x = (uint16_t)v; memcpy(out + o, &x, 2); o += 2; }
+        else if (v <= 0xFFFFFFFFLL) { out[o++] = 'I'; uint32_t x = (uint32_t)v; memcpy(out + o, &x, 4); o += 4; }
+        else return 3;
+      }
+    } else if (typ == 'f') {
+      float f = strtof((const char*)val, nullptr);
+      out[o++] = 'f';
+      memcpy(out + o, &f, 4);
+      o += 4;
+    } else if (typ == 'Z') {
+      out[o++] = 'Z';
+      memcpy(out + o, val, (size_t)vlen);
+      o += vlen;
+      out[o++] = 0;
+    } else if (typ == 'H') {
+      out[o++] = 'H';
+      for (int64_t k = 0; k < vlen; k++) {
+        uint8_t c = val[k];
+        if (c >= 'a' && c <= 'f') c -= 32;  // uppercase hex in BAM
+        out[o++] = c;
+      }
+      out[o++] = 0;
+    } else if (typ == 'B') {
+      return -100;  // handled by the Python fallback (rare)
+    } else {
+      return 4;
+    }
+    i = fend + 1;
+  }
+  *out_len = o;
+  return 0;
+}
+
+long long sam_tags_to_bam(const uint8_t* flat, const int64_t* offsets,
+                          int64_t n_rows, uint8_t* out, int64_t out_cap,
+                          int64_t* out_offsets, int64_t* fallback_rows,
+                          int64_t* n_fallback, int n_threads) {
+  // sequential sizing pass is fine: work per row is tiny. Rows with a
+  // B-type field go to fallback_rows (converted by Python), and their
+  // output slot is sized 0 here; Python re-runs the row and the final
+  // assembly splices them.
+  (void)n_threads;
+  int64_t o = 0;
+  int64_t nf = 0;
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < n_rows; i++) {
+    int64_t len = offsets[i + 1] - offsets[i];
+    int64_t row_out = 0;
+    if (len > 0) {
+      if (o + len * 4 + 64 > out_cap) return -1;
+      int rc = tags_row_to_bam(flat + offsets[i], len, out + o, &row_out);
+      if (rc == -100) {
+        fallback_rows[nf++] = i;
+        row_out = 0;
+      } else if (rc != 0) {
+        return -2 - i;
+      }
+    }
+    o += row_out;
+    out_offsets[i + 1] = o;
+  }
+  *n_fallback = nf;
+  return o;
+}
+
+// Extract the value byte-range of a :Z: tag per row; start=end=0 if absent.
+void extract_z_tag(const uint8_t* flat, const int64_t* offsets, int64_t n_rows,
+                   uint8_t t0, uint8_t t1, int64_t* val_starts, int64_t* val_ends) {
+  for (int64_t i = 0; i < n_rows; i++) {
+    int64_t s = offsets[i], e = offsets[i + 1];
+    val_starts[i] = 0;
+    val_ends[i] = 0;
+    int64_t p = s;
+    while (p + 5 <= e) {
+      // field starts at p
+      if (flat[p] == t0 && flat[p + 1] == t1 && flat[p + 2] == ':' &&
+          flat[p + 3] == 'Z' && flat[p + 4] == ':') {
+        int64_t v = p + 5;
+        int64_t q = v;
+        while (q < e && flat[q] != '\t') q++;
+        val_starts[i] = v;
+        val_ends[i] = q;
+        break;
+      }
+      while (p < e && flat[p] != '\t') p++;
+      p++;
+    }
+  }
+}
+
+}  // extern "C"
