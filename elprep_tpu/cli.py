@@ -503,8 +503,24 @@ def fasta_to_elfasta(argv: List[str]) -> int:
     return 0
 
 
+def _setup_jax_cache() -> None:
+    """Persistent compilation cache (first kernel compiles through the
+    remote TPU compiler are slow; reruns start hot)."""
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "ELPREP_TPU_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    _setup_jax_cache()
     if not argv:
         print(
             "elprep_tpu — TPU-native secondary-analysis engine\n"

@@ -313,8 +313,9 @@ def pairhmm_f32_batch(
     n_reads, n_haps = len(reads), len(haps)
     if n_reads == 0 or n_haps == 0:
         return np.zeros((n_reads, n_haps), np.float64)
-    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 8)
-    lh_pad = _round_up(max(len(h) for h in haps), 8)
+    # bucket padded shapes so regions share compiled programs
+    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 32)
+    lh_pad = _round_up(max(len(h) for h in haps), 128)
     B = n_reads * n_haps
     n = lr_pad + 1
     P = lr_pad + 2

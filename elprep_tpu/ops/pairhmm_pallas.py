@@ -149,12 +149,16 @@ def pairhmm_pallas_batch(reads: Sequence[Tuple[bytes, np.ndarray, int]],
     n_reads, n_haps = len(reads), len(haps)
     if n_reads == 0 or n_haps == 0:
         return np.zeros((n_reads, n_haps), np.float64)
-    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 8)
-    lh_pad = _round_up(max(len(h) for h in haps), 8)
+    # bucket padded shapes so regions share compiled programs: coarse
+    # buckets keep the number of distinct kernels tiny across a run
+    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 32)
+    lh_pad = _round_up(max(len(h) for h in haps), 128)
     n_pad = _round_up(lr_pad + 1, 8)
     pad_off = n_pad + 1
     B = n_reads * n_haps
-    B_pad = _round_up(B, LANE)
+    B_pad = LANE
+    while B_pad < B:
+        B_pad *= 2
 
     x = np.zeros((n_pad, B_pad), np.float32)
     mp = np.zeros((n_pad, B_pad), np.float32)
