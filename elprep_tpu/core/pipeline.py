@@ -88,26 +88,41 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
 
     if len(batch) == 0:
         return batch
+    n = len(batch)
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+
+    def _pad(a, fill):
+        import jax.numpy as jnp
+
+        out = np.full(n_pad, fill, np.asarray(a).dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
     if order == SortingOrder.COORDINATE:
         if "REFID" not in batch.temps:
             raise ValueError("REFID not set (use the add_refid filter to fix this)")
         qrank = sortkeys.qname_ranks(batch.qname)
+        # pad to a power of two (dummies sort last and are filtered out)
         perm = np.asarray(
             sortkeys.coordinate_sort_perm(
-                batch.flag,
-                batch.temps["REFID"],
-                batch.pos,
-                batch.mapq,
-                batch.temps["NextREFID"],
-                batch.pnext,
-                batch.tlen,
-                qrank,
+                _pad(batch.flag, 0x4),
+                _pad(batch.temps["REFID"], np.int32(2 ** 30)),
+                _pad(batch.pos, np.int32(2 ** 30)),
+                _pad(batch.mapq, 0),
+                _pad(batch.temps["NextREFID"], np.int32(2 ** 30)),
+                _pad(batch.pnext, np.int32(2 ** 30)),
+                _pad(batch.tlen, 0),
+                _pad(qrank, np.int32(2 ** 30)),
             )
         )
+        perm = perm[perm < n]
         return batch.select(perm)
     if order == SortingOrder.QUERYNAME:
         qrank = sortkeys.qname_ranks(batch.qname)
-        perm = np.asarray(sortkeys.queryname_sort_perm(qrank))
+        perm = np.asarray(sortkeys.queryname_sort_perm(_pad(qrank, np.int32(2 ** 30))))
+        perm = perm[perm < n]
         return batch.select(perm)
     return batch
 

@@ -407,9 +407,14 @@ class BaseRecalibrator:
         if not clipped:
             return tables
 
-        m = len(clipped)
-        L = max(len(r.seq) for r in clipped)
-        C = max(len(r.cigar) for r in clipped)
+        n_real = len(clipped)
+        # pad shapes to buckets so runs share compiled programs (dummy
+        # rows have seq_len 0 and contribute nothing)
+        m = 1
+        while m < n_real:
+            m *= 2
+        L = ((max(len(r.seq) for r in clipped) + 31) // 32) * 32
+        C = ((max(len(r.cigar) for r in clipped) + 7) // 8) * 8
         base = np.zeros((m, L), np.uint8)
         qual = np.zeros((m, L), np.uint8)
         skip = np.zeros((m, L), bool)
@@ -610,19 +615,33 @@ def apply_bqsr_filter(
                 idx = cov_index.get(cov, -1)
                 rg[i] = idx
             width = int(max(batch.qual.lengths.max(initial=0), batch.seq.lengths.max(initial=0), 1))
+            width = ((width + 31) // 32) * 32
+            n_pad = 1
+            while n_pad < n:
+                n_pad *= 2
             qual_padded, qual_len = batch.qual.to_padded(width)
             base_padded, _ = batch.seq.to_padded(width)
+            if n_pad != n:
+                qual_padded = np.concatenate(
+                    [qual_padded, np.zeros((n_pad - n, width), qual_padded.dtype)])
+                base_padded = np.concatenate(
+                    [base_padded, np.zeros((n_pad - n, width), base_padded.dtype)])
+                qual_len = np.concatenate([qual_len, np.zeros(n_pad - n, qual_len.dtype)])
+            flag_p = np.zeros(n_pad, batch.flag.dtype)
+            flag_p[:n] = batch.flag
+            rg_p = np.full(n_pad, -1, rg.dtype)
+            rg_p[:n] = rg
             newq, max_abs_cycle = bqsr_ops.apply_bqsr(
                 jnp.asarray(base_padded), jnp.asarray(qual_padded),
-                jnp.asarray(qual_len.astype(np.int32)), jnp.asarray(batch.flag),
-                jnp.asarray(rg), jnp.asarray(rg_present),
+                jnp.asarray(qual_len.astype(np.int32)), jnp.asarray(flag_p),
+                jnp.asarray(rg_p), jnp.asarray(rg_present),
                 jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
                 jnp.asarray(quant), jnp.asarray(sqq_lut),
                 max_cycle=max_cycle,
             )
             if int(max_abs_cycle) > max_cycle:
                 raise ValueError("cycle value exceeds maximum cycle value")
-            newq = np.asarray(newq)
+            newq = np.asarray(newq)[:n]
             # write back into the ragged qual buffer
             lens = batch.qual.lengths.astype(np.int64)
             total = int(batch.qual.offsets[-1])

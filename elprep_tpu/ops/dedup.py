@@ -215,16 +215,27 @@ def mark_duplicates_batch(batch, header):
     score = np.asarray(readstats.phred_score(qual_padded, qual_len))
     rev = ((batch.flag & REVERSED) >> 4).astype(np.int32)
 
+    # pad the batch to a power of two so runs share compiled programs
+    # (ineligible UNMAPPED dummies cannot win or lose duels)
+    n = len(batch)
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    def _pad(a, fill):
+        out = np.full(n_pad, fill, a.dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
     dup = np.asarray(
         mark_duplicates(
-            jnp.asarray(libid),
-            jnp.asarray(refid),
-            jnp.asarray(upos),
-            jnp.asarray(rev),
-            jnp.asarray(score),
-            jnp.asarray(qrank),
-            jnp.asarray(batch.flag),
+            _pad(libid, -1),
+            _pad(refid, np.int32(2 ** 30)),
+            _pad(upos, 0),
+            _pad(rev, 0),
+            _pad(score, 0),
+            _pad(qrank, np.int32(2 ** 30)),
+            _pad(batch.flag, np.int32(0x4)),
         )
-    )
+    )[:n]
     aux = {"libid": libid, "upos": upos, "score": score, "qrank": qrank}
     return dup, aux
