@@ -45,6 +45,17 @@ REVERSED = 0x10
 ELIGIBLE_EXCLUDE = 0x4 | 0x100 | 0x800  # Unmapped|Secondary|Supplementary
 
 
+def _lexsort_perm(*keys):
+    """Stable lexicographic argsort via iterative single-key sorts
+    (least-significant first). Far cheaper to compile than one
+    multi-operand lax.sort, which matters through remote compilers."""
+    n = keys[0].shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    for k in reversed(keys):
+        _, perm = jax.lax.sort((k[perm], perm), num_keys=1, is_stable=True)
+    return perm
+
+
 def _segment_ids(*key_cols):
     """Segment ids for sorted key columns: increments where any key changes."""
     change = jnp.zeros_like(key_cols[0], dtype=jnp.bool_)
@@ -83,13 +94,14 @@ def mark_duplicates(libid, refid, upos, rev, score, qrank, flag):
     # FRAGMENT phase
     # ------------------------------------------------------------------
     inel = (~eligible).astype(jnp.int32)
-    s = jax.lax.sort(
-        (inel, libid, refid, upos, rev,
-         true_pair.astype(jnp.int32), true_frag.astype(jnp.int32), score, qrank, idx),
-        num_keys=5,
-        is_stable=True,
-    )
-    s_inel, s_lib, s_ref, s_upos, s_rev, s_pair, s_frag, s_score, s_qrank, s_idx = s
+    fperm = _lexsort_perm(inel, libid, refid, upos, rev)
+    s_inel, s_lib, s_ref, s_upos, s_rev = (
+        inel[fperm], libid[fperm], refid[fperm], upos[fperm], rev[fperm])
+    s_pair = true_pair.astype(jnp.int32)[fperm]
+    s_frag = true_frag.astype(jnp.int32)[fperm]
+    s_score = score[fperm]
+    s_qrank = qrank[fperm]
+    s_idx = idx[fperm]
     seg = _segment_ids(s_inel, s_lib, s_ref, s_upos, s_rev)
 
     has_pair = _seg_max(s_pair, seg, n)[seg] > 0
@@ -109,13 +121,11 @@ def mark_duplicates(libid, refid, upos, rev, score, qrank, flag):
     # PAIR formation: join true pairs by {LIBID, QNAME} in arrival order
     # ------------------------------------------------------------------
     not_cand = (~true_pair).astype(jnp.int32)
-    p = jax.lax.sort(
-        (not_cand, libid, qrank, idx,
-         refid, upos, rev, score),
-        num_keys=4,
-        is_stable=True,
-    )
-    p_nc, p_lib, p_qrank, p_idx, p_ref, p_upos, p_rev, p_score = p
+    pperm = _lexsort_perm(not_cand, libid, qrank, idx)
+    p_nc, p_lib, p_qrank, p_idx = (
+        not_cand[pperm], libid[pperm], qrank[pperm], idx[pperm])
+    p_ref, p_upos, p_rev, p_score = (
+        refid[pperm], upos[pperm], rev[pperm], score[pperm])
     pseg = _segment_ids(p_nc, p_lib, p_qrank)
     pos_in_run = jnp.arange(n, dtype=jnp.int32) - _seg_min(jnp.arange(n, dtype=jnp.int32), pseg, n)[pseg]
     # read at odd position pairs with its predecessor (DeleteOrStore order)
@@ -148,14 +158,15 @@ def mark_duplicates(libid, refid, upos, rev, score, qrank, flag):
     # PAIR dedup: group by {LIBID, r1, r2, po1, po2, rv1, rv2}
     # ------------------------------------------------------------------
     invalid = (~is_second).astype(jnp.int32)
-    g = jax.lax.sort(
-        (invalid, p_lib, r1, r2, po1, po2, rv1, rv2,
-         pscore, pq, parrival, a_idx, b_idx),
-        num_keys=8,
-        is_stable=True,
-    )
-    (g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2,
-     g_score, g_q, g_arr, g_ia, g_ib) = g
+    gperm = _lexsort_perm(invalid, p_lib, r1, r2, po1, po2, rv1, rv2)
+    (g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2) = (
+        invalid[gperm], p_lib[gperm], r1[gperm], r2[gperm], po1[gperm],
+        po2[gperm], rv1[gperm], rv2[gperm])
+    g_score = pscore[gperm]
+    g_q = pq[gperm]
+    g_arr = parrival[gperm]
+    g_ia = a_idx[gperm]
+    g_ib = b_idx[gperm]
     gseg = _segment_ids(g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2)
 
     valid = g_inv == 0
