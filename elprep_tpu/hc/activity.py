@@ -195,19 +195,20 @@ def read_end(r: ClipRead) -> int:
 
 
 def aln_slice(reads: List[ClipRead], region_start: int, region_end: int,
-              max_reference_length: int) -> Tuple[List[ClipRead], int]:
-    """(reference: haploutils.go:191-209)"""
+              max_reference_length: int,
+              positions: "np.ndarray | None" = None) -> Tuple[List[ClipRead], int]:
+    """(reference: haploutils.go:191-209). Pass a precomputed ``positions``
+    array when slicing the same read list repeatedly — rebuilding it per
+    call makes region iteration quadratic."""
     lowest = region_start - max_reference_length + 1
-    positions = [r.pos for r in reads]
-    import bisect
-
-    j = bisect.bisect_left(positions, lowest)
+    if positions is None:
+        positions = np.fromiter((r.pos for r in reads), np.int64, len(reads))
+    j = int(np.searchsorted(positions, lowest, side="left"))
+    k = int(np.searchsorted(positions, region_end, side="right"))
     result = []
     first_index = 0
-    for i in range(j, len(reads)):
+    for i in range(j, k):
         r = reads[i]
-        if r.pos > region_end:
-            break
         if read_end(r) >= region_start:
             if not result:
                 first_index = i

@@ -503,11 +503,17 @@ def call_variants(
         else:
             spans = [(0, contig_length)]
         max_ref_len = max_reference_length(contig_reads)
+        contig_positions = np.fromiter((r.pos for r in contig_reads), np.int64,
+                                       len(contig_reads))
         for start, stop in spans:
             padded_lo = max(0, start - params.padding)
             padded_hi = min(contig_length, stop + params.padding)
-            region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi, max_ref_len) \
+            region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi, max_ref_len,
+                                        positions=contig_positions) \
                 if bed_regions is not None else (contig_reads, 0)
+            region_positions = (np.fromiter((r.pos for r in region_reads), np.int64,
+                                            len(region_reads))
+                                if bed_regions is not None else contig_positions)
             # activity over [start+1, stop+1) in 1-based space, chunked
             # to bound the flat pileup expansion (the reference uses
             # 512-position chunks, haplotypecaller.go:826-852)
@@ -518,7 +524,8 @@ def call_variants(
             for cs in range(start, stop, CHUNK):
                 ce = min(cs + CHUNK, stop)
                 chunk_reads, _ = aln_slice(region_reads, cs + 1 - max_ref_len,
-                                           ce + 1, max_ref_len)
+                                           ce + 1, max_ref_len,
+                                           positions=region_positions)
                 ia, hm = compute_activity(chunk_reads, reference, cs + 1, ce + 1,
                                           params)
                 is_active[cs - start : ce - start] = ia
@@ -531,7 +538,8 @@ def call_variants(
                 _print_assembly_regions(assembly_regions_out, activity_profile, regions)
             for region in regions:
                 region.reads, _ = aln_slice(region_reads, region.padded_start(),
-                                            region.padded_end(), max_ref_len)
+                                            region.padded_end(), max_ref_len,
+                                            positions=region_positions)
                 if prev_contig != contig:
                     deletions = []
                     prev_contig = contig
