@@ -419,7 +419,7 @@ def reference_variant_to_full(contig: str, reference: bytes, sv: SingleVariant) 
                    genotypes=[g])
 
 
-def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
+def calculate_ref_confidence_cursor(params: HCParams, variants: List[SingleVariant],
                              region: AssemblyRegion, reads: List[ClipRead],
                              calls: Optional[List[Variant]],
                              gvcf_mode: bool) -> List[SingleVariant]:
@@ -580,3 +580,242 @@ class VariantCombiner:
         if self.first:
             return None
         return self._finalize_block()
+
+
+# ---------------------------------------------------------------------------
+# Vectorized ref-confidence (same results as the cursor version; the
+# flat-expansion + ordered-reduceat pattern from hc/activity.py)
+# ---------------------------------------------------------------------------
+
+_CONSUME_REF_OR_S_LUT = np.zeros(256, np.int64)
+for _c in b"MDN=XS":
+    _CONSUME_REF_OR_S_LUT[_c] = 1
+
+
+def _expand_refconf_elements(reads: List[ClipRead], low: int, high: int):
+    """Flat (read, refpos) table with refconf-specific fields, sorted by
+    (refpos, read order)."""
+    cols = {k: [] for k in ("refpos", "read_idx", "qual", "base", "is_del",
+                            "keep", "cand", "refs_off")}
+    for ridx, r in enumerate(reads):
+        if r.pos >= high:
+            break
+        if r.tlen > 100:
+            keep_rule = None
+        else:
+            boundary, _, well = compute_adaptor_boundary(r)
+            keep_rule = (boundary, r.is_reversed()) if well else None
+        base_index = 0
+        loc = r.pos
+        refs_cum = 0
+        n_ops = len(r.cigar)
+        for ci, (length, op) in enumerate(r.cigar):
+            if op in "HP":
+                continue
+            if op == "I":
+                base_index += length
+                continue
+            if op == "S":
+                base_index += length
+                refs_cum += length
+                continue
+            s_ = max(loc, low)
+            e_ = min(loc + length, high)
+            if e_ > s_:
+                offs = np.arange(s_ - loc, e_ - loc, dtype=np.int64)
+                m = len(offs)
+                positions = loc + offs
+                if op in "M=X":
+                    bidx = base_index + offs
+                    quals = np.frombuffer(r.qual, np.uint8)[bidx].astype(np.int64)
+                    bases = np.frombuffer(r.seq, np.uint8)[bidx].astype(np.int64)
+                    is_del = np.zeros(m, bool)
+                else:  # D or N
+                    safe = max(base_index - 1, 0)
+                    qv = r.qual[safe] if len(r.qual) else 0
+                    bv = r.seq[safe] if len(r.seq) else 0
+                    quals = np.full(m, qv, np.int64)
+                    bases = np.full(m, bv, np.int64)
+                    is_del = np.full(m, op == "D", bool)
+                qual_eff = np.where(is_del, 30, quals)
+                # informative candidate: not D; and not (last-of-op with
+                # next op D/I) (ref-confidence.go:289-299)
+                next_di = False
+                if ci + 1 < n_ops and r.cigar[ci + 1][1] in "DI":
+                    next_di = True
+                cand = ~is_del
+                if next_di:
+                    cand = cand & (offs != length - 1)
+                refs_off = refs_cum + offs
+                if keep_rule is None:
+                    keep = np.ones(m, bool)
+                else:
+                    boundary, rev = keep_rule
+                    keep = positions > boundary if rev else positions < boundary
+                cols["refpos"].append(positions)
+                cols["read_idx"].append(np.full(m, ridx, np.int64))
+                cols["qual"].append(qual_eff)
+                cols["base"].append(bases)
+                cols["is_del"].append(is_del)
+                cols["keep"].append(keep)
+                cols["cand"].append(cand)
+                cols["refs_off"].append(refs_off)
+            loc += length
+            refs_cum += length
+            if op in "M=X":
+                base_index += length
+    if not cols["refpos"]:
+        return None
+    flat = {k: np.concatenate(v) for k, v in cols.items()}
+    order = np.lexsort((flat["read_idx"], flat["refpos"]))
+    return {k: v[order] for k, v in flat.items()}
+
+
+def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
+                             region: AssemblyRegion, reads: List[ClipRead],
+                             calls: Optional[List[Variant]],
+                             gvcf_mode: bool) -> List[SingleVariant]:
+    """Vectorized calculateRefConfidence (ref-confidence.go:266-361)."""
+    ref = region.reference
+    padded_end = region.padded_end()
+    reads = sorted(reads, key=_coordinate_sort_key)
+    low, high = region.start, region.end + 1
+    n_pos = high - low
+    if n_pos <= 0 or high <= 1:
+        return variants
+
+    el = _expand_refconf_elements(reads, low, high)
+
+    # per-position overlapping call: the max-pos overlapping call
+    # substitutes the ref model only when its Pos equals the location
+    # (ref-confidence.go:272-283); other covered positions still get
+    # the reference model
+    call_at = np.full(n_pos, -1, np.int64)
+    for k, vc in enumerate(calls or []):
+        a = max(vc.pos, low) - low
+        b = min(vc.end(), high - 1) - low
+        if b >= a:
+            call_at[a : b + 1] = k  # later calls have larger pos: max-pos wins
+    exact_sub = np.full(n_pos, -1, np.int64)
+    for p in range(n_pos):
+        k = call_at[p]
+        if k >= 0 and (calls[k].pos - low) == p:
+            exact_sub[p] = k
+
+    dp_arr = np.zeros(n_pos, np.int64)
+    ref_depth = np.zeros(n_pos, np.int64)
+    nonref_depth = np.zeros(n_pos, np.int64)
+    gl0 = np.zeros(n_pos, np.float64)
+    gl1 = np.zeros(n_pos, np.float64)
+    gl2 = np.zeros(n_pos, np.float64)
+    n_inf = np.zeros(n_pos, np.int64)
+
+    if el is not None and len(el["refpos"]):
+        keep = el["keep"]
+        for k in list(el):
+            el[k] = el[k][keep]
+        refpos = el["refpos"]
+        if len(refpos):
+            # qual gate (6) except deletions
+            usable = el["is_del"] | (el["qual"] > 6)
+            upos_idx = refpos - low
+            ref_arr = np.frombuffer(ref, np.uint8)
+            ref_base = ref_arr[np.clip(refpos - 1, 0, len(ref_arr) - 1)].astype(np.int64)
+            is_alt = (el["base"] != ref_base) | el["is_del"]
+
+            qual_c = np.clip(el["qual"], 0, tables.MAX_QUAL)
+            ref_lik = tables.QUAL_TO_PROB_LOG10[qual_c]
+            nonref_lik = el["qual"].astype(np.float64) / -10.0 + LOG10_ONE_THIRD
+            rl = np.where(is_alt, nonref_lik, ref_lik)
+            nl = np.where(is_alt, ref_lik, nonref_lik)
+            t0 = rl + LOG10_PLOIDY
+            big = np.maximum(rl, nl)
+            small = np.minimum(rl, nl)
+            diff = big - small
+            jidx = np.minimum(np.round(diff / tables.JACOBIAN_LOG_STEP).astype(np.int64),
+                              len(tables.JACOBIAN_LOG_TABLE) - 1)
+            t1 = np.where(np.isinf(small) | (diff >= tables.JACOBIAN_LOG_MAX_TOLERANCE),
+                          big, big + tables.JACOBIAN_LOG_TABLE[jidx])
+            t2 = nl + LOG10_PLOIDY
+
+            um = usable
+            sel_pos = upos_idx[um]
+            # ordered segment sums (rows pre-sorted by (refpos, read order))
+            if len(sel_pos):
+                uvals, starts = np.unique(sel_pos, return_index=True)
+                gl0[uvals] = np.add.reduceat(t0[um], starts)
+                gl1[uvals] = np.add.reduceat(t1[um], starts)
+                gl2[uvals] = np.add.reduceat(t2[um], starts)
+                counts = np.diff(np.append(starts, len(sel_pos)))
+                denom = counts.astype(np.float64) * LOG10_PLOIDY
+                gl0[uvals] -= denom
+                gl1[uvals] -= denom
+                gl2[uvals] -= denom
+                ref_depth[:] = np.bincount(sel_pos[~is_alt[um]], minlength=n_pos)
+                nonref_depth[:] = np.bincount(sel_pos[is_alt[um]], minlength=n_pos)
+
+            # indel-informative reads: per read the informativeness array
+            # is computed once with its first candidate offset
+            # (reproducing the reference's first-call caching,
+            # ref-confidence.go:137-141)
+            cache: Dict[int, np.ndarray] = {}
+            cm = el["cand"]
+            cand_read = el["read_idx"][cm]
+            cand_off = el["refs_off"][cm]
+            cand_pos = upos_idx[cm]
+            informative = np.zeros(len(cand_read), bool)
+            if len(cand_read):
+                for ridx in np.unique(cand_read):
+                    sel = cand_read == ridx
+                    offs = cand_off[sel]
+                    r = reads[ridx]
+                    # populate the per-read informative bits with the
+                    # first element's offset (cache quirk)
+                    read_has_no_plausible_indels(cache, params, r, int(offs[0]),
+                                                 ref, int(refpos[cm][sel][0]) - 1,
+                                                 padded_end)
+                    bits = cache[id(r)]
+                    ok = offs < len(bits)
+                    vals = np.zeros(len(offs), bool)
+                    vals[ok] = bits[offs[ok]]
+                    informative[sel] = vals
+                n_inf[:] = np.minimum(
+                    np.bincount(cand_pos[informative], minlength=n_pos), 
+                    MAX_INDEL_INFORMATIVE_READS)
+
+    # assemble per-position outputs
+    gls3 = np.stack([gl0, np.minimum(gl0, gl1), np.minimum(gl0, gl2)], axis=1)
+    indel_gls = INDEL_PLS[n_inf]
+    # gq log10 for both models, vectorized
+    def gq_log10(g):
+        qual = g[:, 0] - np.maximum(g[:, 1], g[:, 2])
+        mx = np.max(g, axis=1, keepdims=True)
+        norm = 10.0 ** (g - mx)
+        total = np.sum(norm, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alt_val = np.log10(1 - norm[:, 0] / total)
+        return np.where(qual < 0, alt_val, -qual)
+
+    gq_snp = gq_log10(gls3)
+    gq_ind = gq_log10(indel_gls)
+    use_indel = gq_ind > gq_snp
+    least = np.where(use_indel[:, None], indel_gls, gls3)
+    adjust = np.max(least, axis=1, keepdims=True)
+    pls = np.floor(np.minimum(-10 * (least - adjust), np.iinfo(np.int32).max) + 0.5).astype(np.int64)
+    pls_sorted = np.sort(pls, axis=1)
+    gq = np.minimum(pls_sorted[:, 1] - pls_sorted[:, 0], 99)
+
+    dp_arr = ref_depth + nonref_depth
+    for p in range(n_pos):
+        k = exact_sub[p]
+        if k >= 0:
+            variants.append(SingleVariant(full_variant=calls[k]))
+            continue
+        variants.append(SingleVariant(
+            location=low + p,
+            dp=int(dp_arr[p]),
+            ad=(int(ref_depth[p]), int(nonref_depth[p])),
+            pls=(int(pls[p, 0]), int(pls[p, 1]), int(pls[p, 2])),
+            gq=int(gq[p]),
+        ))
+    return variants

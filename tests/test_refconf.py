@@ -1,0 +1,89 @@
+"""Vectorized ref-confidence vs the cursor oracle
+(reference: filters/ref-confidence.go)."""
+
+import numpy as np
+import pytest
+
+from elprep_tpu.filters.clipping import ClipRead
+from elprep_tpu.hc import refconf
+from elprep_tpu.hc.activity import AssemblyRegion, make_hc_params
+
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _mk_reads(rng, ref, n_reads, read_len=60):
+    reads = []
+    for i in range(n_reads):
+        start = rng.randint(1, len(ref) - read_len - 10)
+        seq = bytearray(ref[start - 1 : start - 1 + read_len])
+        cigar = [(read_len, "M")]
+        # random mutations and occasional indels in the cigar
+        for _ in range(rng.randint(0, 3)):
+            seq[rng.randint(read_len)] = _BASES[rng.randint(4)]
+        roll = rng.rand()
+        if roll < 0.2:
+            k = rng.randint(10, read_len - 10)
+            cigar = [(k, "M"), (rng.randint(1, 4), "D"), (read_len - k, "M")]
+        elif roll < 0.3:
+            k = rng.randint(10, read_len - 10)
+            cigar = [(k, "M"), (rng.randint(1, 4), "I"), (read_len - k - 2, "M")]
+            # keep read length consistent with cigar
+            ins = cigar[1][0]
+            cigar = [(k, "M"), (ins, "I"), (read_len - k - ins, "M")]
+        reads.append(ClipRead(
+            flag=0x63 if i % 2 == 0 else 0x93, pos=start,
+            pnext=start + 80, tlen=150 if i % 2 == 0 else -150, mapq=60,
+            cigar=cigar, seq=bytes(seq),
+            qual=bytes(rng.randint(4, 41, read_len).astype(np.uint8)),
+            rname=b"c1", rnext=b"=", qname=b"r%04d" % i,
+        ))
+    reads.sort(key=lambda r: r.pos)
+    return reads
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_vectorized_matches_cursor(seed):
+    rng = np.random.RandomState(seed)
+    ref = rng.choice(_BASES, 1200).tobytes()
+    reads = _mk_reads(rng, ref, 60)
+    params = make_hc_params("GVCF")
+    region = AssemblyRegion(contig="c1", reference=ref, reads=list(reads),
+                            start=100, end=900, extension=100,
+                            contig_length=len(ref))
+    got = refconf.calculate_ref_confidence(params, [], region, list(reads),
+                                           None, True)
+    want = refconf.calculate_ref_confidence_cursor(params, [], region,
+                                                   list(reads), None, True)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.location == w.location
+        assert g.dp == w.dp, (g.location, g.dp, w.dp)
+        assert g.ad == w.ad, (g.location, g.ad, w.ad)
+        assert g.pls == w.pls, (g.location, g.pls, w.pls)
+        assert g.gq == w.gq, (g.location, g.gq, w.gq)
+
+
+def test_vectorized_with_calls():
+    rng = np.random.RandomState(9)
+    ref = rng.choice(_BASES, 800).tobytes()
+    reads = _mk_reads(rng, ref, 40)
+    params = make_hc_params("GVCF")
+    from elprep_tpu.io.vcf import Variant
+
+    calls = [Variant(chrom="c1", pos=300, ref=ref[299:302].decode(), alt=["A"]),
+             Variant(chrom="c1", pos=500, ref="A", alt=["T"])]
+    region = AssemblyRegion(contig="c1", reference=ref, reads=list(reads),
+                            start=100, end=700, extension=100,
+                            contig_length=len(ref))
+    got = refconf.calculate_ref_confidence(params, [], region, list(reads),
+                                           calls, True)
+    want = refconf.calculate_ref_confidence_cursor(params, [], region,
+                                                   list(reads), calls, True)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.full_variant is None) == (w.full_variant is None)
+        if g.full_variant is None:
+            assert (g.location, g.dp, g.ad, g.pls, g.gq) == \
+                   (w.location, w.dp, w.ad, w.pls, w.gq)
+        else:
+            assert g.full_variant is w.full_variant
