@@ -65,7 +65,14 @@ def split_file_per_chromosome(input_path: str, output_path: str,
                               single_end: bool = False) -> None:
     """(reference: SplitFilePerChromosome, split-merge.go:230-311;
     single-end variant :664-724)"""
-    hdr, batch = samio.read_sam_file(input_path)
+    if os.path.isdir(input_path):
+        from .io.merge_inputs import read_and_merge_files
+
+        files = sorted(os.path.join(input_path, f) for f in os.listdir(input_path)
+                       if not f.startswith("."))
+        hdr, batch = read_and_merge_files(files)
+    else:
+        hdr, batch = samio.read_sam_file(input_path)
     groups, contig_to_group, group_to_contigs = compute_contig_groups(
         hdr.sq, contig_group_size)
     splits_path = os.path.join(output_path, "splits")
