@@ -530,17 +530,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         return 1
     cmd, rest = argv[0], argv[1:]
-    if cmd == "filter":
-        return filter_command(rest)
-    if cmd == "vcf-to-elsites":
-        return vcf_to_elsites(rest)
-    if cmd == "bed-to-elsites":
-        return bed_to_elsites(rest)
-    if cmd == "fasta-to-elfasta":
-        return fasta_to_elfasta(rest)
-    if cmd in ("split", "merge", "sfm", "merge-optical-duplicates-metrics"):
-        from . import splitmerge_cli
+    try:
+        if cmd == "filter":
+            return filter_command(rest)
+        if cmd == "vcf-to-elsites":
+            return vcf_to_elsites(rest)
+        if cmd == "bed-to-elsites":
+            return bed_to_elsites(rest)
+        if cmd == "fasta-to-elfasta":
+            return fasta_to_elfasta(rest)
+        if cmd in ("split", "merge", "sfm", "merge-optical-duplicates-metrics"):
+            from . import splitmerge_cli
 
-        return splitmerge_cli.run(cmd, rest)
+            return splitmerge_cli.run(cmd, rest)
+    except FileNotFoundError as e:
+        print(f"elprep_tpu {cmd}: file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"elprep_tpu {cmd}: {e}", file=sys.stderr)
+        return 1
     print(f"unknown command {cmd}", file=sys.stderr)
     return 1

@@ -137,6 +137,8 @@ def read_and_merge_files(paths: List[str]) -> Tuple[Header, ReadBatch]:
     """Read several SAM/BAM files into one batch under a merged header."""
     from . import sam as samio
 
+    if not paths:
+        raise ValueError("no input files to merge")
     new_header: Optional[Header] = None
     batches: List[ReadBatch] = []
     for ordinal, path in enumerate(paths):
