@@ -416,24 +416,28 @@ def iter_sam_chunks(path: str, chunk_bytes: int = 64 << 20):
     header is parsed once and repeated with every chunk. BAM/gzip inputs
     fall back to one whole-file chunk."""
     with open(path, "rb") as f:
+        # seek-free so pipes (/dev/stdin) work (reference: aln-files.go:144-251)
         head = f.read(1)
-        f.seek(0)
         if head == b"\x1f":  # BAM/BGZF: in-memory fallback
-            hdr, batch = read_sam_file(path)
-            yield hdr, batch
+            from . import bam
+
+            yield bam.parse_bam(head + f.read())
             return
-        # read header lines
+        # read header lines; the first non-@ line becomes the initial carry
         header_buf = bytearray()
         carry = b""
+        first = True
         while True:
-            pos = f.tell()
             line = f.readline()
+            if first:
+                line = head + line
+                first = False
             if not line:
                 break
             if line.startswith(b"@"):
                 header_buf += line
             else:
-                f.seek(pos)
+                carry = line
                 break
         hdr, _ = parse_sam_header(bytes(header_buf))
         while True:

@@ -225,3 +225,30 @@ def test_streaming_fast_path(workdir, tmp_path):
     def strip_flag(rows):
         return [(r[0], r[2], r[3]) for r in rows]
     assert strip_flag(b1) == strip_flag(b2)
+
+
+def test_pipe_stdin_stdout(workdir, tmp_path):
+    """Non-seekable input (FIFO) through the streaming path
+    (reference: sam/aln-files.go:144-251 stdin/stdout support)."""
+    import os
+    import threading
+
+    wd = workdir
+    fifo = str(tmp_path / "in.fifo")
+    os.mkfifo(fifo)
+    data = open(wd / "in.sam", "rb").read()
+
+    def writer():
+        with open(fifo, "wb") as f:
+            f.write(data)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    out = tmp_path / "piped.sam"
+    rc = cli.main(["filter", fifo, str(out), "--filter-mapping-quality", "1"])
+    t.join()
+    assert rc == 0
+    n_in = sum(1 for l in data.splitlines() if not l.startswith(b"@"))
+    n_out = sum(1 for l in open(out, "rb").read().splitlines()
+                if not l.startswith(b"@"))
+    assert n_out == n_in
