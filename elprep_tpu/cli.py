@@ -253,7 +253,7 @@ def filter_command(argv: List[str]) -> int:
                 samio.write_sam_file(args.output, header_out,
                                      ReadBatch.concat(batches_out), fmt=fmt)
 
-        _timed(args.timed, "Running pipeline.", streaming_phase)
+        _timed(args.timed, "Running pipeline.", streaming_phase, args.profile)
         return 0
 
     # Phase 1: read into memory + filters + sort. A directory input

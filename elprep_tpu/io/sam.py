@@ -394,6 +394,18 @@ def format_alignment_line(batch: ReadBatch, i: int, names_pool: np.ndarray) -> b
 
 
 def format_alignments(batch: ReadBatch) -> bytes:
+    from .. import native
+
+    if len(batch) > 256 and native.available():
+        fast = native.sam_format_alignments(
+            batch.qname, batch.flag, batch.rname_id, batch.pos, batch.mapq,
+            batch.cigar_len.data, batch.cigar_op.data, batch.cigar_len.offsets,
+            batch.rnext_id, batch.pnext, batch.tlen,
+            batch.seq.data, batch.seq.offsets,
+            batch.qual.data, batch.qual.offsets,
+            batch.tags.raw.data, batch.tags.raw.offsets, batch.names)
+        if fast is not None:
+            return fast.tobytes()
     pool = np.array(batch.names, dtype=bytes) if batch.names else np.array([b""], dtype=bytes)
     out = bytearray()
     for i in range(len(batch)):

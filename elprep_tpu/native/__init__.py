@@ -254,3 +254,85 @@ def extract_z_tag(flat: np.ndarray, offsets: np.ndarray, tag: bytes):
     lib.extract_z_tag(flat.ctypes.data, offsets.ctypes.data, n,
                       tag[0], tag[1], starts.ctypes.data, ends.ctypes.data)
     return starts, ends
+
+
+def sam_format_alignments(qname, flag, rname_id, pos, mapq,
+                          cig_len_flat, cig_op_flat, cig_offsets,
+                          rnext_id, pnext, tlen,
+                          seq_flat, seq_offsets, qual_flat, qual_offsets,
+                          tags_flat, tags_offsets, names):
+    """Batch-format alignment lines to SAM text bytes, or None (caller
+    falls back to the Python formatter, including on any malformed row)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sam_format_alignments"):
+        return None
+    if not hasattr(lib, "_fmt_bound"):
+        lib.sam_format_alignments.restype = ctypes.c_longlong
+        lib.sam_format_alignments.argtypes = (
+            [ctypes.c_void_p, ctypes.c_longlong]
+            + [ctypes.c_void_p] * 4
+            + [ctypes.c_void_p] * 3
+            + [ctypes.c_void_p] * 3
+            + [ctypes.c_void_p] * 4
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
+            + [ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+               ctypes.c_void_p, ctypes.c_int])
+        lib._fmt_bound = True
+    n = len(flag)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    pool = names if names else [b""]
+    name_lens = np.array([len(nm) for nm in pool], np.int64)
+    names_offsets = np.zeros(len(pool) + 1, np.int64)
+    np.cumsum(name_lens, out=names_offsets[1:])
+    names_flat = np.frombuffer(b"".join(pool), np.uint8) if names_offsets[-1] else np.zeros(1, np.uint8)
+
+    qname = np.ascontiguousarray(qname)
+    qw = qname.dtype.itemsize
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    u8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)
+    flag, rname_id, pos, mapq = i32(flag), i32(rname_id), i32(pos), i32(mapq)
+    rnext_id, pnext, tlen = i32(rnext_id), i32(pnext), i32(tlen)
+    cig_len_flat = i32(cig_len_flat)
+    cig_op_flat, seq_flat, qual_flat, tags_flat = (
+        u8(cig_op_flat), u8(seq_flat), u8(qual_flat), u8(tags_flat))
+    cig_offsets, seq_offsets, qual_offsets, tags_offsets = (
+        i64(cig_offsets), i64(seq_offsets), i64(qual_offsets), i64(tags_offsets))
+
+    nops = cig_offsets[1:] - cig_offsets[:-1]
+    bound = (
+        qw + 24
+        + name_lens[rname_id] + name_lens[rnext_id]
+        + np.maximum(nops, 1) * 12 + 12 * 5
+        + (seq_offsets[1:] - seq_offsets[:-1])
+        + (qual_offsets[1:] - qual_offsets[:-1])
+        + 2 * (tags_offsets[1:] - tags_offsets[:-1]) + 24
+    ).astype(np.int64)
+    slack_off = np.zeros(n + 1, np.int64)
+    np.cumsum(bound, out=slack_off[1:])
+    out = np.empty(int(slack_off[-1]), np.uint8)
+    out_lens = np.empty(n, np.int64)
+    rc = lib.sam_format_alignments(
+        qname.ctypes.data, qw,
+        flag.ctypes.data, rname_id.ctypes.data, pos.ctypes.data, mapq.ctypes.data,
+        cig_len_flat.ctypes.data, cig_op_flat.ctypes.data, cig_offsets.ctypes.data,
+        rnext_id.ctypes.data, pnext.ctypes.data, tlen.ctypes.data,
+        seq_flat.ctypes.data, seq_offsets.ctypes.data,
+        qual_flat.ctypes.data, qual_offsets.ctypes.data,
+        tags_flat.ctypes.data, tags_offsets.ctypes.data,
+        names_flat.ctypes.data, names_offsets.ctypes.data, len(pool),
+        n, out.ctypes.data, slack_off.ctypes.data, out_lens.ctypes.data, 0)
+    if rc != 0:
+        return None
+    final_off = np.zeros(n + 1, np.int64)
+    np.cumsum(out_lens, out=final_off[1:])
+    final = np.empty(int(final_off[-1]), np.uint8)
+    _bind_ragged(lib)
+    starts = slack_off[:-1]
+    ends = starts + out_lens
+    lib.ranged_gather_u8(out.ctypes.data, i64(starts).ctypes.data,
+                         i64(ends).ctypes.data, final_off.ctypes.data,
+                         n, final.ctypes.data, 0)
+    return final

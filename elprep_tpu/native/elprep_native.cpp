@@ -519,3 +519,296 @@ void extract_z_tag(const uint8_t* flat, const int64_t* offsets, int64_t n_rows,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SAM text formatter (reference: sam/sam-files.go:452-598). Mirrors the
+// Python formatter in io/sam.py byte-for-byte, including tag
+// canonicalization quirks (B:s uint16->int16 bit-cast, Go shortest-'g'
+// float32 formatting via strconv.AppendFloat(..., 'g', -1, 32)).
+// ---------------------------------------------------------------------------
+
+#include <charconv>
+#include <cmath>
+
+namespace {
+
+inline int put_i64(int64_t v, uint8_t* out) {
+  char buf[24];
+  auto r = std::to_chars(buf, buf + 24, (long long)v);
+  int n = (int)(r.ptr - buf);
+  memcpy(out, buf, (size_t)n);
+  return n;
+}
+
+// Go strconv.FormatFloat(float64(f), 'g', -1, 32) (see io/gofmt.py).
+inline int go_format_f32(float f, uint8_t* out) {
+  if (std::isnan(f)) { memcpy(out, "NaN", 3); return 3; }
+  if (std::isinf(f)) {
+    if (f > 0) { memcpy(out, "+Inf", 4); return 4; }
+    memcpy(out, "-Inf", 4); return 4;
+  }
+  int n = 0;
+  bool neg = std::signbit(f);
+  float a = std::fabs(f);
+  if (a == 0.0f) { if (neg) out[n++] = '-'; out[n++] = '0'; return n; }
+  char sci[48];
+  auto res = std::to_chars(sci, sci + 48, a, std::chars_format::scientific);
+  // shortest mantissa: "d[.ddd]e±XX"
+  int sn = (int)(res.ptr - sci);
+  sci[sn] = 0;  // to_chars does not NUL-terminate
+  char digits[40];
+  int nd = 0;
+  int k = 0;
+  for (; k < sn && sci[k] != 'e'; k++)
+    if (sci[k] != '.') digits[nd++] = sci[k];
+  int exp10 = atoi(sci + k + 1);
+  while (nd > 1 && digits[nd - 1] == '0') nd--;  // defensive (to_chars is shortest)
+  if (neg) out[n++] = '-';
+  int dp = exp10 + 1;  // value = 0.digits * 10^dp
+  int exp = dp - 1;
+  if (exp < -4 || exp >= 6) {  // Go shortest-'g' eprec = 6 (strconv/ftoa.go)
+    out[n++] = digits[0];
+    if (nd > 1) {
+      out[n++] = '.';
+      memcpy(out + n, digits + 1, (size_t)(nd - 1));
+      n += nd - 1;
+    }
+    out[n++] = 'e';
+    if (exp < 0) { out[n++] = '-'; exp = -exp; }
+    else out[n++] = '+';
+    if (exp >= 100) { out[n++] = (uint8_t)('0' + exp / 100); exp %= 100; }
+    out[n++] = (uint8_t)('0' + exp / 10);
+    out[n++] = (uint8_t)('0' + exp % 10);
+  } else if (dp <= 0) {
+    out[n++] = '0'; out[n++] = '.';
+    for (int z = 0; z < -dp; z++) out[n++] = '0';
+    memcpy(out + n, digits, (size_t)nd); n += nd;
+  } else if (dp >= nd) {
+    memcpy(out + n, digits, (size_t)nd); n += nd;
+    for (int z = 0; z < dp - nd; z++) out[n++] = '0';
+  } else {
+    memcpy(out + n, digits, (size_t)dp); n += dp;
+    out[n++] = '.';
+    memcpy(out + n, digits + dp, (size_t)(nd - dp)); n += nd - dp;
+  }
+  return n;
+}
+
+// Parse a decimal integer; returns false on non-digit.
+inline bool parse_ll(const uint8_t* s, int64_t len, long long* out) {
+  if (len <= 0) return false;
+  bool neg = false;
+  int64_t k = 0;
+  if (s[0] == '-' || s[0] == '+') { neg = s[0] == '-'; k = 1; if (len == 1) return false; }
+  long long v = 0;
+  for (; k < len; k++) {
+    if (s[k] < '0' || s[k] > '9') return false;
+    v = v * 10 + (s[k] - '0');
+  }
+  *out = neg ? -v : v;
+  return true;
+}
+
+// Canonicalize one optional field (io/sam.py canonicalize_tag_field).
+// Returns bytes written, or -1 if the field is malformed.
+inline int canon_tag_field(const uint8_t* f, int64_t flen, uint8_t* out) {
+  if (flen < 5 || f[2] != ':' || f[4] != ':') return -1;
+  uint8_t typ = f[3];
+  const uint8_t* val = f + 5;
+  int64_t vlen = flen - 5;
+  int n = 0;
+  if (typ == 'A' || typ == 'Z') {
+    memcpy(out, f, (size_t)flen);
+    return (int)flen;
+  }
+  out[n++] = f[0]; out[n++] = f[1]; out[n++] = ':'; out[n++] = typ; out[n++] = ':';
+  if (typ == 'i') {
+    long long v;
+    if (!parse_ll(val, vlen, &v)) return -1;
+    n += put_i64(v, out + n);
+    return n;
+  }
+  if (typ == 'f') {
+    char tmp[64];
+    if (vlen <= 0 || vlen >= 60) return -1;
+    memcpy(tmp, val, (size_t)vlen);
+    tmp[vlen] = 0;
+    char* endp = nullptr;
+    float fv = strtof(tmp, &endp);
+    if (endp != tmp + vlen) return -1;
+    n += go_format_f32(fv, out + n);
+    return n;
+  }
+  if (typ == 'H') {
+    for (int64_t j = 0; j + 1 < vlen; j += 2) {
+      int hi, lo;
+      uint8_t c1 = val[j], c2 = val[j + 1];
+      if (c1 >= '0' && c1 <= '9') hi = c1 - '0';
+      else if (c1 >= 'a' && c1 <= 'f') hi = c1 - 'a' + 10;
+      else if (c1 >= 'A' && c1 <= 'F') hi = c1 - 'A' + 10;
+      else return -1;
+      if (c2 >= '0' && c2 <= '9') lo = c2 - '0';
+      else if (c2 >= 'a' && c2 <= 'f') lo = c2 - 'a' + 10;
+      else if (c2 >= 'A' && c2 <= 'F') lo = c2 - 'A' + 10;
+      else return -1;
+      static const char* hex = "0123456789abcdef";
+      out[n++] = (uint8_t)hex[hi];
+      out[n++] = (uint8_t)hex[lo];
+    }
+    return n;
+  }
+  if (typ == 'B') {
+    if (vlen < 1) return -1;
+    uint8_t sub = val[0];
+    out[n++] = sub;
+    int64_t p = 1;
+    while (p < vlen) {
+      if (val[p] != ',') return -1;
+      p++;
+      int64_t q = p;
+      while (q < vlen && val[q] != ',') q++;
+      if (sub == 'f') {
+        char tmp[64];
+        int64_t l = q - p;
+        if (l <= 0 || l >= 60) return -1;
+        memcpy(tmp, val + p, (size_t)l);
+        tmp[l] = 0;
+        char* endp = nullptr;
+        float fv = strtof(tmp, &endp);
+        if (endp != tmp + l) return -1;
+        out[n++] = ',';
+        n += go_format_f32(fv, out + n);
+      } else {
+        long long v;
+        if (!parse_ll(val + p, q - p, &v)) return -1;
+        long long w;
+        switch (sub) {
+          case 'c': w = (int8_t)v; break;
+          case 'C': w = (uint8_t)v; break;
+          // quirk: parsed as uint16, printed as int16
+          // (reference: sam/sam-files.go:263-272)
+          case 's': { long long u = v & 0xFFFF; w = u >= 0x8000 ? u - 0x10000 : u; break; }
+          case 'S': w = (uint16_t)v; break;
+          case 'i': w = (int32_t)v; break;
+          case 'I': w = (uint32_t)v; break;
+          default: return -1;
+        }
+        out[n++] = ',';
+        n += put_i64(w, out + n);
+      }
+      p = q;
+    }
+    return n;
+  }
+  return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Format n_rows alignment lines into out at out_offsets[i] slack slots;
+// writes actual per-row lengths to out_lens. Returns 0, or -(row+1) on a
+// row the caller must format via the Python fallback.
+long long sam_format_alignments(
+    const uint8_t* qname_flat, int64_t qname_width,
+    const int32_t* flag, const int32_t* rname_id, const int32_t* pos,
+    const int32_t* mapq,
+    const int32_t* cig_len_flat, const uint8_t* cig_op_flat,
+    const int64_t* cig_offsets,
+    const int32_t* rnext_id, const int32_t* pnext, const int32_t* tlen,
+    const uint8_t* seq_flat, const int64_t* seq_offsets,
+    const uint8_t* qual_flat, const int64_t* qual_offsets,
+    const uint8_t* tags_flat, const int64_t* tags_offsets,
+    const uint8_t* names_flat, const int64_t* names_offsets, int64_t n_names,
+    int64_t n_rows, uint8_t* out, const int64_t* out_offsets,
+    int64_t* out_lens, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  std::atomic<long long> err(0);
+  const int64_t CHUNK = 1024;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows || err.load()) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        uint8_t* o = out + out_offsets[i];
+        int64_t n = 0;
+        // QNAME (fixed-width, NUL-padded)
+        const uint8_t* q = qname_flat + i * qname_width;
+        int64_t ql = 0;
+        while (ql < qname_width && q[ql]) ql++;
+        memcpy(o + n, q, (size_t)ql); n += ql;
+        o[n++] = '\t';
+        n += put_i64(flag[i], o + n);
+        o[n++] = '\t';
+        int64_t rn = rname_id[i];
+        const uint8_t* rname = names_flat + names_offsets[rn];
+        int64_t rname_len = names_offsets[rn + 1] - names_offsets[rn];
+        memcpy(o + n, rname, (size_t)rname_len); n += rname_len;
+        o[n++] = '\t';
+        n += put_i64(pos[i], o + n);
+        o[n++] = '\t';
+        n += put_i64(mapq[i], o + n);
+        o[n++] = '\t';
+        int64_t c0 = cig_offsets[i], c1 = cig_offsets[i + 1];
+        if (c1 == c0) {
+          o[n++] = '*';
+        } else {
+          for (int64_t c = c0; c < c1; c++) {
+            n += put_i64(cig_len_flat[c], o + n);
+            o[n++] = cig_op_flat[c];
+          }
+        }
+        o[n++] = '\t';
+        int64_t xn = rnext_id[i];
+        const uint8_t* xname = names_flat + names_offsets[xn];
+        int64_t xname_len = names_offsets[xn + 1] - names_offsets[xn];
+        if (xname_len == 1 && (xname[0] == '=' || xname[0] == '*')) {
+          o[n++] = xname[0];
+        } else if (xname_len == rname_len &&
+                   memcmp(xname, rname, (size_t)rname_len) == 0) {
+          o[n++] = '=';
+        } else {
+          memcpy(o + n, xname, (size_t)xname_len); n += xname_len;
+        }
+        o[n++] = '\t';
+        n += put_i64(pnext[i], o + n);
+        o[n++] = '\t';
+        n += put_i64(tlen[i], o + n);
+        o[n++] = '\t';
+        int64_t s0 = seq_offsets[i], s1 = seq_offsets[i + 1];
+        memcpy(o + n, seq_flat + s0, (size_t)(s1 - s0)); n += s1 - s0;
+        o[n++] = '\t';
+        int64_t u0 = qual_offsets[i], u1 = qual_offsets[i + 1];
+        for (int64_t u = u0; u < u1; u++) o[n++] = (uint8_t)(qual_flat[u] + 33);
+        int64_t t0 = tags_offsets[i], t1 = tags_offsets[i + 1];
+        int64_t p = t0;
+        while (p < t1) {
+          int64_t fend = p;
+          while (fend < t1 && tags_flat[fend] != '\t') fend++;
+          o[n++] = '\t';
+          int w = canon_tag_field(tags_flat + p, fend - p, o + n);
+          if (w < 0) {
+            long long want = -(long long)(i + 1);
+            long long zero = 0;
+            err.compare_exchange_strong(zero, want);
+            return;
+          }
+          n += w;
+          p = fend + 1;
+        }
+        o[n++] = '\n';
+        out_lens[i] = n;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return err.load();
+}
+
+}  // extern "C"

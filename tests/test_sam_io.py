@@ -138,3 +138,42 @@ def test_select_and_concat():
     sub = batch.select(mask)
     assert len(sub) == 10
     assert sub.tags.row(0) == batch.tags.row(10)
+
+
+def test_native_formatter_matches_python_oracle():
+    """Native batch SAM formatter is byte-equal to the per-row Python
+    formatter across tag-type edge cases (f/H/B canonicalization quirks,
+    reference: sam/sam-files.go:452-598)."""
+    import numpy as np
+    from elprep_tpu import native
+    from elprep_tpu.io import sam as samio
+
+    if not native.available():
+        return
+    hdr = b"@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:chr1\tLN:10000\n@SQ\tSN:chr2\tLN:9000\n"
+    tagvals = [
+        b"XA:f:0.5", b"XB:f:.5", b"XC:f:1e5", b"XD:f:1e9", b"XE:f:-1e-7",
+        b"XF:f:3e38", b"XG:f:1e-45", b"XH:f:123456", b"XI:f:1234567",
+        b"XJ:f:0", b"XK:f:-0", b"XL:f:nan", b"XM:f:inf", b"XN:f:-inf",
+        b"XO:f:0.1", b"XP:f:33554432", b"XQ:i:007", b"XR:i:+42",
+        b"XS:i:-9999999", b"XT:A:z", b"XU:Z:hello world", b"XV:H:DEADbeef01",
+        b"XW:B:c,-3,7", b"XX:B:C,255,0", b"XY:B:s,40000,-3,32768",
+        b"XZ:B:S,65535,1", b"YA:B:i,-2147483648,5", b"YB:B:I,4294967295",
+        b"YC:B:f,1.5,.25,6e12", b"YD:f:2.5e-5", b"YE:f:9.999999e5",
+        b"YF:f:1000000", b"YG:f:999999.5",
+    ]
+    lines = []
+    for i in range(400):
+        t = tagvals[i % len(tagvals)]
+        rn = b"chr1" if i % 3 else b"chr2"
+        rx = [b"=", b"*", b"chr1", b"chr2"][i % 4]
+        lines.append(b"r%03d\t%d\t%s\t%d\t%d\t%dM\t%s\t%d\t%d\tACGT\tIIII\t%s\tZZ:Z:t"
+                     % (i, i % 4096, rn, i + 1, i % 256, 4, rx, i * 2 + 1, -i, t))
+    data = hdr + b"\n".join(lines) + b"\n"
+    _, b = samio.parse_sam(data)
+    fast = samio.format_alignments(b)  # n=400 engages the native path
+    pool = np.array(b.names, dtype=bytes)
+    slow = bytearray()
+    for i in range(len(b)):
+        slow += samio.format_alignment_line(b, i, pool)
+    assert bytes(slow) == fast
