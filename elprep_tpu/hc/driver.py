@@ -252,24 +252,45 @@ def trim_haplotype(h: Haplotype, span_start: int, span_end: int) -> Optional[Hap
 # ---------------------------------------------------------------------------
 
 
-def call_region(params: HCParams, region: AssemblyRegion,
-                incoming_deletions: List[Tuple[int, int]],
-                use_device_pairhmm: bool = True
-                ) -> Tuple[List[SingleVariant], List[Tuple[int, int]]]:
-    """Returns (variants, outgoing deletions). Variants are SingleVariants
-    (full or reduced reference blocks) in order."""
+class PendingRegion:
+    """A region that passed assembly/trimming and awaits PairHMM +
+    genotyping (the device stage between prepare_region and
+    genotype_region — pairs from many pendings share one dispatch)."""
+
+    __slots__ = ("region", "region_for_genotyping", "trimming", "haplotypes",
+                 "filtered_reads", "reads_in", "hap_bases", "hap_is_ref")
+
+    def __init__(self, region, region_for_genotyping, trimming, haplotypes,
+                 filtered_reads, reads_in, hap_bases, hap_is_ref):
+        self.region = region
+        self.region_for_genotyping = region_for_genotyping
+        self.trimming = trimming
+        self.haplotypes = haplotypes
+        self.filtered_reads = filtered_reads
+        self.reads_in = reads_in
+        self.hap_bases = hap_bases
+        self.hap_is_ref = hap_is_ref
+
+
+def prepare_region(params: HCParams, region: AssemblyRegion
+                   ) -> Tuple[Optional[List[SingleVariant]],
+                              Optional[PendingRegion]]:
+    """Host stage of call_region up to the PairHMM inputs: finalize,
+    assemble, trim. Returns (terminal_variants, None) when the region
+    exits through the reference model (deletions flow through
+    unchanged), else (None, pending)."""
     gvcf = params.confidence_mode != "NONE"
     variants: List[SingleVariant] = []
 
     def ref_model_exit(target_region: AssemblyRegion):
         if params.confidence_mode == "NONE":
-            return variants, incoming_deletions
+            return variants, None
         reference_model_for_no_variation(params, variants, target_region, gvcf)
-        return variants, incoming_deletions
+        return variants, None
 
     if not region.is_active or not region.reads:
         if params.confidence_mode == "NONE":
-            return variants, incoming_deletions
+            return variants, None
         finalize_assembly_region(region, params)
         return ref_model_exit(region)
     finalize_assembly_region(region, params)
@@ -328,13 +349,35 @@ def call_region(params: HCParams, region: AssemblyRegion,
     if not region_for_genotyping.reads:
         return ref_model_exit(region)
 
-    # PairHMM likelihoods (device) + cap/filter (ops/pairhmm.py)
     reads_in = [(r.seq, np.frombuffer(r.qual, np.uint8), r.mapq)
                 for r in region_for_genotyping.reads]
     hap_bases = [h.bases for h in haplotypes]
     hap_is_ref = [h.is_ref for h in haplotypes]
-    vals, keep = pairhmm.compute_read_likelihoods(
-        reads_in, hap_bases, hap_is_ref, use_device=use_device_pairhmm)
+    return None, PendingRegion(region, region_for_genotyping, trimming,
+                               haplotypes, filtered_reads, reads_in,
+                               hap_bases, hap_is_ref)
+
+
+def genotype_region(params: HCParams, pending: PendingRegion,
+                    vals: np.ndarray, keep: np.ndarray,
+                    incoming_deletions: List[Tuple[int, int]]
+                    ) -> Tuple[List[SingleVariant], List[Tuple[int, int]]]:
+    """Second stage of call_region: consume precomputed PairHMM
+    likelihoods, genotype, and emit variants + outgoing deletions."""
+    gvcf = params.confidence_mode != "NONE"
+    variants: List[SingleVariant] = []
+    region = pending.region
+    region_for_genotyping = pending.region_for_genotyping
+    trimming = pending.trimming
+    haplotypes = pending.haplotypes
+    filtered_reads = pending.filtered_reads
+
+    def ref_model_exit(target_region: AssemblyRegion):
+        if params.confidence_mode == "NONE":
+            return variants, incoming_deletions
+        reference_model_for_no_variation(params, variants, target_region, gvcf)
+        return variants, incoming_deletions
+
     kept_alns = [r for r, k in zip(region_for_genotyping.reads, keep) if k]
     likelihoods = ReadLikelihoods(haps=haplotypes, alns=kept_alns, values=vals)
 
@@ -378,6 +421,22 @@ def call_region(params: HCParams, region: AssemblyRegion,
             trim_region1(region, trimming.right_flank_start, trimming.right_flank_end,
                          region.extension), gvcf)
     return variants, outgoing
+
+
+def call_region(params: HCParams, region: AssemblyRegion,
+                incoming_deletions: List[Tuple[int, int]],
+                use_device_pairhmm: bool = True
+                ) -> Tuple[List[SingleVariant], List[Tuple[int, int]]]:
+    """Single-region prepare + PairHMM + genotype (reference:
+    callRegion, call-region.go:254-426). call_variants batches the
+    PairHMM stage across regions instead of calling this directly."""
+    terminal, pending = prepare_region(params, region)
+    if pending is None:
+        return terminal, incoming_deletions
+    vals, keep = pairhmm.compute_read_likelihoods(
+        pending.reads_in, pending.hap_bases, pending.hap_is_ref,
+        use_device=use_device_pairhmm)
+    return genotype_region(params, pending, vals, keep, incoming_deletions)
 
 
 # ---------------------------------------------------------------------------
@@ -536,25 +595,44 @@ def call_variants(
                 keep_states=activity_profile is not None)
             if assembly_regions_out is not None or activity_profile is not None:
                 _print_assembly_regions(assembly_regions_out, activity_profile, regions)
-            for region in regions:
-                region.reads, _ = aln_slice(region_reads, region.padded_start(),
-                                            region.padded_end(), max_ref_len,
-                                            positions=region_positions)
-                if prev_contig != contig:
-                    deletions = []
-                    prev_contig = contig
-                region_variants, deletions = call_region(
-                    params, region, deletions, use_device_pairhmm=use_device_pairhmm)
-                for sv in region_variants:
-                    if gvcf:
-                        out_variants = combiner.set_contig(out_variants, contig)
-                        out_variants = combiner.merge_variant(out_variants, sv)
+            # Regions are prepared (assembled/trimmed) in groups so all
+            # their PairHMM pairs share ONE device dispatch; genotyping
+            # then runs in order (the deletions side channel is serial,
+            # reference: side-channel.go:26-132).
+            GROUP = 16
+            for g0 in range(0, len(regions), GROUP):
+                group = regions[g0 : g0 + GROUP]
+                prepared = []
+                for region in group:
+                    region.reads, _ = aln_slice(region_reads, region.padded_start(),
+                                                region.padded_end(), max_ref_len,
+                                                positions=region_positions)
+                    prepared.append(prepare_region(params, region))
+                pendings = [p for _, p in prepared if p is not None]
+                likelihood_pairs = pairhmm.compute_read_likelihoods_multi(
+                    [(p.reads_in, p.hap_bases, p.hap_is_ref) for p in pendings],
+                    use_device=use_device_pairhmm)
+                results = iter(likelihood_pairs)
+                for region, (terminal, pending) in zip(group, prepared):
+                    if prev_contig != contig:
+                        deletions = []
+                        prev_contig = contig
+                    if pending is None:
+                        region_variants = terminal
                     else:
-                        if sv.full_variant is not None:
-                            out_variants.append(sv.full_variant)
+                        vals, keep = next(results)
+                        region_variants, deletions = genotype_region(
+                            params, pending, vals, keep, deletions)
+                    for sv in region_variants:
+                        if gvcf:
+                            out_variants = combiner.set_contig(out_variants, contig)
+                            out_variants = combiner.merge_variant(out_variants, sv)
                         else:
-                            out_variants.append(
-                                reference_variant_to_full(contig, reference, sv))
+                            if sv.full_variant is not None:
+                                out_variants.append(sv.full_variant)
+                            else:
+                                out_variants.append(
+                                    reference_variant_to_full(contig, reference, sv))
     if gvcf and combiner is not None:
         final = combiner.finalize()
         if final is not None:

@@ -327,8 +327,20 @@ def read_has_no_plausible_indels(cache: Dict[int, np.ndarray], params: HCParams,
         bits = cache[key]
         return bool(bits[read_start]) if read_start < len(bits) else False
     read_length = len(r.seq)
-    informative = np.zeros(read_length, bool)
     max_indel = params.indel_size_to_eliminate_in_ref_model
+
+    from .. import native
+
+    if native.available():
+        read_bases, read_quals = _bases_and_quals_one_to_one(r)
+        bits = native.refconf_informative(
+            read_bases, read_quals, read_start, ref, ref_index, padded_end,
+            read_length, max_indel, BASE_TO_MASK)
+        if bits is not None:
+            cache[key] = bits
+            return bool(bits[read_start]) if read_start < len(bits) else False
+
+    informative = np.zeros(read_length, bool)
     if read_length - read_start < max_indel or padded_end - ref_index < max_indel:
         cache[key] = informative
         return False

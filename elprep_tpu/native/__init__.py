@@ -336,3 +336,27 @@ def sam_format_alignments(qname, flag, rname_id, pos, mapq,
                          i64(ends).ctypes.data, final_off.ctypes.data,
                          n, final.ctypes.data, 0)
     return final
+
+
+def refconf_informative(read_bases: bytes, read_quals: bytes, read_start: int,
+                        ref: bytes, ref_index: int, padded_end: int,
+                        read_length: int, max_indel: int,
+                        base_mask: np.ndarray):
+    """Per-read informative-indel bitset (bool [read_length]) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "refconf_informative"):
+        return None
+    if not hasattr(lib, "_refconf_bound"):
+        lib.refconf_informative.restype = None
+        lib.refconf_informative.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib._refconf_bound = True
+    out = np.zeros(max(read_length, 1), np.uint8)
+    mask = np.ascontiguousarray(base_mask, dtype=np.int64)
+    lib.refconf_informative(
+        read_bases, len(read_bases), read_quals, read_start, ref, ref_index,
+        padded_end, read_length, max_indel, mask.ctypes.data, out.ctypes.data)
+    return out[:read_length].astype(bool)

@@ -812,3 +812,87 @@ long long sam_format_alignments(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reference-confidence informative-indel bitset
+// (reference: readHasNoPlausibleIndelsOfMaxIndelSize,
+// ref-confidence.go:137-200). Mirrors hc/refconf.py
+// read_has_no_plausible_indels for one read: the per-read bitset that
+// Python computes once and caches (first-call read_start quirk).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// base_mask: 256-entry IUPAC mask table. out: read_length bytes (0/1).
+void refconf_informative(
+    const uint8_t* read_bases, int64_t rb_len, const uint8_t* read_quals,
+    int64_t read_start, const uint8_t* ref, int64_t ref_index,
+    int64_t padded_end, int64_t read_length, int64_t max_indel,
+    const int64_t* base_mask, uint8_t* out) {
+  memset(out, 0, (size_t)read_length);
+  if (read_length - read_start < max_indel || padded_end - ref_index < max_indel)
+    return;
+  int64_t secondary_break = read_length - max_indel;
+  if (rb_len - read_start <= max_indel) return;
+  int64_t last_relevant = padded_end - ref_index + read_start + 1;
+  bool reference_was_shorter = rb_len >= last_relevant;
+  if (!reference_was_shorter) last_relevant = rb_len - max_indel;
+
+  // baseline mismatch suffix sums
+  int64_t n = rb_len - read_start;
+  if (padded_end - ref_index < n) n = padded_end - ref_index;
+  std::vector<int64_t> baseline((size_t)(n > 0 ? n : 0));
+  int64_t total = 0;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    uint8_t rb = read_bases[read_start + i];
+    uint8_t fb = ref[ref_index + i];
+    if ((base_mask[rb] & base_mask[fb]) == 0 && rb != '-')
+      total += read_quals[read_start + i];
+    baseline[(size_t)i] = total;
+  }
+
+  int64_t big_len = rb_len + 1 > read_length ? rb_len + 1 : read_length;
+  std::vector<uint8_t> info_big((size_t)big_len, 0);
+
+  auto traverse = [&](int64_t ins_len, int64_t del_len) {
+    int64_t global_cost = baseline.empty() ? 0 : baseline[0];
+    int64_t base_qual_sum = 0;
+    int64_t n_direct = rb_len - read_start - ins_len;
+    int64_t alt = padded_end - ref_index - del_len;
+    if (alt < n_direct) n_direct = alt;
+    int64_t read_off = n_direct + ins_len - 1;
+    int64_t ref_off = n_direct + del_len - 1;
+    while (read_off >= 0 && ref_off >= 0) {
+      uint8_t rb = read_bases[read_start + read_off];
+      uint8_t fb = ref[ref_index + ref_off];
+      if ((base_mask[rb] & base_mask[fb]) == 0 && rb != '-') {
+        base_qual_sum += read_quals[read_start + read_off];
+        if (base_qual_sum > global_cost) break;
+      }
+      int64_t site = read_off < ref_off ? read_off : ref_off;
+      if (read_bases[read_start + site] != '-' &&
+          read_start + site < last_relevant &&
+          read_start + site <= secondary_break &&
+          baseline[(size_t)site] >= base_qual_sum)
+        info_big[(size_t)(read_start + site)] = 1;
+      read_off--;
+      ref_off--;
+    }
+  };
+
+  for (int64_t sz = 1; sz <= max_indel; sz++) {
+    traverse(0, sz);
+    traverse(sz, 0);
+  }
+  if (last_relevant <= secondary_break) {
+    for (int64_t i = 0; i < last_relevant; i++) info_big[(size_t)i] ^= 1;
+    if (reference_was_shorter) info_big[(size_t)(last_relevant - 1)] = 0;
+  } else {
+    for (int64_t i = 0; i <= secondary_break; i++) info_big[(size_t)i] ^= 1;
+  }
+  int64_t out_n = read_length > 1 ? read_length : 1;
+  if (out_n > big_len) out_n = big_len;
+  memcpy(out, info_big.data(), (size_t)(out_n < read_length ? out_n : read_length));
+}
+
+}  // extern "C"

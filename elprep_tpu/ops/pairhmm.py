@@ -294,29 +294,31 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def pairhmm_f32_batch(
+def pairhmm_logl_pairs(
     reads: Sequence[Tuple[bytes, np.ndarray, int]],
     haps: Sequence[bytes],
+    pair_r: np.ndarray,
+    pair_h: np.ndarray,
 ) -> np.ndarray:
-    """log10 likelihoods [n_reads, n_haps]: f32 TPU wavefront with f64
-    host rescue for underflowing pairs. On a real TPU the Pallas kernel
-    (VMEM-resident state, one dispatch) handles the batch; elsewhere the
-    lax.scan formulation runs."""
+    """log10 likelihood per explicit (read, hap) pair — the cross-region
+    batch entry (pairs from many assembly regions share ONE device
+    dispatch). f32 wavefront with f64 host rescue. On a real TPU the
+    Pallas kernel runs; elsewhere the lax.scan formulation."""
     import jax
     import jax.numpy as jnp
 
+    B = len(pair_r)
+    if B == 0:
+        return np.zeros(0, np.float64)
+
     if jax.default_backend() == "tpu":
-        from .pairhmm_pallas import pairhmm_pallas_batch
+        from .pairhmm_pallas import pairhmm_pallas_pairs
 
-        return pairhmm_pallas_batch(reads, haps)
+        return pairhmm_pallas_pairs(reads, haps, pair_r, pair_h)
 
-    n_reads, n_haps = len(reads), len(haps)
-    if n_reads == 0 or n_haps == 0:
-        return np.zeros((n_reads, n_haps), np.float64)
-    # bucket padded shapes so regions share compiled programs
-    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 32)
-    lh_pad = _round_up(max(len(h) for h in haps), 128)
-    B = n_reads * n_haps
+    # bucket padded shapes so groups share compiled programs
+    lr_pad = _round_up(max(len(reads[r][1]) for r in pair_r), 32)
+    lh_pad = _round_up(max(len(haps[h]) for h in pair_h), 128)
     n = lr_pad + 1
     P = lr_pad + 2
 
@@ -330,32 +332,32 @@ def pairhmm_f32_batch(
     hap_len = np.zeros(B, np.int32)
     initial = np.zeros(B, np.float32)
 
-    per_read = []
-    for seq, qual, mapq in reads:
+    per_read: dict = {}
+    for r in set(int(v) for v in pair_r):
+        seq, qual, mapq = reads[r]
         m2m_a, m2i_a = match_probs_for_read(seq)
         mq = modified_qualities(qual, mapq)
         ep = tables.QUAL_TO_ERROR_PROB[mq]
-        per_read.append((np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0, m2m_a, m2i_a))
+        per_read[r] = (np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0, m2m_a, m2i_a)
 
-    for r in range(n_reads):
+    for b in range(B):
+        r, h = int(pair_r[b]), int(pair_h[b])
         seq_u8, mpa, nmpa, m2m_a, m2i_a = per_read[r]
         lr = len(seq_u8)
-        for h in range(n_haps):
-            b = r * n_haps + h
-            hap = np.frombuffer(haps[h], np.uint8)
-            lh = len(hap)
-            x[b, 1 : lr + 1] = seq_u8
-            mp[b, 1 : lr + 1] = mpa
-            nmp[b, 1 : lr + 1] = nmpa
-            m2m[b, 1 : lr + 1] = m2m_a
-            m2i[b, 1 : lr + 1] = m2i_a
-            # pack so that dynamic_slice start P+lh_pad-d yields
-            # hb[i] = hap[d-i-1] for THIS pair's length: shift by
-            # (lh_pad - lh)
-            hbp[b, P + (lh_pad - lh) : P + lh_pad] = hap[::-1]
-            read_len[b] = lr
-            hap_len[b] = lh
-            initial[b] = np.float32(2.0 ** F32_INITIAL_POW / lh)
+        hap = np.frombuffer(haps[h], np.uint8)
+        lh = len(hap)
+        x[b, 1 : lr + 1] = seq_u8
+        mp[b, 1 : lr + 1] = mpa
+        nmp[b, 1 : lr + 1] = nmpa
+        m2m[b, 1 : lr + 1] = m2m_a
+        m2i[b, 1 : lr + 1] = m2i_a
+        # pack so that dynamic_slice start P+lh_pad-d yields
+        # hb[i] = hap[d-i-1] for THIS pair's length: shift by
+        # (lh_pad - lh)
+        hbp[b, P + (lh_pad - lh) : P + lh_pad] = hap[::-1]
+        read_len[b] = lr
+        hap_len[b] = lh
+        initial[b] = np.float32(2.0 ** F32_INITIAL_POW / lh)
 
     acc = np.asarray(
         _pairhmm_f32_scan(
@@ -370,10 +372,23 @@ def pairhmm_f32_batch(
     # f64 rescue for underflow (GATK float->double strategy)
     bad = ~np.isfinite(out) | (out < F32_RESCUE_LOG10)
     for b in np.flatnonzero(bad):
-        r, h = divmod(int(b), n_haps)
-        seq, qual, mapq = reads[r]
-        out[b] = pairhmm_f64_diag(seq, qual, mapq, haps[h])
-    return out.reshape(n_reads, n_haps)
+        seq, qual, mapq = reads[int(pair_r[b])]
+        out[b] = pairhmm_f64_diag(seq, qual, mapq, haps[int(pair_h[b])])
+    return out
+
+
+def pairhmm_f32_batch(
+    reads: Sequence[Tuple[bytes, np.ndarray, int]],
+    haps: Sequence[bytes],
+) -> np.ndarray:
+    """log10 likelihoods [n_reads, n_haps] — full cross product of one
+    region (wrapper over :func:`pairhmm_logl_pairs`)."""
+    n_reads, n_haps = len(reads), len(haps)
+    if n_reads == 0 or n_haps == 0:
+        return np.zeros((n_reads, n_haps), np.float64)
+    pair_r = np.repeat(np.arange(n_reads), n_haps)
+    pair_h = np.tile(np.arange(n_haps), n_reads)
+    return pairhmm_logl_pairs(reads, haps, pair_r, pair_h).reshape(n_reads, n_haps)
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +414,15 @@ def compute_read_likelihoods(
             for r in range(n_reads):
                 seq, qual, mapq = reads[r]
                 vals[h, r] = pairhmm_f64_diag(seq, qual, mapq, haps[h])
+    return _cap_and_filter(vals, reads, hap_is_ref)
 
+
+def _cap_and_filter(vals: np.ndarray,
+                    reads: Sequence[Tuple[bytes, np.ndarray, int]],
+                    hap_is_ref: Sequence[bool]) -> Tuple[np.ndarray, np.ndarray]:
+    """Best-likelihood cap (pairhmm.go:297-316) + poorly-modeled-read
+    removal (pairhmm.go:318-334). vals is [n_haps, n_reads]."""
+    n_haps, n_reads = vals.shape
     if n_haps > 1:
         nonref = ~np.asarray(hap_is_ref, bool)
         if nonref.any():
@@ -414,3 +437,49 @@ def compute_read_likelihoods(
         threshold = max_errors * -4.0
         keep[r] = bool(np.any(vals[:, r] >= threshold))
     return vals[:, keep], keep
+
+
+def compute_read_likelihoods_multi(
+    workloads: Sequence[Tuple[Sequence[Tuple[bytes, np.ndarray, int]],
+                              Sequence[bytes], Sequence[bool]]],
+    use_device: bool = True,
+) -> list:
+    """Batched :func:`compute_read_likelihoods` over several assembly
+    regions: all (read, hap) pairs share ONE device dispatch (per-region
+    dispatch latency dominated HC wall time on high-latency links).
+    Returns a list of (values, keep) in workload order. Results are
+    identical to per-region calls — the wavefront kernel is
+    padding-invariant, so group-level shape buckets do not change any
+    pair's value."""
+    if not use_device:
+        return [compute_read_likelihoods(r, h, ref, use_device=False)
+                for r, h, ref in workloads]
+    all_reads: list = []
+    all_haps: list = []
+    pair_r: list = []
+    pair_h: list = []
+    spans = []
+    p_off = 0
+    for reads, haps, _ in workloads:
+        nr, nh = len(reads), len(haps)
+        r0, h0 = len(all_reads), len(all_haps)
+        all_reads.extend(reads)
+        all_haps.extend(haps)
+        for r in range(nr):
+            base = r0 + r
+            for h in range(nh):
+                pair_r.append(base)
+                pair_h.append(h0 + h)
+        spans.append((p_off, nr, nh))
+        p_off += nr * nh
+    logl = pairhmm_logl_pairs(all_reads, all_haps,
+                              np.asarray(pair_r, np.int64),
+                              np.asarray(pair_h, np.int64))
+    out = []
+    for (reads, haps, hap_is_ref), (off, nr, nh) in zip(workloads, spans):
+        if nr == 0 or nh == 0:
+            out.append((np.zeros((nh, 0), np.float64), np.zeros(nr, bool)))
+            continue
+        vals = logl[off : off + nr * nh].reshape(nr, nh).T.copy()
+        out.append(_cap_and_filter(vals, reads, hap_is_ref))
+    return out

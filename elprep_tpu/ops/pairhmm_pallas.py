@@ -140,22 +140,23 @@ def pairhmm_pallas(x, hbp, mp, nmp, m2m, m2i, rl, hl, init,
     )(x, hbp, mp, nmp, m2m, m2i, rl, hl, init)
 
 
-def pairhmm_pallas_batch(reads: Sequence[Tuple[bytes, np.ndarray, int]],
-                         haps: Sequence[bytes]) -> np.ndarray:
-    """Drop-in equivalent of ops.pairhmm.pairhmm_f32_batch using the
-    Pallas kernel (log10 likelihoods [n_reads, n_haps], f64 rescue)."""
+def pairhmm_pallas_pairs(reads: Sequence[Tuple[bytes, np.ndarray, int]],
+                         haps: Sequence[bytes],
+                         pair_r: np.ndarray,
+                         pair_h: np.ndarray) -> np.ndarray:
+    """log10 likelihood per explicit (read, hap) pair via the Pallas
+    kernel — pairs from many assembly regions share one dispatch."""
     from . import pairhmm as ph
 
-    n_reads, n_haps = len(reads), len(haps)
-    if n_reads == 0 or n_haps == 0:
-        return np.zeros((n_reads, n_haps), np.float64)
-    # bucket padded shapes so regions share compiled programs: coarse
+    B = len(pair_r)
+    if B == 0:
+        return np.zeros(0, np.float64)
+    # bucket padded shapes so groups share compiled programs: coarse
     # buckets keep the number of distinct kernels tiny across a run
-    lr_pad = _round_up(max(len(q) for _, q, _ in reads), 32)
-    lh_pad = _round_up(max(len(h) for h in haps), 128)
+    lr_pad = _round_up(max(len(reads[r][1]) for r in pair_r), 32)
+    lh_pad = _round_up(max(len(haps[h]) for h in pair_h), 128)
     n_pad = _round_up(lr_pad + 1, 8)
     pad_off = n_pad + 1
-    B = n_reads * n_haps
     B_pad = LANE
     while B_pad < B:
         B_pad *= 2
@@ -171,29 +172,30 @@ def pairhmm_pallas_batch(reads: Sequence[Tuple[bytes, np.ndarray, int]],
     hl = np.ones((1, B_pad), np.int32)
     init = np.ones((1, B_pad), np.float32)
 
-    per_read = []
-    for seq, qual, mapq in reads:
+    per_read: dict = {}
+    for r in set(int(v) for v in pair_r):
+        seq, qual, mapq = reads[r]
         m2m_a, m2i_a = ph.match_probs_for_read(seq)
         mq = ph.modified_qualities(qual, mapq)
         ep = ph.tables.QUAL_TO_ERROR_PROB[mq]
-        per_read.append((np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0,
-                         m2m_a, m2i_a))
-    for r in range(n_reads):
+        per_read[r] = (np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0,
+                       m2m_a, m2i_a)
+    hap_u8 = [np.frombuffer(h, np.uint8) for h in haps]
+    for b in range(B):
+        r, h = int(pair_r[b]), int(pair_h[b])
         seq_u8, mpa, nmpa, m2m_a, m2i_a = per_read[r]
         lr = len(seq_u8)
-        for h in range(n_haps):
-            b = r * n_haps + h
-            hap = np.frombuffer(haps[h], np.uint8)
-            lh = len(hap)
-            x[1 : lr + 1, b] = seq_u8
-            mp[1 : lr + 1, b] = mpa
-            nmp[1 : lr + 1, b] = nmpa
-            m2m[1 : lr + 1, b] = m2m_a
-            m2i[1 : lr + 1, b] = m2i_a
-            hbp[pad_off + (lh_pad - lh) : pad_off + lh_pad, b] = hap[::-1]
-            rl[0, b] = lr
-            hl[0, b] = lh
-            init[0, b] = np.float32(2.0 ** ph.F32_INITIAL_POW / lh)
+        hap = hap_u8[h]
+        lh = len(hap)
+        x[1 : lr + 1, b] = seq_u8
+        mp[1 : lr + 1, b] = mpa
+        nmp[1 : lr + 1, b] = nmpa
+        m2m[1 : lr + 1, b] = m2m_a
+        m2i[1 : lr + 1, b] = m2i_a
+        hbp[pad_off + (lh_pad - lh) : pad_off + lh_pad, b] = hap[::-1]
+        rl[0, b] = lr
+        hl[0, b] = lh
+        init[0, b] = np.float32(2.0 ** ph.F32_INITIAL_POW / lh)
 
     acc = np.asarray(pairhmm_pallas(
         jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mp), jnp.asarray(nmp),
@@ -205,7 +207,19 @@ def pairhmm_pallas_batch(reads: Sequence[Tuple[bytes, np.ndarray, int]],
         out = np.log10(acc[:B].astype(np.float64)) - log10_init
     bad = ~np.isfinite(out) | (out < ph.F32_RESCUE_LOG10)
     for b in np.flatnonzero(bad):
-        r, h = divmod(int(b), n_haps)
-        seq, qual, mapq = reads[r]
-        out[b] = ph.pairhmm_f64_diag(seq, qual, mapq, haps[h])
-    return out.reshape(n_reads, n_haps)
+        seq, qual, mapq = reads[int(pair_r[b])]
+        out[b] = ph.pairhmm_f64_diag(seq, qual, mapq, haps[int(pair_h[b])])
+    return out
+
+
+def pairhmm_pallas_batch(reads: Sequence[Tuple[bytes, np.ndarray, int]],
+                         haps: Sequence[bytes]) -> np.ndarray:
+    """Drop-in equivalent of ops.pairhmm.pairhmm_f32_batch using the
+    Pallas kernel (log10 likelihoods [n_reads, n_haps], f64 rescue)."""
+    n_reads, n_haps = len(reads), len(haps)
+    if n_reads == 0 or n_haps == 0:
+        return np.zeros((n_reads, n_haps), np.float64)
+    pair_r = np.repeat(np.arange(n_reads), n_haps)
+    pair_h = np.tile(np.arange(n_haps), n_reads)
+    return pairhmm_pallas_pairs(reads, haps, pair_r, pair_h
+                                ).reshape(n_reads, n_haps)

@@ -87,3 +87,62 @@ def test_vectorized_with_calls():
                    (w.location, w.dp, w.ad, w.pls, w.gq)
         else:
             assert g.full_variant is w.full_variant
+
+
+def test_native_informative_bits_match_python():
+    """Native refconf_informative matches the pure-Python bitset loop on
+    randomized reads/refs (reference: ref-confidence.go:137-200)."""
+    import random
+
+    import numpy as np
+
+    import elprep_tpu.native as nat
+    from elprep_tpu.hc import refconf
+    from elprep_tpu.hc.activity import make_hc_params
+
+    if not nat.available():
+        return
+    params = make_hc_params()
+
+    class R:
+        def __init__(self, seq, qual, cigar):
+            self.seq = seq
+            self.qual = qual
+            self.cigar = cigar
+
+    rng = random.Random(7)
+    bases = b"ACGT"
+    for _ in range(150):
+        n = rng.randrange(12, 160)
+        seq = bytes(rng.choice(bases) for _ in range(n))
+        qual = bytes(rng.randrange(2, 40) for _ in range(n))
+        cigar = []
+        left = n
+        while left > 0:
+            ln = min(left, rng.randrange(1, 60))
+            cigar.append((ln, rng.choice("MMMMIS")))
+            left -= ln
+            if rng.random() < 0.3:
+                cigar.append((rng.randrange(1, 5), "D"))
+        r = R(seq, qual, cigar)
+        ref = bytes(rng.choice(bases + b"N") for _ in range(400))
+        read_start = rng.randrange(0, max(1, n - 5))
+        ref_index = rng.randrange(0, 200)
+        padded_end = rng.randrange(ref_index + 1, 400)
+
+        cache_n = {}
+        got = refconf.read_has_no_plausible_indels(
+            cache_n, params, r, read_start, ref, ref_index, padded_end)
+        bits_n = cache_n[id(r)].copy()
+
+        orig = nat.available
+        nat.available = lambda: False
+        try:
+            cache_p = {}
+            got_p = refconf.read_has_no_plausible_indels(
+                cache_p, params, r, read_start, ref, ref_index, padded_end)
+            bits_p = cache_p[id(r)].copy()
+        finally:
+            nat.available = orig
+        assert got == got_p
+        assert np.array_equal(bits_n, bits_p)
