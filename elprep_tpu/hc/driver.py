@@ -50,6 +50,7 @@ from .genotyping import (
     realign_reads_to_best_haplotype,
 )
 from .refconf import (
+    RefRun,
     SingleVariant,
     VariantCombiner,
     calculate_ref_confidence,
@@ -414,7 +415,8 @@ def genotype_region(params: HCParams, pending: PendingRegion,
             trim_region1(region, trimming.left_flank_start, trimming.left_flank_end,
                          region.extension), gvcf)
     calculate_ref_confidence(params, variants, region_for_genotyping,
-                             likelihoods.alns, return_calls, gvcf)
+                             likelihoods.alns, return_calls, gvcf,
+                             as_runs=params.confidence_mode == "GVCF")
     if trimming.right_flank_end >= trimming.right_flank_start:
         reference_model_for_no_variation(
             params, variants,
@@ -626,7 +628,10 @@ def call_variants(
                     for sv in region_variants:
                         if gvcf:
                             out_variants = combiner.set_contig(out_variants, contig)
-                            out_variants = combiner.merge_variant(out_variants, sv)
+                            if isinstance(sv, RefRun):
+                                out_variants = combiner.merge_run(out_variants, sv)
+                            else:
+                                out_variants = combiner.merge_variant(out_variants, sv)
                         else:
                             if sv.full_variant is not None:
                                 out_variants.append(sv.full_variant)

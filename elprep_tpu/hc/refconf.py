@@ -495,7 +495,8 @@ def reference_model_for_no_variation(params: HCParams, variants: List[SingleVari
                                      gvcf_mode: bool) -> List[SingleVariant]:
     filter_non_passing_reads(region)
     return calculate_ref_confidence(params, variants, region, region.reads, None,
-                                    gvcf_mode)
+                                    gvcf_mode,
+                                    as_runs=params.confidence_mode == "GVCF")
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +587,81 @@ class VariantCombiner:
             return variants
         variants.append(self._finalize_block())
         self._init_block(sv)
+        return variants
+
+    def _emit_block(self, v_pos: int, v_end: int, dp_arr, pls_arr) -> Variant:
+        """Finalize a fully-contained block directly from arrays —
+        identical output to _finalize_block."""
+        dps = np.sort(np.asarray(dp_arr))
+        if len(dps) % 2 == 0:
+            half = len(dps) // 2
+            median_dp = int(_go_round((int(dps[half - 1]) + int(dps[half])) / 2))
+        else:
+            median_dp = int(dps[(len(dps) + 1) // 2 - 1])
+        min_pls = [int(x) for x in np.min(pls_arr, axis=0)]
+        g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
+        g.data["DP"] = median_dp
+        g.data["GQ"] = min(compute_gq(list(min_pls)), 99)
+        g.data["MIN_DP"] = int(dps[0])
+        g.data["PL"] = min_pls
+        v = Variant(chrom=self.contig, pos=v_pos, ref=chr(self.ref[v_pos - 1]),
+                    alt=[NON_REF], genotype_format=list(NO_VARIATION_FORMAT_GVCF),
+                    genotypes=[g])
+        v.info["END"] = v_end
+        return v
+
+    def merge_run(self, variants: List[Variant], run) -> List[Variant]:
+        """Vectorized merge of a contiguous reference run: equivalent to
+        calling merge_variant per position (variant-combiner.go:141-263),
+        but band splits are computed array-wise."""
+        pos0 = int(run.pos0)
+        n = len(run)
+        i = 0
+        if self.next_start >= pos0:  # skip positions covered by a prior call
+            i = min(n, self.next_start - pos0 + 1)
+        if i >= n:
+            return variants
+        gq = np.minimum(run.gq[i:], 99)
+        dp = run.dp[i:]
+        pls = run.pls[i:]
+        pos_first = pos0 + i
+        m = len(gq)
+        j = 0
+        if not self.first:
+            if pos_first != self.v_end + 1:
+                variants.append(self._finalize_block())
+                self.first = True
+            else:
+                in_band = (gq >= self.min_gq) & (gq < self.max_gq)
+                ext = m if bool(in_band.all()) else int(np.argmin(in_band))
+                if ext:
+                    self.v_end += ext
+                    self.dps.extend(int(x) for x in dp[:ext])
+                    self.min_pls = [min(a, int(b)) for a, b in
+                                    zip(self.min_pls, np.min(pls[:ext], axis=0))]
+                j = ext
+                if j >= m:
+                    return variants
+                variants.append(self._finalize_block())
+                self.first = True
+        bands = self.params.gq_bands
+        band_idx = np.searchsorted(bands, gq, side="right")
+        changes = np.flatnonzero(np.diff(band_idx[j:]) != 0) + 1 + j
+        starts = np.concatenate([[j], changes])
+        ends = np.concatenate([changes, [m]])
+        for a, b in zip(starts, ends):
+            a, b = int(a), int(b)
+            if b < m:
+                variants.append(self._emit_block(pos_first + a, pos_first + b - 1,
+                                                 dp[a:b], pls[a:b]))
+            else:  # trailing band run stays open for the next merge
+                self.first = False
+                self.v_pos = pos_first + a
+                self.v_end = pos_first + b - 1
+                self.v_ref = chr(self.ref[self.v_pos - 1])
+                self.dps = [int(x) for x in dp[a:b]]
+                self.min_pls = [int(x) for x in np.min(pls[a:b], axis=0)]
+                self.min_gq, self.max_gq = self._find_gq_band(int(gq[a]))
         return variants
 
     def finalize(self) -> Optional[Variant]:
@@ -683,10 +759,37 @@ def _expand_refconf_elements(reads: List[ClipRead], low: int, high: int):
     return {k: v[order] for k, v in flat.items()}
 
 
+class RefRun:
+    """A contiguous run of reference-model positions in array form.
+
+    Produced by calculate_ref_confidence(as_runs=True) so the GVCF
+    combiner can band-split whole runs vectorized instead of merging
+    2M single positions through Python objects
+    (reference: variant-combiner.go:141-263)."""
+
+    __slots__ = ("pos0", "dp", "ad_ref", "ad_nonref", "pls", "gq")
+
+    def __init__(self, pos0, dp, ad_ref, ad_nonref, pls, gq):
+        self.pos0 = pos0
+        self.dp = dp
+        self.ad_ref = ad_ref
+        self.ad_nonref = ad_nonref
+        self.pls = pls
+        self.gq = gq
+
+    @property
+    def full_variant(self):  # duck-typing parity with SingleVariant
+        return None
+
+    def __len__(self) -> int:
+        return len(self.gq)
+
+
 def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
                              region: AssemblyRegion, reads: List[ClipRead],
                              calls: Optional[List[Variant]],
-                             gvcf_mode: bool) -> List[SingleVariant]:
+                             gvcf_mode: bool,
+                             as_runs: bool = False) -> List[SingleVariant]:
     """Vectorized calculateRefConfidence (ref-confidence.go:266-361)."""
     ref = region.reference
     padded_end = region.padded_end()
@@ -818,6 +921,20 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
     gq = np.minimum(pls_sorted[:, 1] - pls_sorted[:, 0], 99)
 
     dp_arr = ref_depth + nonref_depth
+    if as_runs:
+        subs = np.flatnonzero(exact_sub >= 0)
+        seg_start = 0
+        def emit_run(a: int, b: int) -> None:
+            if b > a:
+                variants.append(RefRun(low + a, dp_arr[a:b], ref_depth[a:b],
+                                       nonref_depth[a:b], pls[a:b], gq[a:b]))
+        for p in subs:
+            p = int(p)
+            emit_run(seg_start, p)
+            variants.append(SingleVariant(full_variant=calls[exact_sub[p]]))
+            seg_start = p + 1
+        emit_run(seg_start, n_pos)
+        return variants
     for p in range(n_pos):
         k = exact_sub[p]
         if k >= 0:

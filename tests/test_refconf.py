@@ -146,3 +146,47 @@ def test_native_informative_bits_match_python():
             nat.available = orig
         assert got == got_p
         assert np.array_equal(bits_n, bits_p)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_merge_run_matches_merge_variant(seed):
+    """RefRun vectorized banding == per-position merge_variant
+    (variant-combiner.go:141-263)."""
+    rng = np.random.RandomState(seed)
+    ref = rng.choice(_BASES, 1200).tobytes()
+    reads = _mk_reads(rng, ref, 60)
+    params = make_hc_params("GVCF")
+    from elprep_tpu.io.vcf import Variant
+
+    calls = [Variant(chrom="c1", pos=300, ref=ref[299:304].decode(), alt=["A"]),
+             Variant(chrom="c1", pos=500, ref="A", alt=["T"])]
+    region = AssemblyRegion(contig="c1", reference=ref, reads=list(reads),
+                            start=100, end=900, extension=100,
+                            contig_length=len(ref))
+    per_pos = refconf.calculate_ref_confidence(params, [], region, list(reads),
+                                               calls, True)
+    runs = refconf.calculate_ref_confidence(params, [], region, list(reads),
+                                            calls, True, as_runs=True)
+    assert any(isinstance(x, refconf.RefRun) for x in runs)
+
+    def combine(svs):
+        comb = refconf.VariantCombiner(params, lambda c: ref)
+        out = []
+        for sv in svs:
+            out = comb.set_contig(out, "c1")
+            if isinstance(sv, refconf.RefRun):
+                out = comb.merge_run(out, sv)
+            else:
+                out = comb.merge_variant(out, sv)
+        fin = comb.finalize()
+        if fin is not None:
+            out.append(fin)
+        return out
+
+    a, b = combine(per_pos), combine(runs)
+    assert len(a) == len(b)
+    for va, vb in zip(a, b):
+        assert (va.chrom, va.pos, va.ref, va.alt) == (vb.chrom, vb.pos, vb.ref, vb.alt)
+        assert va.info.get("END") == vb.info.get("END")
+        if va.genotypes and va.genotypes[0].data:
+            assert va.genotypes[0].data == vb.genotypes[0].data
