@@ -284,8 +284,169 @@ def expand_elements(reads: List[ClipRead], low: int, high: int):
     """Per-(read, refpos) element table for positions in [low, high).
 
     Returns dict of flat arrays sorted by (refpos, read order):
-    refpos, read_idx, qual_eff, is_del, alt, next_to_sc, keep (adaptor),
-    hq_clips (per element, read-level count).
+    refpos, read_idx, qual_eff, base, is_del, alt, next_to_sc,
+    keep (adaptor), hq_clips (per element, read-level count).
+
+    Vectorized: a light prepass collects one scalar descriptor per
+    (read, ref-consuming cigar op) segment, then ALL elements expand in
+    a handful of numpy ops (np.repeat + flat gathers). Equivalent to
+    the per-op loop `_expand_elements_py` below (kept as the oracle)."""
+    seg = {k: [] for k in ("ridx", "off0", "off1", "loc", "bi", "op", "oplen",
+                           "pc", "nc", "pg", "ng", "hq", "keep_mode", "bound")}
+    flat_seq_parts: List[bytes] = []
+    flat_qual_parts: List[bytes] = []
+    seq_off: List[int] = []
+    qual_off: List[int] = []
+    seq_len: List[int] = []
+    qual_len: List[int] = []
+    so = qo = 0
+    n_used = 0
+    for ridx, r in enumerate(reads):
+        if r.pos >= high:
+            break
+        n_used = ridx + 1
+        flat_seq_parts.append(r.seq if len(r.seq) else b"\x00")
+        flat_qual_parts.append(r.qual if len(r.qual) else b"\x00")
+        seq_off.append(so)
+        qual_off.append(qo)
+        seq_len.append(len(r.seq))
+        qual_len.append(len(r.qual))
+        so += max(len(r.seq), 1)
+        qo += max(len(r.qual), 1)
+        hq = count_high_quality_soft_clips(r)
+        if r.tlen > 100:
+            keep_mode, bound = 0, 0
+        else:
+            boundary, _, well = compute_adaptor_boundary(r)
+            if not well:
+                keep_mode, bound = 0, 0
+            else:
+                keep_mode = 1 if r.is_reversed() else 2  # 1: pos>b, 2: pos<b
+                bound = boundary
+        n_ops = len(r.cigar)
+        # per-op previous/next on-genome op chars, two sweeps
+        prev_g = [0] * n_ops
+        next_g = [0] * n_ops
+        g = 0
+        for ci in range(n_ops):
+            prev_g[ci] = g
+            if r.cigar[ci][1] in _GENOME_OPS:
+                g = ord(r.cigar[ci][1])
+        g = 0
+        for ci in range(n_ops - 1, -1, -1):
+            next_g[ci] = g
+            if r.cigar[ci][1] in _GENOME_OPS:
+                g = ord(r.cigar[ci][1])
+        base_index = 0
+        loc = r.pos
+        for ci, (length, op) in enumerate(r.cigar):
+            if op in "HP":
+                continue
+            if op in "IS":
+                base_index += length
+                continue
+            if op not in _GENOME_OPS and op != "N":
+                raise ValueError(f"invalid cigar op {op}")
+            s = max(loc, low)
+            e = min(loc + length, high)
+            if e > s:
+                seg["ridx"].append(ridx)
+                seg["off0"].append(s - loc)
+                seg["off1"].append(e - loc)
+                seg["loc"].append(loc)
+                seg["bi"].append(base_index)
+                seg["op"].append(ord(op))
+                seg["oplen"].append(length)
+                seg["pc"].append(ord(r.cigar[ci - 1][1]) if ci > 0 else 0)
+                seg["nc"].append(ord(r.cigar[ci + 1][1]) if ci + 1 < n_ops else 0)
+                seg["pg"].append(prev_g[ci])
+                seg["ng"].append(next_g[ci])
+                seg["hq"].append(hq)
+                seg["keep_mode"].append(keep_mode)
+                seg["bound"].append(bound)
+            loc += length
+            if op in "M=X":
+                base_index += length
+
+    if not seg["ridx"]:
+        z = np.zeros(0, np.int64)
+        return dict(refpos=z, read_idx=z, qual=z, base=z, alt=np.zeros(0, bool),
+                    is_del=np.zeros(0, bool), next_to_sc=np.zeros(0, bool),
+                    keep=np.zeros(0, bool), hq=z)
+
+    sa = {k: np.asarray(v, np.int64) for k, v in seg.items()}
+    lens = sa["off1"] - sa["off0"]
+    total = int(lens.sum())
+    sid = np.repeat(np.arange(len(lens)), lens)
+    cum0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    within = np.arange(total, dtype=np.int64) - cum0[sid]
+    elem_off = sa["off0"][sid] + within          # offset within the op
+    positions = sa["loc"][sid] + elem_off
+    op_c = sa["op"][sid]
+    oplen = sa["oplen"][sid]
+    first_of_op = elem_off == 0
+    last_of_op = elem_off == oplen - 1
+    is_match_elem = (op_c == ord("M")) | (op_c == ord("=")) | (op_c == ord("X"))
+    is_del_elem = op_c == ord("D")
+    is_n_elem = op_c == ord("N")
+
+    ridx_e = sa["ridx"][sid]
+    flat_seq = np.frombuffer(b"".join(flat_seq_parts), np.uint8)
+    flat_qual = np.frombuffer(b"".join(flat_qual_parts), np.uint8)
+    seq_off_a = np.asarray(seq_off, np.int64)
+    qual_off_a = np.asarray(qual_off, np.int64)
+    seq_len_a = np.asarray(seq_len, np.int64)
+    qual_len_a = np.asarray(qual_len, np.int64)
+
+    bidx = np.where(is_match_elem, sa["bi"][sid] + elem_off, sa["bi"][sid] - 1)
+    sl = seq_len_a[ridx_e]
+    ql = qual_len_a[ridx_e]
+    b_safe = np.clip(bidx, 0, np.maximum(sl - 1, 0))
+    q_safe = np.clip(bidx, 0, np.maximum(ql - 1, 0))
+    bases = flat_seq[seq_off_a[ridx_e] + b_safe].astype(np.int64)
+    quals = flat_qual[qual_off_a[ridx_e] + q_safe].astype(np.int64)
+    bases[sl == 0] = 0
+    quals[ql == 0] = 0
+
+    prev_char = np.where(first_of_op, sa["pc"][sid], op_c)
+    next_char = np.where(last_of_op, sa["nc"][sid], op_c)
+    prev_gen = np.where(is_n_elem, sa["pg"][sid],
+                        np.where(first_of_op, sa["pg"][sid], op_c))
+    next_gen = np.where(is_n_elem, sa["ng"][sid],
+                        np.where(last_of_op, sa["ng"][sid], op_c))
+
+    qual_eff = np.where(is_del_elem, 30, quals)
+    alt = (
+        is_del_elem
+        | (prev_char == ord("I")) | (prev_char == ord("S"))
+        | (next_char == ord("I")) | (next_char == ord("S"))
+        | (prev_gen == ord("D")) | (next_gen == ord("D"))
+    )
+    next_to_sc = (prev_char == ord("S")) | (next_char == ord("S"))
+    km = sa["keep_mode"][sid]
+    bd = sa["bound"][sid]
+    keep = np.where(km == 0, True,
+                    np.where(km == 1, positions > bd, positions < bd))
+
+    order = np.lexsort((ridx_e, positions))
+    return dict(
+        refpos=positions[order],
+        read_idx=ridx_e[order],
+        qual=qual_eff[order],
+        base=bases[order],
+        alt=alt[order],
+        is_del=is_del_elem[order],
+        next_to_sc=next_to_sc[order],
+        keep=keep[order],
+        hq=sa["hq"][sid][order],
+    )
+
+
+def _expand_elements_py(reads: List[ClipRead], low: int, high: int):
+    """Per-(read, refpos) element table for positions in [low, high).
+
+    Reference-shaped per-op loop — retained as the oracle for the
+    vectorized expand_elements above.
     """
     refpos_l: List[np.ndarray] = []
     read_idx_l: List[np.ndarray] = []
@@ -475,7 +636,7 @@ def compute_activity(reads: List[ClipRead], reference: bytes, low: int, high: in
     el = expand_elements(reads, low, high)
     if len(el["refpos"]) == 0:
         return is_active, hq_mean
-    bases = _expand_bases(reads, low, high)
+    bases = el["base"]
 
     keep = el["keep"]
     qual = el["qual"]

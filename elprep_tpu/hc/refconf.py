@@ -682,7 +682,129 @@ for _c in b"MDN=XS":
 
 def _expand_refconf_elements(reads: List[ClipRead], low: int, high: int):
     """Flat (read, refpos) table with refconf-specific fields, sorted by
-    (refpos, read order)."""
+    (refpos, read order). Vectorized like activity.expand_elements: one
+    scalar descriptor per (read, ref-consuming op) segment, then a flat
+    numpy expansion; `_expand_refconf_elements_py` below is the oracle."""
+    seg = {k: [] for k in ("ridx", "off0", "off1", "loc", "bi", "op", "oplen",
+                           "refs_cum", "next_di", "keep_mode", "bound")}
+    flat_seq_parts: List[bytes] = []
+    flat_qual_parts: List[bytes] = []
+    seq_off: List[int] = []
+    qual_off: List[int] = []
+    seq_len: List[int] = []
+    qual_len: List[int] = []
+    so = qo = 0
+    for ridx, r in enumerate(reads):
+        if r.pos >= high:
+            break
+        flat_seq_parts.append(r.seq if len(r.seq) else b"\x00")
+        flat_qual_parts.append(r.qual if len(r.qual) else b"\x00")
+        seq_off.append(so)
+        qual_off.append(qo)
+        seq_len.append(len(r.seq))
+        qual_len.append(len(r.qual))
+        so += max(len(r.seq), 1)
+        qo += max(len(r.qual), 1)
+        if r.tlen > 100:
+            keep_mode, bound = 0, 0
+        else:
+            boundary, _, well = compute_adaptor_boundary(r)
+            if not well:
+                keep_mode, bound = 0, 0
+            else:
+                keep_mode = 1 if r.is_reversed() else 2  # 1: pos>b, 2: pos<b
+                bound = boundary
+        base_index = 0
+        loc = r.pos
+        refs_cum = 0
+        n_ops = len(r.cigar)
+        for ci, (length, op) in enumerate(r.cigar):
+            if op in "HP":
+                continue
+            if op == "I":
+                base_index += length
+                continue
+            if op == "S":
+                base_index += length
+                refs_cum += length
+                continue
+            s_ = max(loc, low)
+            e_ = min(loc + length, high)
+            if e_ > s_:
+                seg["ridx"].append(ridx)
+                seg["off0"].append(s_ - loc)
+                seg["off1"].append(e_ - loc)
+                seg["loc"].append(loc)
+                seg["bi"].append(base_index)
+                seg["op"].append(ord(op))
+                seg["oplen"].append(length)
+                seg["refs_cum"].append(refs_cum)
+                seg["next_di"].append(
+                    1 if (ci + 1 < n_ops and r.cigar[ci + 1][1] in "DI") else 0)
+                seg["keep_mode"].append(keep_mode)
+                seg["bound"].append(bound)
+            loc += length
+            refs_cum += length
+            if op in "M=X":
+                base_index += length
+
+    if not seg["ridx"]:
+        return None
+    sa = {k: np.asarray(v, np.int64) for k, v in seg.items()}
+    lens = sa["off1"] - sa["off0"]
+    total = int(lens.sum())
+    sid = np.repeat(np.arange(len(lens)), lens)
+    cum0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    within = np.arange(total, dtype=np.int64) - cum0[sid]
+    elem_off = sa["off0"][sid] + within
+    positions = sa["loc"][sid] + elem_off
+    op_c = sa["op"][sid]
+    is_match_elem = (op_c == ord("M")) | (op_c == ord("=")) | (op_c == ord("X"))
+    is_del_elem = op_c == ord("D")
+
+    ridx_e = sa["ridx"][sid]
+    flat_seq = np.frombuffer(b"".join(flat_seq_parts), np.uint8)
+    flat_qual = np.frombuffer(b"".join(flat_qual_parts), np.uint8)
+    seq_off_a = np.asarray(seq_off, np.int64)
+    qual_off_a = np.asarray(qual_off, np.int64)
+    seq_len_a = np.asarray(seq_len, np.int64)
+    qual_len_a = np.asarray(qual_len, np.int64)
+
+    # D/N elements read the base before the op (clamped at 0)
+    bidx = np.where(is_match_elem, sa["bi"][sid] + elem_off,
+                    np.maximum(sa["bi"][sid] - 1, 0))
+    sl = seq_len_a[ridx_e]
+    ql = qual_len_a[ridx_e]
+    bases = flat_seq[seq_off_a[ridx_e] + np.clip(bidx, 0, np.maximum(sl - 1, 0))
+                     ].astype(np.int64)
+    quals = flat_qual[qual_off_a[ridx_e] + np.clip(bidx, 0, np.maximum(ql - 1, 0))
+                      ].astype(np.int64)
+    bases[sl == 0] = 0
+    quals[ql == 0] = 0
+
+    qual_eff = np.where(is_del_elem, 30, quals)
+    cand = ~is_del_elem & ~((sa["next_di"][sid] == 1)
+                            & (elem_off == sa["oplen"][sid] - 1))
+    refs_off = sa["refs_cum"][sid] + elem_off
+    km = sa["keep_mode"][sid]
+    bd = sa["bound"][sid]
+    keep = np.where(km == 0, True,
+                    np.where(km == 1, positions > bd, positions < bd))
+    order = np.lexsort((ridx_e, positions))
+    return dict(
+        refpos=positions[order],
+        read_idx=ridx_e[order],
+        qual=qual_eff[order],
+        base=bases[order],
+        is_del=is_del_elem[order],
+        keep=keep[order],
+        cand=cand[order],
+        refs_off=refs_off[order],
+    )
+
+
+def _expand_refconf_elements_py(reads: List[ClipRead], low: int, high: int):
+    """Per-op loop oracle for the vectorized _expand_refconf_elements."""
     cols = {k: [] for k in ("refpos", "read_idx", "qual", "base", "is_del",
                             "keep", "cand", "refs_off")}
     for ridx, r in enumerate(reads):

@@ -144,3 +144,48 @@ def test_downsampler_caps_reads_per_start():
     reads = [_read(5, b"ACGTACGTAC", qname=b"r%d" % i) for i in range(120)]
     out = activity.downsample(reads, params)
     assert len(out) == params.max_reads_per_alignment_start
+
+
+def test_vectorized_expand_elements_matches_oracle():
+    """Vectorized expand_elements == per-op loop oracle on randomized
+    reads with M/I/S/X/=/D/N cigars (reference: pileup.go:88-405)."""
+    import random
+
+    import numpy as np
+
+    from elprep_tpu.filters.clipping import ClipRead
+    from elprep_tpu.hc import activity
+
+    rng = random.Random(11)
+    bases = b"ACGT"
+
+    def mk_read(pos):
+        n = rng.randrange(20, 140)
+        seq = bytes(rng.choice(bases) for _ in range(n))
+        qual = bytes(rng.randrange(2, 41) for _ in range(n))
+        cigar = []
+        left = n
+        while left > 0:
+            ln = min(left, rng.randrange(1, 50))
+            cigar.append((ln, rng.choice("MMMMMISX=")))
+            left -= ln
+            if rng.random() < 0.4:
+                cigar.append((rng.randrange(1, 6), rng.choice("DDN")))
+        return ClipRead(
+            flag=rng.choice([0x63, 0x93, 0x53, 0xA3]), pos=pos,
+            pnext=pos + rng.randrange(-80, 80),
+            tlen=rng.choice([0, 50, 150, -150, 200]), mapq=60, cigar=cigar,
+            seq=seq, qual=qual, rname=b"c1", rnext=b"=", qname=b"q")
+
+    for _ in range(40):
+        reads = sorted((mk_read(rng.randrange(1, 800))
+                        for _ in range(rng.randrange(1, 25))),
+                       key=lambda r: r.pos)
+        low, high = 100, 100 + rng.randrange(50, 700)
+        a = activity.expand_elements(reads, low, high)
+        b = activity._expand_elements_py(reads, low, high)
+        bb = activity._expand_bases(reads, low, high)
+        for k in ("refpos", "read_idx", "qual", "alt", "is_del",
+                  "next_to_sc", "keep", "hq"):
+            assert np.array_equal(a[k], b[k]), k
+        assert np.array_equal(a["base"], bb)

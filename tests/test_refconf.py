@@ -190,3 +190,45 @@ def test_merge_run_matches_merge_variant(seed):
         assert va.info.get("END") == vb.info.get("END")
         if va.genotypes and va.genotypes[0].data:
             assert va.genotypes[0].data == vb.genotypes[0].data
+
+
+def test_vectorized_refconf_expansion_matches_oracle():
+    """Vectorized _expand_refconf_elements == per-op loop oracle on
+    randomized cigars (reference: ref-confidence.go:266-361)."""
+    import random
+
+    from elprep_tpu.filters.clipping import ClipRead
+
+    rng = random.Random(13)
+    bases = b"ACGT"
+
+    def mk_read(pos):
+        n = rng.randrange(20, 140)
+        seq = bytes(rng.choice(bases) for _ in range(n))
+        qual = bytes(rng.randrange(2, 41) for _ in range(n))
+        cigar = []
+        left = n
+        while left > 0:
+            ln = min(left, rng.randrange(1, 50))
+            cigar.append((ln, rng.choice("MMMMMISX=")))
+            left -= ln
+            if rng.random() < 0.4:
+                cigar.append((rng.randrange(1, 6), rng.choice("DDN")))
+        return ClipRead(
+            flag=rng.choice([0x63, 0x93, 0x53, 0xA3]), pos=pos,
+            pnext=pos + rng.randrange(-80, 80),
+            tlen=rng.choice([0, 50, 150, -150, 200]), mapq=60, cigar=cigar,
+            seq=seq, qual=qual, rname=b"c1", rnext=b"=", qname=b"q")
+
+    for _ in range(40):
+        reads = sorted((mk_read(rng.randrange(1, 800))
+                        for _ in range(rng.randrange(1, 25))),
+                       key=lambda r: r.pos)
+        low, high = 100, 100 + rng.randrange(50, 700)
+        a = refconf._expand_refconf_elements(reads, low, high)
+        b = refconf._expand_refconf_elements_py(reads, low, high)
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        for k in a:
+            assert np.array_equal(a[k], b[k]), k
