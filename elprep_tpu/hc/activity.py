@@ -291,8 +291,9 @@ def expand_elements(reads: List[ClipRead], low: int, high: int):
     (read, ref-consuming cigar op) segment, then ALL elements expand in
     a handful of numpy ops (np.repeat + flat gathers). Equivalent to
     the per-op loop `_expand_elements_py` below (kept as the oracle)."""
-    seg = {k: [] for k in ("ridx", "off0", "off1", "loc", "bi", "op", "oplen",
-                           "pc", "nc", "pg", "ng", "hq", "keep_mode", "bound")}
+    seg_rows: List[tuple] = []
+    _SEG_KEYS = ("ridx", "off0", "off1", "loc", "bi", "op", "oplen",
+                 "pc", "nc", "pg", "ng", "hq", "keep_mode", "bound")
     flat_seq_parts: List[bytes] = []
     flat_qual_parts: List[bytes] = []
     seq_off: List[int] = []
@@ -350,31 +351,23 @@ def expand_elements(reads: List[ClipRead], low: int, high: int):
             s = max(loc, low)
             e = min(loc + length, high)
             if e > s:
-                seg["ridx"].append(ridx)
-                seg["off0"].append(s - loc)
-                seg["off1"].append(e - loc)
-                seg["loc"].append(loc)
-                seg["bi"].append(base_index)
-                seg["op"].append(ord(op))
-                seg["oplen"].append(length)
-                seg["pc"].append(ord(r.cigar[ci - 1][1]) if ci > 0 else 0)
-                seg["nc"].append(ord(r.cigar[ci + 1][1]) if ci + 1 < n_ops else 0)
-                seg["pg"].append(prev_g[ci])
-                seg["ng"].append(next_g[ci])
-                seg["hq"].append(hq)
-                seg["keep_mode"].append(keep_mode)
-                seg["bound"].append(bound)
+                seg_rows.append((
+                    ridx, s - loc, e - loc, loc, base_index, ord(op), length,
+                    ord(r.cigar[ci - 1][1]) if ci > 0 else 0,
+                    ord(r.cigar[ci + 1][1]) if ci + 1 < n_ops else 0,
+                    prev_g[ci], next_g[ci], hq, keep_mode, bound))
             loc += length
             if op in "M=X":
                 base_index += length
 
-    if not seg["ridx"]:
+    if not seg_rows:
         z = np.zeros(0, np.int64)
         return dict(refpos=z, read_idx=z, qual=z, base=z, alt=np.zeros(0, bool),
                     is_del=np.zeros(0, bool), next_to_sc=np.zeros(0, bool),
                     keep=np.zeros(0, bool), hq=z)
 
-    sa = {k: np.asarray(v, np.int64) for k, v in seg.items()}
+    seg_mat = np.array(seg_rows, np.int64)
+    sa = {k: seg_mat[:, i] for i, k in enumerate(_SEG_KEYS)}
     lens = sa["off1"] - sa["off0"]
     total = int(lens.sum())
     sid = np.repeat(np.arange(len(lens)), lens)

@@ -647,21 +647,53 @@ class VariantCombiner:
         bands = self.params.gq_bands
         band_idx = np.searchsorted(bands, gq, side="right")
         changes = np.flatnonzero(np.diff(band_idx[j:]) != 0) + 1 + j
-        starts = np.concatenate([[j], changes])
-        ends = np.concatenate([changes, [m]])
-        for a, b in zip(starts, ends):
-            a, b = int(a), int(b)
-            if b < m:
-                variants.append(self._emit_block(pos_first + a, pos_first + b - 1,
-                                                 dp[a:b], pls[a:b]))
-            else:  # trailing band run stays open for the next merge
-                self.first = False
-                self.v_pos = pos_first + a
-                self.v_end = pos_first + b - 1
-                self.v_ref = chr(self.ref[self.v_pos - 1])
-                self.dps = [int(x) for x in dp[a:b]]
-                self.min_pls = [int(x) for x in np.min(pls[a:b], axis=0)]
-                self.min_gq, self.max_gq = self._find_gq_band(int(gq[a]))
+        starts = np.concatenate([[j], changes]).astype(np.int64)
+        # complete blocks = all band runs except the trailing (open) one
+        open_a = int(starts[-1])
+        if len(starts) > 1:
+            cs = starts[:-1]
+            sl = slice(j, open_a)
+            min_pls_b = np.minimum.reduceat(pls[sl], cs - j, axis=0)
+            min_dp_b = np.minimum.reduceat(dp[sl], cs - j)
+            counts = np.diff(np.append(cs, open_a))
+            # per-block median DP: sort (block, dp) then index the middles
+            bid = np.repeat(np.arange(len(cs)), counts)
+            order = np.lexsort((dp[sl], bid))
+            dps_sorted = dp[sl][order]
+            c0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            odd = counts % 2 == 1
+            mid_lo = c0 + (counts - 1) // 2
+            mid_hi = c0 + counts // 2
+            med = np.where(
+                odd, dps_sorted[mid_lo],
+                np.asarray([_go_round((int(a_) + int(b_)) / 2) for a_, b_ in
+                            zip(dps_sorted[mid_lo], dps_sorted[mid_hi])],
+                           np.int64))
+            two = np.partition(min_pls_b, 1, axis=1)[:, :2]
+            gq_b = np.minimum(two[:, 1] - two[:, 0], 99)
+            ml = min_pls_b.tolist()
+            for k in range(len(cs)):
+                a = int(cs[k])
+                g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
+                g.data["DP"] = int(med[k])
+                g.data["GQ"] = int(gq_b[k])
+                g.data["MIN_DP"] = int(min_dp_b[k])
+                g.data["PL"] = [int(x) for x in ml[k]]
+                v_pos = pos_first + a
+                v = Variant(chrom=self.contig, pos=v_pos,
+                            ref=chr(self.ref[v_pos - 1]), alt=[NON_REF],
+                            genotype_format=list(NO_VARIATION_FORMAT_GVCF),
+                            genotypes=[g])
+                v.info["END"] = pos_first + a + int(counts[k]) - 1
+                variants.append(v)
+        # trailing band run stays open for the next merge
+        self.first = False
+        self.v_pos = pos_first + open_a
+        self.v_end = pos_first + m - 1
+        self.v_ref = chr(self.ref[self.v_pos - 1])
+        self.dps = [int(x) for x in dp[open_a:m]]
+        self.min_pls = [int(x) for x in np.min(pls[open_a:m], axis=0)]
+        self.min_gq, self.max_gq = self._find_gq_band(int(gq[open_a]))
         return variants
 
     def finalize(self) -> Optional[Variant]:
@@ -685,8 +717,9 @@ def _expand_refconf_elements(reads: List[ClipRead], low: int, high: int):
     (refpos, read order). Vectorized like activity.expand_elements: one
     scalar descriptor per (read, ref-consuming op) segment, then a flat
     numpy expansion; `_expand_refconf_elements_py` below is the oracle."""
-    seg = {k: [] for k in ("ridx", "off0", "off1", "loc", "bi", "op", "oplen",
-                           "refs_cum", "next_di", "keep_mode", "bound")}
+    seg_rows: List[tuple] = []
+    _SEG_KEYS = ("ridx", "off0", "off1", "loc", "bi", "op", "oplen",
+                 "refs_cum", "next_di", "keep_mode", "bound")
     flat_seq_parts: List[bytes] = []
     flat_qual_parts: List[bytes] = []
     seq_off: List[int] = []
@@ -731,26 +764,20 @@ def _expand_refconf_elements(reads: List[ClipRead], low: int, high: int):
             s_ = max(loc, low)
             e_ = min(loc + length, high)
             if e_ > s_:
-                seg["ridx"].append(ridx)
-                seg["off0"].append(s_ - loc)
-                seg["off1"].append(e_ - loc)
-                seg["loc"].append(loc)
-                seg["bi"].append(base_index)
-                seg["op"].append(ord(op))
-                seg["oplen"].append(length)
-                seg["refs_cum"].append(refs_cum)
-                seg["next_di"].append(
-                    1 if (ci + 1 < n_ops and r.cigar[ci + 1][1] in "DI") else 0)
-                seg["keep_mode"].append(keep_mode)
-                seg["bound"].append(bound)
+                seg_rows.append((
+                    ridx, s_ - loc, e_ - loc, loc, base_index, ord(op), length,
+                    refs_cum,
+                    1 if (ci + 1 < n_ops and r.cigar[ci + 1][1] in "DI") else 0,
+                    keep_mode, bound))
             loc += length
             refs_cum += length
             if op in "M=X":
                 base_index += length
 
-    if not seg["ridx"]:
+    if not seg_rows:
         return None
-    sa = {k: np.asarray(v, np.int64) for k, v in seg.items()}
+    seg_mat = np.array(seg_rows, np.int64)
+    sa = {k: seg_mat[:, i] for i, k in enumerate(_SEG_KEYS)}
     lens = sa["off1"] - sa["off0"]
     total = int(lens.sum())
     sid = np.repeat(np.arange(len(lens)), lens)
