@@ -201,8 +201,31 @@ def _format_genotype(fmt: List[str], g: Genotype) -> str:
     return ":".join(out[:last_present]) if last_present else ""
 
 
+_NON_REF_FMT = ["GT", "DP", "GQ", "MIN_DP", "PL"]
+
+
 def format_variant(v: Variant) -> str:
     """(reference: Variant.Format, vcf-files.go:1185-1225)"""
+    # fast path for the canonical GVCF reference-block shape (the vast
+    # majority of records in a GVCF): output identical to the generic
+    # formatter below
+    if (v.genotypes and len(v.genotypes) == 1 and not v.id and not v.filter
+            and v.alt == ["<NON_REF>"] and not isinstance(v.qual, float)
+            and v.genotype_format == _NON_REF_FMT and v.pos >= 0
+            and len(v.info) == 1):
+        g = v.genotypes[0]
+        end = v.info.get("END")
+        if (isinstance(end, int) and not g.phased and g.gt == [0, 0]
+                and len(g.data) == 4):
+            try:
+                pl = g.data["PL"]
+                return ("%s\t%d\t.\t%s\t<NON_REF>\t.\t.\tEND=%d\t"
+                        "GT:DP:GQ:MIN_DP:PL\t0/0:%d:%d:%d:%d,%d,%d\n" % (
+                            v.chrom, v.pos, v.ref, end, g.data["DP"],
+                            g.data["GQ"], g.data["MIN_DP"],
+                            pl[0], pl[1], pl[2]))
+            except (KeyError, IndexError, TypeError):
+                pass
     out = [v.chrom, "\t"]
     out.append("." if v.pos < 0 else "%d" % v.pos)
     out.append("\t")

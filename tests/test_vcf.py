@@ -124,3 +124,29 @@ def test_variant_end():
     assert v.end() == 103
     v.info["END"] = 250
     assert v.end() == 250
+
+
+def test_non_ref_block_fast_path_matches_generic():
+    """The GVCF reference-block fast path in format_variant emits the
+    same text as the generic formatter (vcf-files.go:1185-1225)."""
+    from elprep_tpu.io import vcf as vcfio
+
+    g = vcfio.Genotype(phased=False, gt=[0, 0])
+    g.data["DP"] = 7
+    g.data["GQ"] = 21
+    g.data["MIN_DP"] = 5
+    g.data["PL"] = [0, 21, 315]
+    v = vcfio.Variant(chrom="chr1", pos=1234, ref="T", alt=["<NON_REF>"],
+                      genotype_format=["GT", "DP", "GQ", "MIN_DP", "PL"],
+                      genotypes=[g])
+    v.info["END"] = 1300
+    fast = vcfio.format_variant(v)
+    saved = vcfio._NON_REF_FMT
+    vcfio._NON_REF_FMT = ["__disabled__"]
+    try:
+        slow = vcfio.format_variant(v)
+    finally:
+        vcfio._NON_REF_FMT = saved
+    assert fast == slow
+    assert fast == ("chr1\t1234\t.\tT\t<NON_REF>\t.\t.\tEND=1300\t"
+                    "GT:DP:GQ:MIN_DP:PL\t0/0:7:21:5:0,21,315\n")
