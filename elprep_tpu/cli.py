@@ -145,6 +145,15 @@ def filter_command(argv: List[str]) -> int:
     if want_hc and not args.reference:
         print("error: --reference required for --haplotypecaller", file=sys.stderr)
         return 2
+    if not (want_bqsr or args.bqsr_apply):
+        # (reference: checkNonBQSROptions, cmd/util.go:183-194)
+        for flag_name, is_set in (("--quantize-levels", args.quantize_levels != 0),
+                                  ("--sqq", bool(args.sqq)),
+                                  ("--known-sites", bool(args.known_sites))):
+            if is_set:
+                print(f"Warning: The {flag_name} optional flag is set without "
+                      "using --bqsr. This parameter is ignored because base "
+                      "recalibration is not requested.", file=sys.stderr)
 
     # filters1 construction mirrors cmd/filter.go:691-780
     filters1: List = []
@@ -520,6 +529,16 @@ def _setup_jax_cache() -> None:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # platform override for subprocess workers (the axon TPU plugin
+    # ignores JAX_PLATFORMS; jax.config must be set pre-init)
+    plat = os.environ.get("ELPREP_TPU_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     _setup_jax_cache()
     if not argv:
         print(

@@ -104,6 +104,11 @@ def sfm_command(argv: List[str]) -> int:
     p.add_argument("--tmp-path", default="")
     p.add_argument("--mark-optical-duplicates", default="")
     p.add_argument("--haplotypecaller", default="")
+    p.add_argument("--nr-of-jobs", type=int, default=1,
+                   help="process per contig group, N at a time (the "
+                        "reference runs one subprocess at a time, "
+                        "cmd/sfm.go:612; >1 is an extension — each job "
+                        "starts a fresh RNG stream)")
     # remaining args forwarded to per-group filter invocations
     args, passthrough = p.parse_known_args(argv)
 
@@ -128,6 +133,7 @@ def sfm_command(argv: List[str]) -> int:
     # phase 2: per-group filter
     group_files = sorted(glob.glob(os.path.join(splits_dir, prefix + "-*." + ext)))
     spread_file = os.path.join(tmp_root, prefix + "-spread." + ext)
+    job_argvs = []
     for gf in group_files:
         base = os.path.basename(gf)
         out_gf = os.path.join(filtered_dir, base)
@@ -139,9 +145,31 @@ def sfm_command(argv: List[str]) -> int:
             fargv += ["--haplotypecaller",
                       os.path.join(vcfs_dir, base + ".vcf.gz"),
                       "--spread-file", spread_file]
-        rc = filter_command(fargv)
-        if rc != 0:
-            return rc
+        job_argvs.append(fargv)
+    if args.nr_of_jobs > 1:
+        # subprocess pool (reference pattern: exec.Command(os.Args[0],...),
+        # cmd/sfm.go:612 — run one at a time there; N at a time here)
+        import subprocess
+        import sys as _sys
+        from concurrent.futures import ThreadPoolExecutor
+
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+
+        def run_one(fargv):
+            return subprocess.run(
+                [_sys.executable, "-m", "elprep_tpu", "filter"] + fargv,
+                env=env).returncode
+        with ThreadPoolExecutor(max_workers=args.nr_of_jobs) as pool:
+            for rc in pool.map(run_one, job_argvs):
+                if rc != 0:
+                    return rc
+    else:
+        for fargv in job_argvs:
+            rc = filter_command(fargv)
+            if rc != 0:
+                return rc
     # the filtered dir IS the merge input; spread file sits beside it
     if os.path.exists(spread_file):
         import shutil
