@@ -114,6 +114,10 @@ def _build_filter_parser() -> argparse.ArgumentParser:
     p.add_argument("--activity-profile", default="")
     p.add_argument("--assembly-regions", default="")
     p.add_argument("--mark-duplicates-deterministic", action="store_true")  # compat no-op
+    p.add_argument("--pedantic", action="store_true",
+                   help="binary-parity behaviors of the reference's "
+                        "`pedantic` build tag: Java-style float rounding, "
+                        "int16 tile wraparound, x87 log10")
     p.add_argument("--host-pairhmm", action="store_true",
                    help="use the f64 host PairHMM instead of the device kernel")
     return p
@@ -137,6 +141,10 @@ def filter_command(argv: List[str]) -> int:
     command_line = "elprep_tpu filter " + " ".join(argv)
 
     sorting_order = SortingOrder(args.sorting_order)
+    if args.pedantic:
+        from . import pedantic
+
+        pedantic.set_pedantic(True)
     want_bqsr = bool(args.bqsr or args.bqsr_tables_only)
     want_hc = bool(args.haplotypecaller)
     if (want_bqsr or args.bqsr_apply) and not args.reference:
@@ -285,8 +293,11 @@ def filter_command(argv: List[str]) -> int:
     # Phase 2: optical duplicates
     if args.mark_optical_duplicates or args.mark_optical_duplicates_intermediate:
         def optical_phase():
+            from .filters.markdup import aux_from_temps
+
+            aux = aux_from_temps(data.batch) or md_state.aux
             ctrs = foptical.mark_optical_duplicates(
-                data.batch, data.header, md_state.aux,
+                data.batch, data.header, aux,
                 pixel_distance=args.optical_duplicates_pixel_distance)
             if args.mark_optical_duplicates:
                 foptical.print_duplicates_metrics(

@@ -39,6 +39,14 @@ def mark_duplicates_filter(also_opticals: bool = False, state: Optional[MarkDupl
                 return None
             dup, aux = mark_duplicates_batch(batch, header)
             batch.flag = np.where(dup, batch.flag | DUPLICATE, batch.flag).astype(np.int32)
+            # store per-read columns as temps so any later sort permutes
+            # them together with the reads (the optical pass re-joins
+            # pairs by {LIBID, QNAME-rank}; stale, unpermuted columns
+            # would mis-pair after a coordinate sort)
+            batch.temps["LIBID"] = aux["libid"]
+            batch.temps["UPOS"] = aux["upos"]
+            batch.temps["DUPSCORE"] = aux["score"]
+            batch.temps["QRANK"] = aux["qrank"]
             if state is not None:
                 state.aux = aux
             return None
@@ -46,3 +54,16 @@ def mark_duplicates_filter(also_opticals: bool = False, state: Optional[MarkDupl
         return bf
 
     return filter_
+
+
+def aux_from_temps(batch: ReadBatch) -> Optional[dict]:
+    """Rebuild the optical-pass aux dict from batch temps (valid after
+    any subsequent sort, unlike MarkDuplicatesState.aux)."""
+    if "LIBID" not in batch.temps:
+        return None
+    return {
+        "libid": batch.temps["LIBID"],
+        "upos": batch.temps["UPOS"],
+        "score": batch.temps["DUPSCORE"],
+        "qrank": batch.temps["QRANK"],
+    }

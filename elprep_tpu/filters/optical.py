@@ -102,11 +102,18 @@ def _union_find_count(rg: List[bytes], tile: np.ndarray, x: np.ndarray, y: np.nd
     for i in range(n):
         if tile[i] != -1:
             groups.setdefault((rg[i], int(tile[i])), []).append(i)
+    from .. import pedantic
+
     for idxs in groups.values():
         if len(idxs) < 2:
             continue
         gx = x[idxs]
         gy = y[idxs]
+        if pedantic.enabled:
+            # int16 coordinate wraparound like Picard
+            # (reference: pedantic.go:54-56)
+            gx = gx.astype(np.int16).astype(np.int64)
+            gy = gy.astype(np.int16).astype(np.int64)
         for a in range(len(idxs)):
             for b in range(a + 1, len(idxs)):
                 if abs(int(gx[a]) - int(gx[b])) <= dist and abs(int(gy[a]) - int(gy[b])) <= dist:

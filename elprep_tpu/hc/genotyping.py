@@ -53,7 +53,12 @@ _SINGLE_ALLELES = {ord(c): c for c in "ACGTN"}
 
 
 def formatf(value: float, precision: int) -> str:
-    """Go strconv.FormatFloat(v, 'f', p, 64) (filters/unpedantic.go:38-41)."""
+    """Go strconv.FormatFloat(v, 'f', p, 64) (filters/unpedantic.go:38-41);
+    Java-style rounding in pedantic mode (filters/pedantic.go:66-110)."""
+    from .. import pedantic
+
+    if pedantic.enabled:
+        return pedantic.pedantic_formatf(value, precision)
     if math.isnan(value):
         return "NaN"
     if math.isinf(value):

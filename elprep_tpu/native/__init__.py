@@ -360,3 +360,15 @@ def refconf_informative(read_bases: bytes, read_quals: bytes, read_start: int,
         read_bases, len(read_bases), read_quals, read_start, ref, ref_index,
         padded_end, read_length, max_indel, mask.ctypes.data, out.ctypes.data)
     return out[:read_length].astype(bool)
+
+
+def x86_log10(x: float):
+    """Java-parity x87 log10 (reference: pedantic.go:29-52), or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "x86_log10"):
+        return None
+    if not hasattr(lib, "_log10_bound"):
+        lib.x86_log10.restype = ctypes.c_double
+        lib.x86_log10.argtypes = [ctypes.c_double]
+        lib._log10_bound = True
+    return float(lib.x86_log10(x))

@@ -896,3 +896,27 @@ void refconf_informative(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Java-parity log10 via x87 (reference: filters/pedantic.go:29-52) — the
+// JVM's StrictMath-adjacent log10 comes from the x87 fyl2x instruction,
+// which is not correctly rounded; pedantic mode reproduces its exact
+// bit patterns.
+// ---------------------------------------------------------------------------
+
+#include <cfenv>
+
+extern "C" {
+
+double x86_log10(double x) {
+#if defined(__x86_64__) || defined(__i386__)
+  double result;
+  fesetround(FE_TONEAREST);
+  __asm__ __volatile__("fldlg2; fxch; fyl2x" : "=t"(result) : "0"(x) : "st(1)");
+  return result;
+#else
+  return log10(x);
+#endif
+}
+
+}  // extern "C"

@@ -252,3 +252,29 @@ def test_pipe_stdin_stdout(workdir, tmp_path):
     n_out = sum(1 for l in open(out, "rb").read().splitlines()
                 if not l.startswith(b"@"))
     assert n_out == n_in
+
+
+def test_optical_metrics_after_coordinate_sort(workdir, tmp_path):
+    """Duplicate-pair metrics must survive the coordinate sort: the
+    dedup aux columns are permuted with the reads (regression — stale
+    pre-sort columns mis-joined pairs and reported 0 duplicates)."""
+    sam = tmp_path / "dup.sam"
+    q = "I" * 50
+    lines = ["@HD\tVN:1.6\tSO:unknown", "@SQ\tSN:chr1\tLN:4000",
+             "@RG\tID:rg1\tLB:lib1\tSM:s1\tPU:u1"]
+    for x in (32767, 32797):  # 30 px apart on the same tile
+        qn = f"M:R:F:1:2203:{x}:5000"
+        lines.append(f"{qn}\t99\tchr1\t100\t60\t50M\t=\t300\t250\t{'A'*50}\t{q}\tRG:Z:rg1")
+        lines.append(f"{qn}\t147\tchr1\t300\t60\t50M\t=\t100\t-250\t{'C'*50}\t{q}\tRG:Z:rg1")
+    sam.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "dup.bam"
+    metrics = tmp_path / "m.txt"
+    rc = cli.main(["filter", str(sam), str(out), "--mark-duplicates",
+                   "--mark-optical-duplicates", str(metrics),
+                   "--sorting-order", "coordinate"])
+    assert rc == 0
+    row = next(l for l in metrics.read_text().splitlines() if l.startswith("lib1"))
+    f = row.split("\t")
+    assert f[2] == "2"   # READ_PAIRS_EXAMINED
+    assert f[6] == "1"   # READ_PAIR_DUPLICATES
+    assert f[7] == "1"   # READ_PAIR_OPTICAL_DUPLICATES

@@ -190,3 +190,50 @@ def test_metrics_file_format(tmp_path):
     lines_out = text.splitlines()
     bin2 = [l for l in lines_out if l.startswith("2.0\t")][0]
     assert bin2.split("\t")[2:] == ["1", "1", "0"]
+
+
+def test_pedantic_mode():
+    """--pedantic behaviors (reference: filters/pedantic.go): Java-style
+    formatf rounding, int16 tile wraparound, x87 log10."""
+    import math
+
+    from elprep_tpu import native, pedantic
+    from elprep_tpu.hc.genotyping import formatf
+
+    # Java rounds the shortest repr half-up; Go rounds the binary value
+    assert formatf(0.285, 2) == "0.28"
+    pedantic.set_pedantic(True)
+    try:
+        assert formatf(0.285, 2) == "0.29"
+        assert formatf(-0.285, 2) == "-0.29"
+        assert pedantic.pedantic_formatf(9.99, 1) == "10.0"
+        assert pedantic.pedantic_formatf(0.5, 4) == "0.5000"
+        assert pedantic.pedantic_formatf(12.0, 2) == "12.00"
+        if native.available():
+            for v in (2.0, 0.5, 3.14159, 1e-10):
+                assert abs(pedantic.x86_log10(v) - math.log10(v)) < 1e-12
+    finally:
+        pedantic.set_pedantic(False)
+
+
+def test_pedantic_tile_wraparound():
+    """int16 truncation changes optical clustering across the 32768
+    boundary (reference: pedantic.go:54-56 vs unpedantic.go:32-34)."""
+    import numpy as np
+
+    from elprep_tpu import pedantic
+    from elprep_tpu.filters import optical
+
+    rg = [b"rg1"] * 2
+    tile = np.array([5, 5], np.int64)
+    x = np.array([32767, 32769], np.int64)  # 2 apart, but int16-wraps
+    y = np.array([100, 100], np.int64)
+    n_unped = optical._union_find_count(rg, tile, x, y, 100)
+    pedantic.set_pedantic(True)
+    try:
+        n_ped = optical._union_find_count(rg, tile, x, y, 100)
+    finally:
+        pedantic.set_pedantic(False)
+    # return value is n - #clusters (merged relations)
+    assert n_unped == 1  # clustered: |32767-32769| = 2
+    assert n_ped == 0    # int16: 32767 vs -32767 -> 65534 apart, no merge
