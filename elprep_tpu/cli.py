@@ -330,9 +330,14 @@ def filter_command(argv: List[str]) -> int:
         tables = _timed(args.timed, "Base recalibration.",
                         lambda: recal.recalibrate(data.header, data.batch, args.max_cycle),
                         args.profile)
-        tables.finalize()
         os.makedirs(os.path.dirname(os.path.abspath(recal_file)) or ".", exist_ok=True)
-        bqsr_report.print_bqsr_tables(tables, recal_file)
+        if args.bqsr_tables_only and not args.bqsr:
+            # raw (pre-finalize) intermediate tables for later combining
+            # (reference: print-bqsr.go:301-329 writes gob tables)
+            bqsr_report.save_intermediate(tables, recal_file)
+        else:
+            tables.finalize()
+            bqsr_report.print_bqsr_tables(tables, recal_file)
         if args.bqsr:  # apply unless tables-only
             sqq = [int(s) for s in args.sqq.split(",") if s]
 
@@ -383,7 +388,13 @@ def _merge_spread_file(data, spread_file: str, post_sort):
     from .filters import simple as fsimple
 
     hdr2, spread = samio.read_sam_file(spread_file)
-    contigs = {sq["SN"].encode() for sq in data.header.sq}
+    # the group's OWN contigs from its @cs records — not the full @SQ
+    # dictionary (reference: reads.Header.Contigs(), filter.go:49-56)
+    cs = data.header.contigs()
+    if not cs:
+        raise ValueError(
+            "Cannot call haplotypes on split file without contig information.")
+    contigs = {c.encode() if isinstance(c, str) else c for c in cs}
     names_pool = np.array(spread.names, dtype=bytes) if spread.names else np.array([b""], dtype=bytes)
     keep = np.array([names_pool[spread.rname_id[i]] in contigs for i in range(len(spread))], bool)
     spread = spread.select(keep)

@@ -225,14 +225,17 @@ def _recal_table2(tables: BaseRecalibratorTables, prefix: str) -> str:
 
 
 def save_intermediate(tables: BaseRecalibratorTables, path: str) -> None:
-    np.savez_compressed(
-        path,
-        rg_names=np.array(tables.rg_names),
-        max_cycle=np.array(tables.max_cycle),
-        qs_obs=tables.qs_obs, qs_mism=tables.qs_mism,
-        cyc_obs=tables.cyc_obs, cyc_mism=tables.cyc_mism,
-        ctx_obs=tables.ctx_obs, ctx_mism=tables.ctx_mism,
-    )
+    # write via a file object so the exact path is honored (np.savez
+    # would append .npz to a bare path like foo.elrecal)
+    with open(path, "wb") as f:
+        np.savez_compressed(
+            f,
+            rg_names=np.array(tables.rg_names),
+            max_cycle=np.array(tables.max_cycle),
+            qs_obs=tables.qs_obs, qs_mism=tables.qs_mism,
+            cyc_obs=tables.cyc_obs, cyc_mism=tables.cyc_mism,
+            ctx_obs=tables.ctx_obs, ctx_mism=tables.ctx_mism,
+        )
 
 
 def load_intermediate(path: str) -> BaseRecalibratorTables:

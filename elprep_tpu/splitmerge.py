@@ -199,6 +199,35 @@ def _interleave_spread(hdr: Header, body: ReadBatch, spread: ReadBatch) -> ReadB
     return merged.select(perm)
 
 
+def merge_files_split_per_chromosome_without_spread(
+        input_path: str, output: str, input_prefix: str, input_extension: str,
+        output_format: str, hdr: Header) -> None:
+    """Concatenate unmapped + group files, ignoring the spread file —
+    used when the group files already contain their (contig-filtered)
+    spread reads (reference: MergeSortedFilesSplitPerChromosome-
+    WithoutSpreadFile, split-merge.go:621-658; note the reference
+    writes the unmapped file FIRST)."""
+    parts: List[ReadBatch] = []
+    unmapped_path = os.path.join(input_path,
+                                 input_prefix + "-unmapped." + input_extension)
+    if os.path.exists(unmapped_path):
+        _, unmapped = samio.read_sam_file(unmapped_path)
+        parts.append(unmapped)
+    index = 1
+    while True:
+        path = os.path.join(input_path,
+                            input_prefix + "-" + format_group(index) + "." + input_extension)
+        if not os.path.exists(path):
+            break
+        _, gb = samio.read_sam_file(path)
+        parts.append(gb)
+        index += 1
+    body = ReadBatch.concat(parts) if parts else ReadBatch.empty()
+    out_hdr = hdr.clone()
+    out_hdr.user_records.pop("@cs", None)
+    samio.write_sam_file(output, out_hdr, body, fmt=output_format)
+
+
 def merge_unsorted_files_split_per_chromosome(
         input_path: str, output: str, input_prefix: str, input_extension: str,
         output_format: str, hdr: Header, single_end: bool = False) -> None:

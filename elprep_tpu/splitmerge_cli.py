@@ -130,63 +130,175 @@ def sfm_command(argv: List[str]) -> int:
     os.makedirs(metrics_dir, exist_ok=True)
     os.makedirs(vcfs_dir, exist_ok=True)
 
-    # phase 2: per-group filter
-    group_files = sorted(glob.glob(os.path.join(splits_dir, prefix + "-*." + ext)))
-    spread_file = os.path.join(tmp_root, prefix + "-spread." + ext)
-    job_argvs = []
-    for gf in group_files:
-        base = os.path.basename(gf)
-        out_gf = os.path.join(filtered_dir, base)
-        fargv = [gf, out_gf] + list(passthrough)
-        if args.mark_optical_duplicates:
-            fargv += ["--mark-optical-duplicates-intermediate",
-                      os.path.join(metrics_dir, base + ".metrics")]
-        if args.haplotypecaller and "unmapped" not in base:
-            fargv += ["--haplotypecaller",
-                      os.path.join(vcfs_dir, base + ".vcf.gz"),
-                      "--spread-file", spread_file]
-        job_argvs.append(fargv)
-    if args.nr_of_jobs > 1:
-        # subprocess pool (reference pattern: exec.Command(os.Args[0],...),
-        # cmd/sfm.go:612 — run one at a time there; N at a time here)
-        import subprocess
-        import sys as _sys
-        from concurrent.futures import ThreadPoolExecutor
+    # job runner: sequential in-process, or a subprocess pool with -j>1
+    # (reference pattern: exec.Command(os.Args[0], ...), cmd/sfm.go:612)
+    def run_jobs(job_argvs) -> int:
+        if args.nr_of_jobs > 1 and len(job_argvs) > 1:
+            import subprocess
+            import sys as _sys
+            from concurrent.futures import ThreadPoolExecutor
 
-        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = dict(os.environ)
-        env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+            pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            env = dict(os.environ)
+            env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
 
-        def run_one(fargv):
-            return subprocess.run(
-                [_sys.executable, "-m", "elprep_tpu", "filter"] + fargv,
-                env=env).returncode
-        with ThreadPoolExecutor(max_workers=args.nr_of_jobs) as pool:
-            for rc in pool.map(run_one, job_argvs):
-                if rc != 0:
-                    return rc
-    else:
+            def run_one(fargv):
+                return subprocess.run(
+                    [_sys.executable, "-m", "elprep_tpu", "filter"] + fargv,
+                    env=env).returncode
+            with ThreadPoolExecutor(max_workers=args.nr_of_jobs) as pool:
+                for rc in pool.map(run_one, job_argvs):
+                    if rc != 0:
+                        return rc
+            return 0
         for fargv in job_argvs:
             rc = filter_command(fargv)
             if rc != 0:
                 return rc
-    # the filtered dir IS the merge input; spread file sits beside it
-    if os.path.exists(spread_file):
-        import shutil
+        return 0
 
-        shutil.copy(spread_file, os.path.join(filtered_dir,
-                                              os.path.basename(spread_file)))
+    def metrics_args(base: str):
+        if not args.mark_optical_duplicates:
+            return []
+        return ["--mark-optical-duplicates-intermediate",
+                os.path.join(metrics_dir, base + ".metrics")]
 
-    # phase 3: merge
+    group_files = sorted(glob.glob(os.path.join(splits_dir, prefix + "-*." + ext)))
+    spread_file = os.path.join(tmp_root, prefix + "-spread." + ext)
+    spread_base = os.path.basename(spread_file)
+    have_spread = (not args.single_end) and os.path.exists(spread_file)
+
+    pt = list(passthrough)
+    bqsr_out = None
+    if "--bqsr" in pt:
+        i = pt.index("--bqsr")
+        bqsr_out = pt[i + 1]
+        pt = pt[:i] + pt[i + 2:]
+
+    def copy_flags(names, flags=()):
+        out = []
+        for f in names:
+            if f in pt:
+                out += [f, pt[pt.index(f) + 1]]
+        for f in flags:
+            if f in pt:
+                out.append(f)
+        return out
+
     out_format = "bam" if args.output.endswith(".bam") else "sam"
-    hdr = splitmerge.header_from_any_split_file(filtered_dir, prefix, ext)
-    if hdr.hd_so() == SortingOrder.COORDINATE:
-        splitmerge.merge_sorted_files_split_per_chromosome(
-            filtered_dir, args.output, prefix, ext, out_format, hdr)
+
+    if bqsr_out is None:
+        # phase 2: spread first (reference: cmd/sfm.go:709-731), so
+        # per-group HC jobs see the deduplicated spread reads
+        spread_filtered = os.path.join(filtered_dir, spread_base)
+        if have_spread:
+            rc = run_jobs([[spread_file, spread_filtered] + pt
+                           + metrics_args(spread_base)])
+            if rc != 0:
+                return rc
+        jobs = []
+        for gf in group_files:
+            base = os.path.basename(gf)
+            fargv = [gf, os.path.join(filtered_dir, base)] + pt + metrics_args(base)
+            if args.haplotypecaller and "unmapped" not in base:
+                fargv += ["--haplotypecaller",
+                          os.path.join(vcfs_dir, base + ".vcf.gz")]
+                if have_spread:
+                    fargv += ["--spread-file", spread_filtered]
+            jobs.append(fargv)
+        rc = run_jobs(jobs)
+        if rc != 0:
+            return rc
+        hdr = splitmerge.header_from_any_split_file(filtered_dir, prefix, ext)
+        if args.haplotypecaller and have_spread:
+            # the group outputs already contain their contig-filtered
+            # spread reads (merged by --spread-file before writing), so
+            # interleaving the spread file again would duplicate them
+            splitmerge.merge_files_split_per_chromosome_without_spread(
+                filtered_dir, args.output, prefix, ext, out_format, hdr)
+        elif hdr.hd_so() == SortingOrder.COORDINATE:
+            splitmerge.merge_sorted_files_split_per_chromosome(
+                filtered_dir, args.output, prefix, ext, out_format, hdr)
+        else:
+            splitmerge.merge_unsorted_files_split_per_chromosome(
+                filtered_dir, args.output, prefix, ext, out_format, hdr,
+                single_end=args.single_end)
     else:
-        splitmerge.merge_unsorted_files_split_per_chromosome(
-            filtered_dir, args.output, prefix, ext, out_format, hdr,
-            single_end=args.single_end)
+        # BQSR phase 1: per file (groups + spread) filter +
+        # --bqsr-tables-only (reference: cmd/sfm.go:655-708)
+        tabs_dir = os.path.join(tmp_root, "tabs")
+        mid_dir = os.path.join(tmp_root, "mid")
+        os.makedirs(tabs_dir, exist_ok=True)
+        os.makedirs(mid_dir, exist_ok=True)
+        jobs = []
+        for gf in group_files:
+            base = os.path.basename(gf)
+            jobs.append([gf, os.path.join(mid_dir, base)] + pt
+                        + ["--bqsr-tables-only",
+                           os.path.join(tabs_dir, base + ".elrecal")]
+                        + metrics_args(base))
+        if have_spread:
+            jobs.append([spread_file, os.path.join(mid_dir, spread_base)] + pt
+                        + ["--bqsr-tables-only",
+                           os.path.join(tabs_dir, spread_base + ".elrecal")]
+                        + metrics_args(spread_base))
+        rc = run_jobs(jobs)
+        if rc != 0:
+            return rc
+        apply_args = (["--bqsr-apply", tabs_dir, "--recal-file", bqsr_out]
+                      + copy_flags(("--reference", "--max-cycle",
+                                    "--quantize-levels", "--sqq",
+                                    "--remove-optional-fields",
+                                    "--keep-optional-fields"),
+                                   flags=("--pedantic",)))
+        if not args.haplotypecaller:
+            # phase 2: merge mid (spread interleaved) -> one apply pass
+            # (reference pipes merge into filter, cmd/sfm.go:769-805)
+            hdr = splitmerge.header_from_any_split_file(mid_dir, prefix, ext)
+            merged_tmp = os.path.join(tmp_root, "merged-for-apply." + ext)
+            if hdr.hd_so() == SortingOrder.COORDINATE:
+                splitmerge.merge_sorted_files_split_per_chromosome(
+                    mid_dir, merged_tmp, prefix, ext, ext, hdr)
+            else:
+                splitmerge.merge_unsorted_files_split_per_chromosome(
+                    mid_dir, merged_tmp, prefix, ext, ext, hdr,
+                    single_end=args.single_end)
+            rc = run_jobs([[merged_tmp, args.output,
+                            "--output-type", out_format] + apply_args])
+            if rc != 0:
+                return rc
+        else:
+            # phase 2: apply on the spread file, then apply+HC per group
+            # (reference: cmd/sfm.go:806-866)
+            applied_spread = os.path.join(mid_dir, "apply-bqsred-" + spread_base)
+            if have_spread:
+                rc = run_jobs([[os.path.join(mid_dir, spread_base),
+                                applied_spread] + apply_args])
+                if rc != 0:
+                    return rc
+            hc_extra = copy_flags(("--reference-confidence", "--sample-name",
+                                   "--activity-profile", "--assembly-regions",
+                                   "--random-seed-file", "--target-regions"))
+            jobs = []
+            for gf in group_files:
+                base = os.path.basename(gf)
+                fargv = [os.path.join(mid_dir, base),
+                         os.path.join(filtered_dir, base)] + apply_args
+                if "unmapped" not in base:
+                    fargv += ["--haplotypecaller",
+                              os.path.join(vcfs_dir, base + ".vcf.gz")] + hc_extra
+                    if have_spread:
+                        fargv += ["--spread-file", applied_spread]
+                jobs.append(fargv)
+            rc = run_jobs(jobs)
+            if rc != 0:
+                return rc
+            hdr = splitmerge.header_from_any_split_file(filtered_dir, prefix, ext)
+            # merge WITHOUT spread: the sr:i:1 copies in the group files
+            # carry the recalibrated cross-group reads
+            # (reference: merge --ignore-spread-file, cmd/sfm.go:866-877)
+            splitmerge.merge_files_split_per_chromosome_without_spread(
+                filtered_dir, args.output, prefix, ext, out_format, hdr)
 
     # phase 4: metric + VCF reductions (gob -> JSON/concat equivalents)
     if args.mark_optical_duplicates:

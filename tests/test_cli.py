@@ -278,3 +278,75 @@ def test_optical_metrics_after_coordinate_sort(workdir, tmp_path):
     assert f[2] == "2"   # READ_PAIRS_EXAMINED
     assert f[6] == "1"   # READ_PAIR_DUPLICATES
     assert f[7] == "1"   # READ_PAIR_OPTICAL_DUPLICATES
+
+
+def test_sfm_cross_contig_duplicates(workdir, tmp_path):
+    """Cross-contig duplicate pairs must be dedup-marked by sfm exactly
+    like whole-file processing — requires the spread file to be filtered
+    (reference: cmd/sfm.go:709-731)."""
+    sam = tmp_path / "cross.sam"
+    q = "I" * 50
+    lines = ["@HD\tVN:1.6\tSO:unknown", "@SQ\tSN:chr1\tLN:4000",
+             "@SQ\tSN:chr2\tLN:3000", "@RG\tID:rg1\tLB:lib1\tSM:s1\tPU:u1"]
+    for x in (1000, 5000):  # two cross-contig pairs, same coords -> 1 dup
+        qn = f"M:R:F:1:2203:{x}:7000"
+        lines.append(f"{qn}\t97\tchr1\t500\t60\t50M\tchr2\t800\t0\t{'A'*50}\t{q}\tRG:Z:rg1")
+        lines.append(f"{qn}\t145\tchr2\t800\t60\t50M\tchr1\t500\t0\t{'C'*50}\t{q}\tRG:Z:rg1")
+    for i in range(4):
+        p = 1200 + i * 37
+        lines.append(f"N{i}\t99\tchr1\t{p}\t60\t50M\t=\t{p+100}\t150\t{'G'*50}\t{q}\tRG:Z:rg1")
+        lines.append(f"N{i}\t147\tchr1\t{p+100}\t60\t50M\t=\t{p}\t-150\t{'T'*50}\t{q}\tRG:Z:rg1")
+    sam.write_text("\n".join(lines) + "\n")
+    from elprep_tpu.io import sam as samio
+
+    whole = tmp_path / "whole.sam"
+    assert cli.main(["filter", str(sam), str(whole), "--mark-duplicates",
+                     "--sorting-order", "coordinate"]) == 0
+    sfm_out = tmp_path / "sfm.sam"
+    assert cli.main(["sfm", str(sam), str(sfm_out), "--mark-duplicates",
+                     "--sorting-order", "coordinate", "--contig-group-size", "1",
+                     "--tmp-path", str(tmp_path / "t")]) == 0
+    _, b1 = samio.read_sam_file(str(whole))
+    _, b2 = samio.read_sam_file(str(sfm_out))
+    w = sorted((bytes(b1.qname[i]), int(b1.flag[i])) for i in range(len(b1)))
+    s = sorted((bytes(b2.qname[i]), int(b2.flag[i])) for i in range(len(b2)))
+    assert w == s
+    assert sum(1 for _, f in w if f & 0x400) == 2  # one dup pair marked
+
+
+def test_sfm_bqsr_and_hc_equal_whole_file(workdir, tmp_path):
+    """Two-phase sfm BQSR (tables-only per shard -> combined apply) and
+    per-shard HC reproduce whole-file results exactly
+    (reference: cmd/sfm.go:655-877)."""
+    wd = workdir
+    from elprep_tpu.io import sam as samio
+
+    base = ["--mark-duplicates", "--sorting-order", "coordinate",
+            "--bqsr", "", "--reference", str(wd / "ref.elfasta"),
+            "--haplotypecaller", "", "--reference-confidence", "NONE"]
+
+    def run(cmd, out_bam, recal, vcf, extra=()):
+        a = list(base)
+        a[a.index("--bqsr") + 1] = recal
+        a[a.index("--haplotypecaller") + 1] = vcf
+        assert cli.main([cmd, str(wd / "in.sam"), out_bam] + a + list(extra)) == 0
+
+    run("filter", str(tmp_path / "w.bam"), str(tmp_path / "w.recal"),
+        str(tmp_path / "w.vcf.gz"))
+    run("sfm", str(tmp_path / "s.bam"), str(tmp_path / "s.recal"),
+        str(tmp_path / "s.vcf.gz"),
+        extra=["--contig-group-size", "1", "--tmp-path", str(tmp_path / "t")])
+
+    import gzip
+
+    wv = [l for l in gzip.open(tmp_path / "w.vcf.gz", "rt") if not l.startswith("#")]
+    sv = [l for l in gzip.open(tmp_path / "s.vcf.gz", "rt") if not l.startswith("#")]
+    assert wv == sv
+    assert open(tmp_path / "w.recal").read() == open(tmp_path / "s.recal").read()
+    _, b1 = samio.read_sam_file(str(tmp_path / "w.bam"))
+    _, b2 = samio.read_sam_file(str(tmp_path / "s.bam"))
+    w = sorted((bytes(b1.qname[i]), int(b1.flag[i]), b1.qual.row(i).tobytes())
+               for i in range(len(b1)))
+    s = sorted((bytes(b2.qname[i]), int(b2.flag[i]), b2.qual.row(i).tobytes())
+               for i in range(len(b2)))
+    assert w == s
