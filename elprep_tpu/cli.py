@@ -94,6 +94,8 @@ def _build_filter_parser() -> argparse.ArgumentParser:
     p.add_argument("--bqsr-tables-only", default="")
     p.add_argument("--bqsr-apply", default="")
     p.add_argument("--recal-file", default="")
+    p.add_argument("--bqsr-tablename-prefix", default="GATK",
+                   help="prefix used in BQSR table reports (cmd/filter.go:481)")
     p.add_argument("--reference", default="")
     p.add_argument("--known-sites", default="")
     p.add_argument("--quantize-levels", type=int, default=0)
@@ -337,7 +339,8 @@ def filter_command(argv: List[str]) -> int:
             bqsr_report.save_intermediate(tables, recal_file)
         else:
             tables.finalize()
-            bqsr_report.print_bqsr_tables(tables, recal_file)
+            bqsr_report.print_bqsr_tables(tables, recal_file,
+                                          prefix=args.bqsr_tablename_prefix)
         if args.bqsr:  # apply unless tables-only
             sqq = [int(s) for s in args.sqq.split(",") if s]
 
@@ -353,7 +356,8 @@ def filter_command(argv: List[str]) -> int:
         tables = bqsr_report.load_and_combine_bqsr_tables(args.bqsr_apply)
         tables.finalize()
         if args.recal_file:
-            bqsr_report.print_bqsr_tables(tables, args.recal_file)
+            bqsr_report.print_bqsr_tables(tables, args.recal_file,
+                                          prefix=args.bqsr_tablename_prefix)
         sqq = [int(s) for s in args.sqq.split(",") if s]
         data = run_pipeline(
             data, [fbqsr.apply_bqsr_filter(tables, args.quantize_levels, sqq,
