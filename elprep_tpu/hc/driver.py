@@ -552,8 +552,16 @@ def call_variants(
     prev_contig: Optional[str] = None
     deletions: List[Tuple[int, int]] = []
 
+    # split files restrict calling to their @cs contigs — other contigs
+    # produce nothing, not even reference blocks
+    # (reference: CallVariants validContigs, haplotypecaller.go:678-744)
+    cs = sam_header.contigs()
+    valid_contigs = set(cs) if cs else None
+
     for sq in sam_header.sq:
         contig = sq["SN"]
+        if valid_contigs is not None and contig not in valid_contigs:
+            continue
         contig_length = sam_header.sq_ln(sq)
         contig_reads = downsample(reads_by_contig.get(contig, []), params)
         reference = get_reference(contig)

@@ -64,6 +64,9 @@ def merge_command(argv: List[str]) -> int:
     p.add_argument("--input-type", default="sam")
     p.add_argument("--output-type", default="")
     p.add_argument("--single-end", action="store_true")
+    p.add_argument("--ignore-spread-file", action="store_true",
+                   help="merge the group files only, without interleaving "
+                        "the spread file (reference: cmd/merge.go)")
     p.add_argument("--nr-of-threads", type=int, default=0)
     p.add_argument("--timed", action="store_true")
     args = p.parse_args(argv)
@@ -79,7 +82,10 @@ def merge_command(argv: List[str]) -> int:
         prefix = base.rsplit("-", 1)[0]
     out_format = args.output_type or ("bam" if args.output.endswith(".bam") else "sam")
     hdr = splitmerge.header_from_any_split_file(input_path, prefix, args.input_type)
-    if hdr.hd_so() == SortingOrder.COORDINATE:
+    if args.ignore_spread_file:
+        splitmerge.merge_files_split_per_chromosome_without_spread(
+            input_path, args.output, prefix, args.input_type, out_format, hdr)
+    elif hdr.hd_so() == SortingOrder.COORDINATE:
         splitmerge.merge_sorted_files_split_per_chromosome(
             input_path, args.output, prefix, args.input_type, out_format, hdr)
     else:

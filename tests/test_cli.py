@@ -350,3 +350,27 @@ def test_sfm_bqsr_and_hc_equal_whole_file(workdir, tmp_path):
     s = sorted((bytes(b2.qname[i]), int(b2.flag[i]), b2.qual.row(i).tobytes())
                for i in range(len(b2)))
     assert w == s
+
+
+def test_sfm_gvcf_equals_whole_file(workdir, tmp_path):
+    """GVCF through sfm == whole-file GVCF: split-file HC is scoped to
+    the @cs contigs (reference: CallVariants validContigs,
+    haplotypecaller.go:678-744)."""
+    import gzip
+
+    wd = workdir
+    assert cli.main(["filter", str(wd / "in.sam"), str(tmp_path / "w.bam"),
+                     "--mark-duplicates", "--sorting-order", "coordinate",
+                     "--reference", str(wd / "ref.elfasta"),
+                     "--haplotypecaller", str(tmp_path / "w.vcf.gz"),
+                     "--reference-confidence", "GVCF"]) == 0
+    assert cli.main(["sfm", str(wd / "in.sam"), str(tmp_path / "s.bam"),
+                     "--mark-duplicates", "--sorting-order", "coordinate",
+                     "--reference", str(wd / "ref.elfasta"),
+                     "--haplotypecaller", str(tmp_path / "s.vcf.gz"),
+                     "--reference-confidence", "GVCF",
+                     "--contig-group-size", "1",
+                     "--tmp-path", str(tmp_path / "t")]) == 0
+    w = [l for l in gzip.open(tmp_path / "w.vcf.gz", "rt") if not l.startswith("#")]
+    s = [l for l in gzip.open(tmp_path / "s.vcf.gz", "rt") if not l.startswith("#")]
+    assert w == s
