@@ -143,6 +143,11 @@ def filter_command(argv: List[str]) -> int:
     command_line = "elprep_tpu filter " + " ".join(argv)
 
     sorting_order = SortingOrder(args.sorting_order)
+    if args.nr_of_threads > 0:
+        # (reference: runtime.GOMAXPROCS, cmd/filter.go:906-909)
+        from . import native
+
+        native.set_default_threads(args.nr_of_threads)
     if args.pedantic:
         from . import pedantic
 

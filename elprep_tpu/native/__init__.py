@@ -84,7 +84,7 @@ def bgzf_decompress(data: bytes, n_threads: int = 0) -> Optional[bytes]:
     if size < 0:
         raise ValueError("invalid BGZF stream")
     out = np.empty(size, np.uint8)
-    rc = lib.bgzf_decompress(data, len(data), out.ctypes.data, size, n_threads)
+    rc = lib.bgzf_decompress(data, len(data), out.ctypes.data, size, n_threads or _DEFAULT_THREADS[0])
     if rc != 0:
         raise ValueError(f"BGZF decompress failed (code {rc})")
     return out.tobytes()
@@ -97,7 +97,7 @@ def bgzf_compress(data: bytes, level: int = 6, n_threads: int = 0,
         return None
     cap = lib.bgzf_compress_bound(len(data))
     out = np.empty(cap, np.uint8)
-    n = lib.bgzf_compress(data, len(data), out.ctypes.data, cap, level, n_threads,
+    n = lib.bgzf_compress(data, len(data), out.ctypes.data, cap, level, n_threads or _DEFAULT_THREADS[0],
                           1 if eof else 0)
     if n < 0:
         raise ValueError(f"BGZF compress failed (code {n})")
@@ -171,7 +171,7 @@ def ranged_gather_u8(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     starts = np.ascontiguousarray(starts.astype(np.int64))
     ends = np.ascontiguousarray(ends.astype(np.int64))
     lib.ranged_gather_u8(data.ctypes.data, starts.ctypes.data, ends.ctypes.data,
-                         off.ctypes.data, len(lengths), out.ctypes.data, 0)
+                         off.ctypes.data, len(lengths), out.ctypes.data, _DEFAULT_THREADS[0])
     return out, off
 
 
@@ -186,7 +186,7 @@ def ranged_scatter_u8(src: np.ndarray, src_offsets: np.ndarray,
     dst_starts = np.ascontiguousarray(dst_starts.astype(np.int64))
     lib.ranged_scatter_u8(src.ctypes.data, src_offsets.ctypes.data,
                           dst_starts.ctypes.data, len(dst_starts),
-                          out.ctypes.data, 0)
+                          out.ctypes.data, _DEFAULT_THREADS[0])
     return True
 
 
@@ -201,7 +201,7 @@ def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
     data = np.ascontiguousarray(data)
     offsets = np.ascontiguousarray(offsets.astype(np.int64))
     lib.ragged_to_padded(data.ctypes.data, offsets.ctypes.data, n, width,
-                         data.dtype.itemsize, out.ctypes.data, 0)
+                         data.dtype.itemsize, out.ctypes.data, _DEFAULT_THREADS[0])
     return out
 
 
@@ -323,7 +323,8 @@ def sam_format_alignments(qname, flag, rname_id, pos, mapq,
         qual_flat.ctypes.data, qual_offsets.ctypes.data,
         tags_flat.ctypes.data, tags_offsets.ctypes.data,
         names_flat.ctypes.data, names_offsets.ctypes.data, len(pool),
-        n, out.ctypes.data, slack_off.ctypes.data, out_lens.ctypes.data, 0)
+        n, out.ctypes.data, slack_off.ctypes.data, out_lens.ctypes.data,
+        _DEFAULT_THREADS[0])
     if rc != 0:
         return None
     final_off = np.zeros(n + 1, np.int64)
@@ -334,7 +335,7 @@ def sam_format_alignments(qname, flag, rname_id, pos, mapq,
     ends = starts + out_lens
     lib.ranged_gather_u8(out.ctypes.data, i64(starts).ctypes.data,
                          i64(ends).ctypes.data, final_off.ctypes.data,
-                         n, final.ctypes.data, 0)
+                         n, final.ctypes.data, _DEFAULT_THREADS[0])
     return final
 
 
@@ -372,3 +373,16 @@ def x86_log10(x: float):
         lib.x86_log10.argtypes = [ctypes.c_double]
         lib._log10_bound = True
     return float(lib.x86_log10(x))
+
+
+_DEFAULT_THREADS = [0]  # 0 = hardware concurrency
+
+
+def set_default_threads(n: int) -> None:
+    """Cap native thread pools (--nr-of-threads; the reference maps the
+    flag to GOMAXPROCS, cmd/filter.go:906-909)."""
+    _DEFAULT_THREADS[0] = max(int(n), 0)
+
+
+def default_threads() -> int:
+    return _DEFAULT_THREADS[0]
