@@ -790,7 +790,65 @@ def compute_assembly_regions(contig: str, reference: bytes, region_start: int,
                              states: np.ndarray, params: HCParams,
                              keep_states: bool = False,
                              ) -> List[AssemblyRegion]:
-    """(reference: computeAssemblyRegions, haplotypecaller.go:328-378)"""
+    """(reference: computeAssemblyRegions, haplotypecaller.go:328-378).
+
+    The per-position activity scan is replaced by jumps between
+    precomputed activity-flip positions; the region loop iterates once
+    per emitted region instead of once per reference position.
+    `_compute_assembly_regions_py` below is the position-loop oracle."""
+    regions: List[AssemblyRegion] = []
+    start = region_start
+    stop = region_stop
+    thr = params.active_prob_threshold
+    active = states > thr
+    # positions (relative) where activity differs from the previous one
+    flips = np.flatnonzero(active[1:] != active[:-1]) + 1
+    while stop - start > 0:
+        rel = start - region_start
+        is_active_region = bool(active[rel])
+        max_region_end = start + params.max_region_size
+        if stop - start < params.max_region_size:
+            max_activity_boundary = stop
+        else:
+            max_activity_boundary = max_region_end
+        fi = np.searchsorted(flips, rel, side="right")
+        next_flip = (region_start + int(flips[fi])) if fi < len(flips) else stop
+        end_of_active = min(max(next_flip, start + 1), max_activity_boundary)
+        if is_active_region and end_of_active == max_region_end:
+            min_i = end_of_active - 1
+            min_p = float("inf")
+            top = min_i
+            if top == stop - 1:
+                top -= 1
+            bottom = start + params.min_region_size - 1
+            for i in range(top, bottom - 1, -1):
+                cur = states[i - region_start]
+                if (cur < min_p and cur <= states[i + 1 - region_start]
+                        and cur < states[i - 1 - region_start]):
+                    min_i = i
+                    min_p = cur
+            end_of_active = min_i + 1
+        regions.append(AssemblyRegion(
+            contig=contig,
+            reference=reference,
+            start=start + 1,
+            end=end_of_active,
+            extension=params.padding,
+            contig_length=contig_length,
+            is_active=is_active_region,
+            supporting_states=(states[start - region_start : end_of_active - region_start].copy()
+                               if keep_states else None),
+        ))
+        start = end_of_active
+    return regions
+
+
+def _compute_assembly_regions_py(contig: str, reference: bytes, region_start: int,
+                                 region_stop: int, contig_length: int,
+                                 states: np.ndarray, params: HCParams,
+                                 keep_states: bool = False,
+                                 ) -> List[AssemblyRegion]:
+    """Position-loop oracle for compute_assembly_regions."""
     regions: List[AssemblyRegion] = []
     start = region_start
     stop = region_stop

@@ -189,3 +189,29 @@ def test_vectorized_expand_elements_matches_oracle():
                   "next_to_sc", "keep", "hq"):
             assert np.array_equal(a[k], b[k]), k
         assert np.array_equal(a["base"], bb)
+
+
+def test_flip_jump_assembly_regions_match_oracle():
+    """Flip-jump compute_assembly_regions == position-loop oracle
+    (reference: computeAssemblyRegions, haplotypecaller.go:328-378)."""
+    import numpy as np
+
+    from elprep_tpu.hc import activity
+    from elprep_tpu.hc.activity import make_hc_params
+
+    params = make_hc_params("GVCF")
+    rng = np.random.RandomState(3)
+    for _ in range(60):
+        n = rng.randint(50, 5000)
+        states = np.zeros(n)
+        for _ in range(rng.randint(0, 8)):
+            c = rng.randint(0, n)
+            w = rng.randint(1, 400)
+            states[max(0, c - w):c + w] += rng.rand() * 0.1
+        rs = rng.randint(0, 50)
+        a = activity.compute_assembly_regions(
+            "c", b"A" * (rs + n + 10), rs, rs + n, rs + n + 10, states, params)
+        b = activity._compute_assembly_regions_py(
+            "c", b"A" * (rs + n + 10), rs, rs + n, rs + n + 10, states, params)
+        assert [(x.start, x.end, x.is_active) for x in a] == \
+               [(y.start, y.end, y.is_active) for y in b]
