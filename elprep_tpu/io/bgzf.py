@@ -67,6 +67,8 @@ def _frame_blocks(data: bytes) -> List[range]:
             xpos += 4 + slen
         if bsize is None:
             raise ValueError("BGZF block without BC extra subfield")
+        if bsize < 12 + xlen + 8 or pos + bsize > n:
+            raise ValueError("corrupt BGZF block: BSIZE smaller than its own framing")
         spans.append(range(pos, pos + bsize))
         pos += bsize
     return spans

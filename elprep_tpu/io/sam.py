@@ -141,9 +141,11 @@ def _parse_cigars_vectorized(cig: Ragged):
     ndig = op_pos - seg_start
     if (ndig < 1).any():
         raise ValueError("invalid CIGAR operation")
-    # rows must end at an op
+    # rows must end at an op, positionally: the row's last op must sit on
+    # its final byte (else trailing digits like '4M2' would be dropped)
+    last_op_sel = np.concatenate([op_row[1:] != op_row[:-1], [True]])
     row_end_ok = np.zeros(n_rows, bool)
-    row_end_ok[op_row[np.concatenate([op_row[1:] != op_row[:-1], [True]])]] = True
+    row_end_ok[op_row[last_op_sel]] = op_pos[last_op_sel] == cig.offsets[op_row[last_op_sel] + 1] - 1
     nonstar = ~star_rows
     if not np.all(row_end_ok[nonstar] | (cig.lengths[nonstar] == 0)):
         raise ValueError("invalid CIGAR operation")

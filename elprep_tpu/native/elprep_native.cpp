@@ -51,6 +51,7 @@ static int frame_blocks(const uint8_t* data, size_t n, std::vector<BgzfBlock>& b
       xpos += 4 + slen;
     }
     if (bsize < 0 || pos + (size_t)bsize > n) return -1;
+    if ((size_t)bsize < (size_t)12 + xlen + 8) return -1;  // corrupt BC field would underflow payload_size
     size_t payload_off = pos + 12 + xlen;
     size_t payload_size = (size_t)bsize - (12 + xlen) - 8;
     uint32_t isize;
@@ -249,6 +250,7 @@ long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long ma
       }
       p++;
     }
+    if (p == n && field < 11) fe[field] = p;  // EOF terminates the final line
     if (field < 10) return -1 - (long long)p;  // missing tabulator
     size_t tags_s, tags_e;
     if (field >= 11) {

@@ -210,7 +210,14 @@ def mark_duplicates_batch(batch, header):
             lb_by_rg[rg_id.encode()] = lb
 
     rg_vals = batch.tags.extract_z(b"RG")
+    # Canonical libid assignment: @RG header order, first occurrence of each
+    # LB (optical.py rebuilds the same table from the header; assigning by
+    # read-appearance order instead would mis-attribute per-library metrics).
     lb_ids: dict[str, int] = {}
+    for rg_entry in header.rg:
+        lb = rg_entry.get("LB")
+        if lb is not None and lb not in lb_ids:
+            lb_ids[lb] = len(lb_ids)
     libid = np.full(len(batch), -1, np.int32)
     for i, rg in enumerate(rg_vals):
         lb = lb_by_rg.get(rg)

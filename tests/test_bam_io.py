@@ -103,3 +103,18 @@ def test_bam_long_cigar_cg_tag():
     assert len(batch2.cigar_len.row(0)) == n_ops
     assert bytes(batch2.cigar_op.row(0)[:4].tobytes()) == b"MIMI"
     assert sam.format_sam(hdr2, batch2) == sam.format_sam(hdr, batch)
+
+
+def test_bgzf_corrupt_bsize_rejected():
+    # A block whose BC field claims a BSIZE smaller than its own framing
+    # must be rejected (not underflow into a huge payload size).
+    from elprep_tpu.io import bgzf
+    import struct
+    good = bgzf.compress(b"hello world" * 100)
+    bad = bytearray(good)
+    # patch the first block's BSIZE to 5 (stored as BSIZE-1 at offset 16)
+    struct.pack_into("<H", bad, 16, 5 - 1)
+    with pytest.raises(ValueError):
+        bgzf._frame_blocks(bytes(bad))
+    with pytest.raises(ValueError):
+        bgzf.decompress(bytes(bad))

@@ -237,3 +237,41 @@ def test_pedantic_tile_wraparound():
     # return value is n - #clusters (merged relations)
     assert n_unped == 1  # clustered: |32767-32769| = 2
     assert n_ped == 0    # int16: 32767 vs -32767 -> 65534 apart, no merge
+
+
+def test_library_attribution_two_libs_header_order():
+    # First read in the file belongs to the SECOND header library; per-lib
+    # metrics must still attach to the right LB names (libid ints are
+    # canonically assigned in @RG header order on both sides).
+    header = (
+        b"@HD\tVN:1.6\tSO:unknown\n"
+        b"@SQ\tSN:c1\tLN:100000\n"
+        b"@RG\tID:rgA\tLB:libA\tSM:s1\n"
+        b"@RG\tID:rgB\tLB:libB\tSM:s1\n"
+    )
+    lines = []
+    # libB: one pair + one duplicate pair (4 reads, 1 dup pair)
+    for q, p in ((b"b1:1:1:1000:2000", 100), (b"b2:1:1:1000:2010", 100)):
+        lines += [
+            b"%s\t99\tc1\t%d\t60\t10M\t=\t200\t110\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rgB" % (q, p),
+            b"%s\t147\tc1\t200\t60\t10M\t=\t%d\t-110\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rgB" % (q, p),
+        ]
+    # libA: one unique pair
+    lines += [
+        b"a1:1:1:50:60\t99\tc1\t500\t60\t10M\t=\t600\t110\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rgA",
+        b"a1:1:1:50:60\t147\tc1\t600\t60\t10M\t=\t500\t-110\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rgA",
+    ]
+    data = header + b"\n".join(lines) + b"\n"
+    hdr, batch = sam.parse_sam(data)
+    state = MarkDuplicatesState()
+    out = run_pipeline(
+        SamData(hdr, batch),
+        [add_refid, mark_duplicates_filter(state=state)],
+        SortingOrder.KEEP,
+    )
+    ctrs = mark_optical_duplicates(out.batch, out.header, state.aux, pixel_distance=100)
+    assert ctrs["libA"].ReadPairsExamined == 1
+    assert ctrs["libA"].ReadPairDuplicates == 0
+    assert ctrs["libB"].ReadPairsExamined == 2
+    assert ctrs["libB"].ReadPairDuplicates == 1
+    assert ctrs["libB"].ReadPairOpticalDuplicates == 1

@@ -177,3 +177,30 @@ def test_native_formatter_matches_python_oracle():
     for i in range(len(b)):
         slow += samio.format_alignment_line(b, i, pool)
     assert bytes(slow) == fast
+
+
+def test_parse_no_trailing_newline_no_tags():
+    # A final line without '\n' and with exactly the 11 mandatory fields
+    # must parse (EOF terminates the line); the native tokenizer used to
+    # leave the last field's end offset uninitialized here.
+    data = HDR + b"r001\t0\tchr1\t7\t30\t4M\t*\t0\t0\tACGT\tIIII"
+    hdr, batch = parse_sam(data)
+    assert len(batch) == 1
+    assert batch.qname[0] == b"r001"
+    assert batch.qual.row(0).tobytes() == bytes(q - 33 for q in b"IIII")
+    assert batch.tags.row(0) == b""
+
+
+def test_parse_no_trailing_newline_with_tags():
+    data = HDR + b"r001\t0\tchr1\t7\t30\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:3"
+    hdr, batch = parse_sam(data)
+    assert len(batch) == 1
+    assert b"NM:i:3" in batch.tags.row(0)
+
+
+def test_cigar_trailing_digits_rejected():
+    # '4M2' must raise on every parser path (reference: 'invalid CIGAR
+    # operation', sam/sam-files.go) rather than silently parse as '4M'.
+    data = HDR + b"r001\t0\tchr1\t7\t30\t4M2\t*\t0\t0\tACGT\tIIII\n"
+    with pytest.raises(ValueError):
+        parse_sam(data)
