@@ -1,17 +1,23 @@
-"""Benchmark: reads/sec/chip through the device compute path.
+"""Benchmark: reads/sec/chip through the FULL file-to-file 5-step pipeline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the fused device portion of the 5-step pipeline on synthetic
-reads: coordinate-sort permutation + duplicate marking + BQSR table build
-+ BQSR apply. vs_baseline is against elPrep's published whole-pipeline
-CPU throughput on a high-end server (~1.3M reads/min/36-core for WES
-5-step, PLoS ONE 16(2):e0244471 Fig 3 → ~22k reads/sec; see BASELINE.md).
+The primary metric is honest end-to-end: a ~120k-read / 2 Mb synthetic
+WES-like SAM through `filter --mark-duplicates --mark-optical-duplicates
+--sorting-order coordinate --bqsr --haplotypecaller (GVCF)` — parse,
+device sort/dedup/BQSR, HC assembly+PairHMM+genotyping, BAM + VCF + recal
++ metrics written to disk. Secondary keys report the device-only kernel
+step and the Pallas PairHMM GCUPS. vs_baseline is against elPrep's
+published whole-pipeline CPU throughput on a high-end server (~1.3M
+reads/min/36-core for WES 5-step, PLoS ONE 16(2):e0244471 Fig 3 → ~22k
+reads/sec; see BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -33,6 +39,98 @@ def _sync(out) -> float:
 # elPrep 5 WES 5-step: ~100M-read exome in ~75 min on a 36-core node
 # (PLoS ONE 2021 paper, BASELINE.md) → ~22k reads/sec whole-node.
 REFERENCE_READS_PER_SEC = 22_000.0
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+E2E_READS = 120_000
+E2E_CONTIGS = [("chr1", 1_200_000), ("chr2", 800_000)]
+
+
+def _e2e_fixture() -> str:
+    """Build (once, deterministic) the end-to-end input fixture: SAM reads
+    sampled from a 2 Mb genome, the matching .elfasta, and known sites.
+    Cached under .bench_cache/ keyed by generator version."""
+    cache = os.path.join(_REPO, ".bench_cache", "v1")
+    sam_path = os.path.join(cache, "in.sam")
+    if os.path.exists(os.path.join(cache, "DONE")):
+        return cache
+    os.makedirs(cache, exist_ok=True)
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    import random
+
+    from samgen import make_genome, make_header_lines, reads_from_genome
+
+    genome = make_genome(E2E_CONTIGS, seed=7)
+    header = make_header_lines(
+        E2E_CONTIGS, rgs=[{"ID": "rg1", "LB": "lib1", "SM": "s1", "PU": "unit1"}])
+    lines = reads_from_genome(
+        E2E_READS - 2_000, E2E_CONTIGS, genome, seed=11, rg_ids=["rg1"])
+    # append duplicate pairs (Illumina qnames so optical clustering runs)
+    rng = random.Random(13)
+    dups = []
+    while len(dups) + 4 <= 2_000:
+        idx = rng.randrange(0, len(lines) // 2) * 2
+        f = lines[idx].split("\t")
+        m = lines[idx + 1].split("\t")
+        x, y = rng.randrange(1000, 30000), rng.randrange(1000, 30000)
+        for k in range(2):
+            # second copy lands within optical distance of the first
+            q = f"M01:1:FC:1:2208:{x + k * rng.randrange(0, 80)}:{y + k * rng.randrange(0, 80)}"
+            dups.append("\t".join([q] + f[1:]))
+            dups.append("\t".join([q] + m[1:]))
+    with open(sam_path, "w") as fh:
+        fh.write("\n".join(header) + "\n")
+        fh.write("\n".join(lines + dups) + "\n")
+    fasta = os.path.join(cache, "ref.fasta")
+    with open(fasta, "w") as fh:
+        for name, _ in E2E_CONTIGS:
+            fh.write(f">{name}\n")
+            seq = genome[name].decode()
+            for k in range(0, len(seq), 70):
+                fh.write(seq[k : k + 70] + "\n")
+    with open(os.path.join(cache, "sites.bed"), "w") as fh:
+        fh.write("chr1\t1000\t2000\nchr2\t5000\t9000\n")
+    from elprep_tpu import cli
+
+    assert cli.main(["fasta-to-elfasta", fasta, os.path.join(cache, "ref.elfasta")]) == 0
+    assert cli.main(["bed-to-elsites", os.path.join(cache, "sites.bed"),
+                     os.path.join(cache, "sites.elsites")]) == 0
+    with open(os.path.join(cache, "DONE"), "w") as fh:
+        fh.write("ok\n")
+    return cache
+
+
+def _e2e_bench() -> dict:
+    """Time the full 5-step file→file pipeline (incl. GVCF HC) via the CLI."""
+    import shutil
+    import tempfile
+
+    from elprep_tpu import cli
+
+    cache = _e2e_fixture()
+    out = tempfile.mkdtemp(prefix="elprep_bench_")
+    try:
+        args = [
+            "filter", os.path.join(cache, "in.sam"), os.path.join(out, "out.bam"),
+            "--mark-duplicates",
+            "--mark-optical-duplicates", os.path.join(out, "metrics.txt"),
+            "--sorting-order", "coordinate",
+            "--bqsr", os.path.join(out, "out.recal"),
+            "--known-sites", os.path.join(cache, "sites.elsites"),
+            "--reference", os.path.join(cache, "ref.elfasta"),
+            "--haplotypecaller", os.path.join(out, "out.vcf.gz"),
+            "--reference-confidence", "GVCF",
+        ]
+        t0 = time.perf_counter()
+        rc = cli.main(args)
+        dt = time.perf_counter() - t0
+        if rc != 0:
+            raise RuntimeError(f"e2e pipeline failed rc={rc}")
+        n_out = os.path.getsize(os.path.join(out, "out.bam"))
+        if n_out <= 0 or not os.path.exists(os.path.join(out, "out.vcf.gz")):
+            raise RuntimeError("e2e pipeline produced no output")
+        return {"seconds": dt, "reads_per_sec": E2E_READS / dt}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main() -> None:
@@ -132,11 +230,17 @@ def main() -> None:
     hmm_dt = (time.perf_counter() - t0) / iters
     gcups = B * lr * lh / hmm_dt / 1e9
 
+    # the honest number: file→file 5-step incl. HaplotypeCaller GVCF
+    e2e = _e2e_bench()
+
     print(json.dumps({
-        "metric": "pipeline_device_reads_per_sec",
-        "value": round(reads_per_sec, 1),
+        "metric": "pipeline_e2e_reads_per_sec",
+        "value": round(e2e["reads_per_sec"], 1),
         "unit": "reads/sec/chip",
-        "vs_baseline": round(reads_per_sec / REFERENCE_READS_PER_SEC, 3),
+        "vs_baseline": round(e2e["reads_per_sec"] / REFERENCE_READS_PER_SEC, 3),
+        "e2e_seconds": round(e2e["seconds"], 2),
+        "e2e_reads": E2E_READS,
+        "device_step_reads_per_sec": round(reads_per_sec, 1),
         "pairhmm_gcups": round(gcups, 3),
     }))
 

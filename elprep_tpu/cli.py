@@ -474,11 +474,15 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
     ap = open(args.activity_profile, "w") if args.activity_profile else None
     ar = open(args.assembly_regions, "w") if args.assembly_regions else None
     try:
+        nr_workers = args.nr_of_threads if args.nr_of_threads > 0 else (os.cpu_count() or 1)
+        if os.environ.get("ELPREP_TPU_HC_WORKERS"):
+            nr_workers = int(os.environ["ELPREP_TPU_HC_WORKERS"])
         vcf_header, variants = hcdriver.call_variants(
             params, data.header, reads_by_contig, get_reference,
             sample_name=sample_box[0], bed_regions=bed_spans,
             use_device_pairhmm=not args.host_pairhmm,
             activity_profile=ap, assembly_regions_out=ar,
+            nr_workers=nr_workers,
         )
     finally:
         if ap:

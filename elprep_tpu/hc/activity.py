@@ -660,10 +660,7 @@ def compute_activity(reads: List[ClipRead], reference: bytes, low: int, high: in
     big = np.maximum(rl, nl)
     small = np.minimum(rl, nl)
     diff = big - small
-    idx = np.minimum(
-        np.round(diff / tables.JACOBIAN_LOG_STEP).astype(np.int64),
-        len(tables.JACOBIAN_LOG_TABLE) - 1,
-    )
+    idx = tables.jacobian_index(diff)
     t1 = np.where(
         np.isinf(small) | (diff >= tables.JACOBIAN_LOG_MAX_TOLERANCE),
         big,
@@ -715,8 +712,7 @@ def compute_activity(reads: List[ClipRead], reference: bytes, low: int, high: in
         bigv = np.maximum(a, b)
         smallv = np.minimum(a, b)
         d = bigv - smallv
-        i = np.minimum(np.round(d / tables.JACOBIAN_LOG_STEP).astype(np.int64),
-                       len(tables.JACOBIAN_LOG_TABLE) - 1)
+        i = tables.jacobian_index(d)
         return np.where(np.isinf(smallv) | (d >= tables.JACOBIAN_LOG_MAX_TOLERANCE),
                         bigv, bigv + tables.JACOBIAN_LOG_TABLE[i])
 

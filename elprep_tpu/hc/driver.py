@@ -521,6 +521,35 @@ def write_vcf_header(params: HCParams, sam_header: Header, sample_name: str,
 # ---------------------------------------------------------------------------
 
 
+def _iter_region_results_serial(params, regions, deletions, use_device_pairhmm,
+                                fill_reads):
+    """Yield (region, variants, deletions) in order — single-process
+    version of HCWorkerPool.process_regions. Regions are prepared
+    (assembled/trimmed) in groups so all their PairHMM pairs share ONE
+    device dispatch; genotyping then runs in order (the deletions side
+    channel is serial, reference: side-channel.go:26-132)."""
+    GROUP = 16
+    for g0 in range(0, len(regions), GROUP):
+        group = regions[g0 : g0 + GROUP]
+        prepared = []
+        for region in group:
+            fill_reads(region)
+            prepared.append(prepare_region(params, region))
+        pendings = [p for _, p in prepared if p is not None]
+        likelihood_pairs = pairhmm.compute_read_likelihoods_multi(
+            [(p.reads_in, p.hap_bases, p.hap_is_ref) for p in pendings],
+            use_device=use_device_pairhmm)
+        results = iter(likelihood_pairs)
+        for region, (terminal, pending) in zip(group, prepared):
+            if pending is None:
+                yield region, terminal, deletions
+            else:
+                vals, keep = next(results)
+                variants, deletions = genotype_region(
+                    params, pending, vals, keep, deletions)
+                yield region, variants, deletions
+
+
 def call_variants(
     params: HCParams,
     sam_header: Header,
@@ -532,6 +561,7 @@ def call_variants(
     now: Optional[str] = None,
     activity_profile=None,
     assembly_regions_out=None,
+    nr_workers: int = 1,
 ) -> Tuple[VcfHeader, List[Variant]]:
     """Run the full HaplotypeCaller over coordinate-sorted reads.
 
@@ -549,8 +579,9 @@ def call_variants(
     combiner = VariantCombiner(params, get_reference) if gvcf else None
     out_variants: List[Variant] = []
 
-    prev_contig: Optional[str] = None
-    deletions: List[Tuple[int, int]] = []
+    from .parallel import get_pool
+
+    pool = get_pool(nr_workers)
 
     # split files restrict calling to their @cs contigs — other contigs
     # produce nothing, not even reference blocks
@@ -562,6 +593,7 @@ def call_variants(
         contig = sq["SN"]
         if valid_contigs is not None and contig not in valid_contigs:
             continue
+        deletions: List[Tuple[int, int]] = []
         contig_length = sam_header.sq_ln(sq)
         contig_reads = downsample(reads_by_contig.get(contig, []), params)
         reference = get_reference(contig)
@@ -605,47 +637,31 @@ def call_variants(
                 keep_states=activity_profile is not None)
             if assembly_regions_out is not None or activity_profile is not None:
                 _print_assembly_regions(assembly_regions_out, activity_profile, regions)
-            # Regions are prepared (assembled/trimmed) in groups so all
-            # their PairHMM pairs share ONE device dispatch; genotyping
-            # then runs in order (the deletions side channel is serial,
-            # reference: side-channel.go:26-132).
-            GROUP = 16
-            for g0 in range(0, len(regions), GROUP):
-                group = regions[g0 : g0 + GROUP]
-                prepared = []
-                for region in group:
-                    region.reads, _ = aln_slice(region_reads, region.padded_start(),
-                                                region.padded_end(), max_ref_len,
-                                                positions=region_positions)
-                    prepared.append(prepare_region(params, region))
-                pendings = [p for _, p in prepared if p is not None]
-                likelihood_pairs = pairhmm.compute_read_likelihoods_multi(
-                    [(p.reads_in, p.hap_bases, p.hap_is_ref) for p in pendings],
-                    use_device=use_device_pairhmm)
-                results = iter(likelihood_pairs)
-                for region, (terminal, pending) in zip(group, prepared):
-                    if prev_contig != contig:
-                        deletions = []
-                        prev_contig = contig
-                    if pending is None:
-                        region_variants = terminal
-                    else:
-                        vals, keep = next(results)
-                        region_variants, deletions = genotype_region(
-                            params, pending, vals, keep, deletions)
-                    for sv in region_variants:
-                        if gvcf:
-                            out_variants = combiner.set_contig(out_variants, contig)
-                            if isinstance(sv, RefRun):
-                                out_variants = combiner.merge_run(out_variants, sv)
-                            else:
-                                out_variants = combiner.merge_variant(out_variants, sv)
+            def fill_reads(region):
+                region.reads, _ = aln_slice(region_reads, region.padded_start(),
+                                            region.padded_end(), max_ref_len,
+                                            positions=region_positions)
+
+            if pool is not None:
+                results_iter = pool.process_regions(
+                    params, regions, deletions, use_device_pairhmm, fill_reads)
+            else:
+                results_iter = _iter_region_results_serial(
+                    params, regions, deletions, use_device_pairhmm, fill_reads)
+            for _region, region_variants, deletions in results_iter:
+                for sv in region_variants:
+                    if gvcf:
+                        out_variants = combiner.set_contig(out_variants, contig)
+                        if isinstance(sv, RefRun):
+                            out_variants = combiner.merge_run(out_variants, sv)
                         else:
-                            if sv.full_variant is not None:
-                                out_variants.append(sv.full_variant)
-                            else:
-                                out_variants.append(
-                                    reference_variant_to_full(contig, reference, sv))
+                            out_variants = combiner.merge_variant(out_variants, sv)
+                    else:
+                        if sv.full_variant is not None:
+                            out_variants.append(sv.full_variant)
+                        else:
+                            out_variants.append(
+                                reference_variant_to_full(contig, reference, sv))
     if gvcf and combiner is not None:
         final = combiner.finalize()
         if final is not None:

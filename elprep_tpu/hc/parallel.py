@@ -1,0 +1,310 @@
+"""Multi-core HaplotypeCaller orchestration.
+
+The reference runs callRegion across all cores in a pargo pipeline
+(filters/haplotypecaller.go:907-944) with the deletions side channel as
+the only serial dependency (side-channel.go:26-132). Here the same
+parallelism is built from a persistent pool of worker processes:
+
+- workers run ``prepare_region`` (finalize + de Bruijn assembly + trim —
+  the dominant host cost) and ``genotype_region``;
+- the main process keeps the batched device PairHMM dispatch and the
+  strictly ordered GVCF combiner;
+- the deletions carry is handled speculatively: workers genotype with an
+  assumed-empty incoming-deletions list, and the ordered consumer in the
+  main process re-runs a region (fresh ``prepare_region`` from the
+  original inputs, reusing the already-computed PairHMM values, which
+  depend only on the deterministic prepare outputs) whenever the true
+  incoming list turns out non-empty. Spanning deletions crossing region
+  boundaries are rare, so almost all speculative results are exact and
+  accepted as-is; the redo path restores exact serial semantics for the
+  rest.
+
+Workers are spawned (never forked: the parent may hold a live XLA
+runtime) and are kept off the accelerator: they only run numpy/Python
+host math. RNG safety: the Java-compatible RNG stream is consumed only
+by the per-contig downsampler in the main process, so worker scheduling
+cannot perturb it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+import os
+import pickle
+import traceback
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# regions per prepare task: small for load balance across skewed costs
+PREP_TASK_SIZE = 4
+# pendings per device PairHMM dispatch (matches the serial driver's
+# 16-region grouping; values are padding-invariant so batching does not
+# change results)
+PAIRHMM_BATCH = 16
+# outstanding prepare tasks per worker before flow control kicks in
+MAX_INFLIGHT = 8
+
+
+def _worker_main(wid: int, req_q, res_q) -> None:
+    os.environ["ELPREP_TPU_PLATFORM"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    from .driver import genotype_region, prepare_region
+
+    params = None
+    reference: bytes = b""
+    # rid -> (pickled original region, pending, vals, keep)
+    store: Dict[int, list] = {}
+
+    try:
+        while True:
+            msg = req_q.get()
+            kind = msg[0]
+            if kind == "stop":
+                return
+            if kind == "contig":
+                _, params, reference = msg
+                store.clear()
+                continue
+            if kind == "flush":
+                store.clear()
+                continue
+            if kind == "prep":
+                _, task_id, items = msg
+                out = []
+                for rid, region in items:
+                    region.reference = reference
+                    raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
+                    terminal, pending = prepare_region(params, region)
+                    if pending is None:
+                        out.append((rid, "term", terminal))
+                    else:
+                        store[rid] = [raw, pending, None, None]
+                        out.append((rid, "pend", pending.reads_in,
+                                    pending.hap_bases, pending.hap_is_ref))
+                res_q.put(("prep_done", wid, task_id, out))
+                continue
+            if kind == "geno":
+                _, rid, vals, keep, incoming = msg
+                ent = store[rid]
+                ent[2], ent[3] = vals, keep
+                variants, outgoing = genotype_region(params, ent[1], vals, keep,
+                                                     list(incoming))
+                res_q.put(("geno_done", rid, variants, outgoing))
+                continue
+            if kind == "redo":
+                # speculative genotyping mutated the pending (realign):
+                # rebuild it from the pristine region and rerun with the
+                # true incoming deletions; prepare is deterministic so
+                # the stored PairHMM values still apply
+                _, rid, incoming = msg
+                ent = store[rid]
+                region = pickle.loads(ent[0])
+                region.reference = reference
+                _terminal, pending = prepare_region(params, region)
+                assert pending is not None, "redo of a terminal region"
+                variants, outgoing = genotype_region(params, pending, ent[2],
+                                                     ent[3], list(incoming))
+                res_q.put(("geno_done", rid, variants, outgoing))
+                continue
+            raise ValueError(f"unknown message {kind!r}")
+    except Exception:
+        res_q.put(("error", wid, traceback.format_exc()))
+
+
+class HCWorkerPool:
+    """Persistent spawn-based worker pool for region processing."""
+
+    def __init__(self, n_workers: int):
+        ctx = mp.get_context("spawn")
+        self.n = n_workers
+        self.res_q = ctx.Queue()
+        self.req_qs = [ctx.Queue() for _ in range(n_workers)]
+        self.procs = [
+            ctx.Process(target=_worker_main, args=(i, self.req_qs[i], self.res_q),
+                        daemon=True)
+            for i in range(n_workers)
+        ]
+        for p in self.procs:
+            p.start()
+
+    def close(self) -> None:
+        for q in self.req_qs:
+            try:
+                q.put(("stop",))
+            except Exception:
+                pass
+        for p in self.procs:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+
+    def _recv(self):
+        import queue as _queue
+
+        while True:
+            try:
+                msg = self.res_q.get(timeout=60)
+                break
+            except _queue.Empty:
+                dead = [i for i, p in enumerate(self.procs) if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(f"HC worker(s) {dead} died unexpectedly")
+        if msg[0] == "error":
+            raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
+        return msg
+
+    def process_regions(self, params, regions, deletions, use_device_pairhmm,
+                        fill_reads):
+        """Yield (region, variants, deletions) in region order.
+
+        ``fill_reads(region)`` attaches the region's reads (main-process
+        aln_slice). ``deletions`` is the incoming carry for the first
+        region; each yielded tuple carries the updated list.
+        """
+        from ..ops import pairhmm
+
+        n = len(regions)
+        for q in self.req_qs:
+            q.put(("contig", params, regions[0].reference if regions else b""))
+
+        # results per rid
+        term: Dict[int, list] = {}
+        pend_inputs: Dict[int, tuple] = {}
+        owner: Dict[int, int] = {}
+        geno: Dict[int, tuple] = {}
+        redo_sent: set = set()
+
+        # build prepare tasks
+        tasks = []
+        for t0 in range(0, n, PREP_TASK_SIZE):
+            tasks.append(list(range(t0, min(t0 + PREP_TASK_SIZE, n))))
+        next_task = 0
+        inflight = [0] * self.n
+        task_owner: Dict[int, int] = {}
+        preps_outstanding = len(tasks)
+
+        def send_tasks():
+            nonlocal next_task
+            while next_task < len(tasks):
+                w = min(range(self.n), key=lambda i: inflight[i])
+                if inflight[w] >= MAX_INFLIGHT:
+                    return
+                rids = tasks[next_task]
+                items = []
+                for rid in rids:
+                    region = regions[rid]
+                    fill_reads(region)
+                    # ship an immutable copy: Queue.put pickles in a
+                    # feeder thread, so the original must not be mutated
+                    # after (and the 1+ MB contig reference must not ride
+                    # along with every region)
+                    copy = dataclasses.replace(
+                        region, reference=None, supporting_states=None)
+                    items.append((rid, copy))
+                    owner[rid] = w
+                    region.reads = []  # worker owns them now
+                task_owner[next_task] = w
+                self.req_qs[w].put(("prep", next_task, items))
+                inflight[w] += 1
+                next_task += 1
+
+        send_tasks()
+
+        pending_batch: List[int] = []
+
+        def dispatch_pairhmm(force=False):
+            if not pending_batch or (len(pending_batch) < PAIRHMM_BATCH and not force):
+                return
+            batch = pending_batch[:]
+            del pending_batch[:]
+            workloads = [pend_inputs.pop(rid) for rid in batch]
+            pairs = pairhmm.compute_read_likelihoods_multi(
+                workloads, use_device=use_device_pairhmm)
+            for rid, (vals, keep) in zip(batch, pairs):
+                self.req_qs[owner[rid]].put(("geno", rid, vals, keep, []))
+
+        emit = 0
+        while emit < n:
+            progressed = True
+            while progressed:
+                progressed = False
+                # advance the ordered consumer as far as possible
+                while emit < n:
+                    if emit in term:
+                        yield regions[emit], term.pop(emit), deletions
+                        emit += 1
+                        progressed = True
+                        continue
+                    if emit in geno:
+                        if deletions and emit not in redo_sent:
+                            # speculation assumed no incoming deletions:
+                            # rerun this region with the true carry
+                            redo_sent.add(emit)
+                            geno.pop(emit)
+                            self.req_qs[owner[emit]].put(
+                                ("redo", emit, deletions))
+                            break
+                        variants, outgoing = geno.pop(emit)
+                        redo_sent.discard(emit)
+                        deletions = outgoing
+                        yield regions[emit], variants, deletions
+                        emit += 1
+                        progressed = True
+                        continue
+                    break
+            if emit >= n:
+                break
+            msg = self._recv()
+            if msg[0] == "prep_done":
+                _, wid, task_id, out = msg
+                inflight[wid] -= 1
+                preps_outstanding -= 1
+                for item in out:
+                    rid = item[0]
+                    if item[1] == "term":
+                        term[rid] = item[2]
+                    else:
+                        pend_inputs[rid] = (item[2], item[3], item[4])
+                        pending_batch.append(rid)
+                send_tasks()
+                dispatch_pairhmm(force=preps_outstanding == 0 and next_task == len(tasks))
+            elif msg[0] == "geno_done":
+                _, rid, variants, outgoing = msg
+                geno[rid] = (variants, outgoing)
+        for q in self.req_qs:
+            q.put(("flush",))
+        return
+
+
+_pool: Optional[HCWorkerPool] = None
+_pool_size = 0
+
+
+def get_pool(n_workers: int) -> Optional[HCWorkerPool]:
+    """Shared pool, reused across call_variants invocations (sfm runs
+    one per shard; spawn startup is worth amortizing)."""
+    global _pool, _pool_size
+    if n_workers <= 1:
+        return None
+    if _pool is not None and _pool_size == n_workers:
+        return _pool
+    if _pool is not None:
+        _pool.close()
+    _pool = HCWorkerPool(n_workers)
+    _pool_size = n_workers
+    return _pool
+
+
+def shutdown_pool() -> None:
+    global _pool, _pool_size
+    if _pool is not None:
+        _pool.close()
+        _pool = None
+        _pool_size = 0

@@ -611,6 +611,14 @@ class VariantCombiner:
         return v
 
     def merge_run(self, variants: List[Variant], run) -> List[Variant]:
+        return self._merge_run_impl(variants, run, as_batch=True)
+
+    def merge_run_expanded(self, variants: List[Variant], run) -> List[Variant]:
+        """merge_run but emitting per-block Variant objects (test oracle
+        for the batch form)."""
+        return self._merge_run_impl(variants, run, as_batch=False)
+
+    def _merge_run_impl(self, variants, run, as_batch):
         """Vectorized merge of a contiguous reference run: equivalent to
         calling merge_variant per position (variant-combiner.go:141-263),
         but band splits are computed array-wise."""
@@ -671,21 +679,19 @@ class VariantCombiner:
                            np.int64))
             two = np.partition(min_pls_b, 1, axis=1)[:, :2]
             gq_b = np.minimum(two[:, 1] - two[:, 0], 99)
-            ml = min_pls_b.tolist()
-            for k in range(len(cs)):
-                a = int(cs[k])
-                g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
-                g.data["DP"] = int(med[k])
-                g.data["GQ"] = int(gq_b[k])
-                g.data["MIN_DP"] = int(min_dp_b[k])
-                g.data["PL"] = [int(x) for x in ml[k]]
-                v_pos = pos_first + a
-                v = Variant(chrom=self.contig, pos=v_pos,
-                            ref=chr(self.ref[v_pos - 1]), alt=[NON_REF],
-                            genotype_format=list(NO_VARIATION_FORMAT_GVCF),
-                            genotypes=[g])
-                v.info["END"] = pos_first + a + int(counts[k]) - 1
-                variants.append(v)
+            b_pos = pos_first + cs.astype(np.int64)
+            b_end = b_pos + counts.astype(np.int64) - 1
+            ref_arr = np.frombuffer(self.ref, np.uint8)
+            batch = RefBlockBatch(
+                chrom=self.contig, pos=b_pos, end=b_end,
+                ref_base=ref_arr[b_pos - 1],
+                dp=np.asarray(med, np.int64), gq=gq_b.astype(np.int64),
+                min_dp=min_dp_b.astype(np.int64),
+                pls=min_pls_b.astype(np.int64))
+            if as_batch:
+                variants.append(batch)
+            else:
+                variants.extend(batch.expand())
         # trailing band run stays open for the next merge
         self.first = False
         self.v_pos = pos_first + open_a
@@ -908,6 +914,71 @@ def _expand_refconf_elements_py(reads: List[ClipRead], low: int, high: int):
     return {k: v[order] for k, v in flat.items()}
 
 
+class RefBlockBatch:
+    """Finalized GVCF reference blocks in columnar form.
+
+    Produced by VariantCombiner.merge_run so hundreds of thousands of
+    reference-block records never become per-record Variant/Genotype
+    Python objects; the VCF writer formats a whole batch at once
+    (reference record shape: variant-combiner.go:183-212)."""
+
+    __slots__ = ("chrom", "pos", "end", "ref_base", "dp", "gq", "min_dp", "pls")
+
+    def __init__(self, chrom, pos, end, ref_base, dp, gq, min_dp, pls):
+        self.chrom = chrom
+        self.pos = pos
+        self.end = end
+        self.ref_base = ref_base  # uint8 ASCII
+        self.dp = dp
+        self.gq = gq
+        self.min_dp = min_dp
+        self.pls = pls  # (n, 3)
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def expand(self) -> List[Variant]:
+        """Per-block Variant objects (identical to the pre-batch form)."""
+        out = []
+        for k in range(len(self.pos)):
+            g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
+            g.data["DP"] = int(self.dp[k])
+            g.data["GQ"] = int(self.gq[k])
+            g.data["MIN_DP"] = int(self.min_dp[k])
+            g.data["PL"] = [int(x) for x in self.pls[k]]
+            v = Variant(chrom=self.chrom, pos=int(self.pos[k]),
+                        ref=chr(self.ref_base[k]), alt=[NON_REF],
+                        genotype_format=list(NO_VARIATION_FORMAT_GVCF),
+                        genotypes=[g])
+            v.info["END"] = int(self.end[k])
+            out.append(v)
+        return out
+
+    def format_lines(self) -> str:
+        """Vectorized text form — byte-identical to formatting each
+        expanded Variant through io.vcf.format_variant's fast path."""
+        c = self.chrom
+        rb = self.ref_base.tobytes().decode("latin-1")
+        return "".join(
+            "%s\t%d\t.\t%s\t<NON_REF>\t.\t.\tEND=%d\tGT:DP:GQ:MIN_DP:PL\t0/0:%d:%d:%d:%d,%d,%d\n"
+            % (c, p, rb[k], e, d, q, m, p0, p1, p2)
+            for k, (p, e, d, q, m, (p0, p1, p2)) in enumerate(
+                zip(self.pos.tolist(), self.end.tolist(), self.dp.tolist(),
+                    self.gq.tolist(), self.min_dp.tolist(), self.pls.tolist())))
+
+
+def expand_variants(variants) -> List[Variant]:
+    """Flatten a writer-ready variants list (Variant | RefBlockBatch)
+    into per-record Variant objects."""
+    out: List[Variant] = []
+    for v in variants:
+        if isinstance(v, RefBlockBatch):
+            out.extend(v.expand())
+        else:
+            out.append(v)
+    return out
+
+
 class RefRun:
     """A contiguous run of reference-model positions in array form.
 
@@ -996,8 +1067,7 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
             big = np.maximum(rl, nl)
             small = np.minimum(rl, nl)
             diff = big - small
-            jidx = np.minimum(np.round(diff / tables.JACOBIAN_LOG_STEP).astype(np.int64),
-                              len(tables.JACOBIAN_LOG_TABLE) - 1)
+            jidx = tables.jacobian_index(diff)
             t1 = np.where(np.isinf(small) | (diff >= tables.JACOBIAN_LOG_MAX_TOLERANCE),
                           big, big + tables.JACOBIAN_LOG_TABLE[jidx])
             t2 = nl + LOG10_PLOIDY

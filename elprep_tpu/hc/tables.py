@@ -106,6 +106,16 @@ def _gaussian_kernel(sigma: float = 17.0, radius: int = 50) -> np.ndarray:
 GAUSSIAN_KERNEL = _gaussian_kernel()
 
 
+def jacobian_index(diff: np.ndarray) -> np.ndarray:
+    """Clamped JACOBIAN_LOG_TABLE index for vectorized
+    approximate_log10_sum_log10. Non-finite diffs (from -inf operands,
+    whose lanes the caller masks to `big` anyway) map to 0 instead of
+    casting inf→int64-min and faulting the gather."""
+    idx_f = np.round(diff / JACOBIAN_LOG_STEP)
+    idx_f = np.where(np.isfinite(idx_f), idx_f, 0.0)
+    return np.minimum(idx_f, len(JACOBIAN_LOG_TABLE) - 1).astype(np.int64)
+
+
 def approximate_log10_sum_log10(a: float, b: float) -> float:
     """(reference: haploutils.go:171-200)"""
     if a > b:

@@ -316,7 +316,11 @@ def format_header(hdr: VcfHeader) -> str:
 
 
 def format_vcf(hdr: VcfHeader, variants: List[Variant]) -> bytes:
-    body = format_header(hdr) + "".join(format_variant(v) for v in variants)
+    # entries may be columnar batches of GVCF reference blocks
+    # (hc.refconf.RefBlockBatch) that format themselves vectorized
+    body = format_header(hdr) + "".join(
+        v.format_lines() if hasattr(v, "format_lines") else format_variant(v)
+        for v in variants)
     return body.encode()
 
 

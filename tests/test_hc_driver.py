@@ -129,6 +129,9 @@ def test_gvcf_mode_blocks(snp_setup):
         params, _sam_header(len(ref)), {"chr1": reads}, lambda c: ref,
         sample_name="s1", use_device_pairhmm=False,
     )
+    from elprep_tpu.hc.refconf import expand_variants
+
+    variants = expand_variants(variants)
     assert variants, "GVCF should emit reference blocks and the call"
     # the SNP site appears with <NON_REF> in alts
     v = next((v for v in variants if v.pos == 1001 and len(v.alt) > 1), None)

@@ -183,7 +183,15 @@ def test_merge_run_matches_merge_variant(seed):
             out.append(fin)
         return out
 
-    a, b = combine(per_pos), combine(runs)
+    a, b_raw = combine(per_pos), combine(runs)
+    # batch text form must match the per-record formatter byte-for-byte
+    from elprep_tpu.io.vcf import format_variant
+
+    for entry in b_raw:
+        if isinstance(entry, refconf.RefBlockBatch):
+            assert entry.format_lines() == "".join(
+                format_variant(v) for v in entry.expand())
+    b = refconf.expand_variants(b_raw)
     assert len(a) == len(b)
     for va, vb in zip(a, b):
         assert (va.chrom, va.pos, va.ref, va.alt) == (vb.chrom, vb.pos, vb.ref, vb.alt)
@@ -232,3 +240,13 @@ def test_vectorized_refconf_expansion_matches_oracle():
             continue
         for k in a:
             assert np.array_equal(a[k], b[k]), k
+
+
+def test_jacobian_index_nonfinite():
+    # -inf likelihood lanes (qual-0 bases) must not fault the table
+    # gather; the caller masks those lanes to `big` afterwards.
+    from elprep_tpu.hc import tables
+    diff = np.array([0.0, 1.0, np.inf, np.nan, 1e9])
+    idx = tables.jacobian_index(diff)
+    assert idx.dtype == np.int64
+    assert (idx >= 0).all() and (idx < len(tables.JACOBIAN_LOG_TABLE)).all()
