@@ -122,6 +122,11 @@ def _build_filter_parser() -> argparse.ArgumentParser:
                         "int16 tile wraparound, x87 log10")
     p.add_argument("--host-pairhmm", action="store_true",
                    help="use the f64 host PairHMM instead of the device kernel")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the in-memory pipeline over all visible "
+                        "devices: per-shard sort+dedup and a psum-reduced "
+                        "BQSR table build replace sfm's split files and "
+                        "gob merges (reference: cmd/sfm.go:605-907)")
     return p
 
 
@@ -203,11 +208,17 @@ def filter_command(argv: List[str]) -> int:
             or sorting_order in (SortingOrder.COORDINATE, SortingOrder.QUERYNAME)
             or want_bqsr or args.bqsr_apply or want_hc):
         filters1.append(fsimple.add_refid)
+    use_sharded = bool(args.sharded and args.mark_duplicates
+                       and sorting_order == SortingOrder.COORDINATE)
     md_state = None
-    if args.mark_duplicates:
+    if args.mark_duplicates and not use_sharded:
         md_state = MarkDuplicatesState()
         filters1.append(mark_duplicates_filter(state=md_state))
-    filters1.append(fsimple.remove_optional_reads)
+    # in sharded mode remove_optional_reads runs after the sharded
+    # dedup+sort, preserving the serial phase order
+    post_dedup_filters: List = [fsimple.remove_optional_reads]
+    if not use_sharded:
+        filters1.extend(post_dedup_filters)
 
     filters2: List = []
     if args.remove_duplicates:
@@ -292,6 +303,20 @@ def filter_command(argv: List[str]) -> int:
             hdr, batch = read_and_merge_files(files)
         else:
             hdr, batch = samio.read_sam_file(args.input)
+        if use_sharded:
+            from .core.pipeline import effective_sorting_order
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded import run_sharded_sort_dedup
+
+            data0 = run_pipeline(SamData(hdr, batch), filters1, SortingOrder.KEEP)
+            so = effective_sorting_order(sorting_order, data0.header,
+                                         hdr.hd_so())
+            mesh = make_mesh()
+            batch2, _ = run_sharded_sort_dedup(
+                data0.batch, data0.header, mesh,
+                do_sort=so == SortingOrder.COORDINATE)
+            return run_pipeline(SamData(data0.header, batch2),
+                                post_dedup_filters, SortingOrder.KEEP)
         return run_pipeline(SamData(hdr, batch), filters1, sorting_order)
 
     _setup_log(args.log_path, command_line)
@@ -302,7 +327,7 @@ def filter_command(argv: List[str]) -> int:
         def optical_phase():
             from .filters.markdup import aux_from_temps
 
-            aux = aux_from_temps(data.batch) or md_state.aux
+            aux = aux_from_temps(data.batch) or (md_state.aux if md_state else None)
             ctrs = foptical.mark_optical_duplicates(
                 data.batch, data.header, aux,
                 pixel_distance=args.optical_duplicates_pixel_distance)
@@ -334,9 +359,17 @@ def filter_command(argv: List[str]) -> int:
             data.batch = run_pipeline(
                 data, [fsimple.remove_non_overlapping_reads(bed_obj)],
                 post_sort).batch
-        tables = _timed(args.timed, "Base recalibration.",
-                        lambda: recal.recalibrate(data.header, data.batch, args.max_cycle),
-                        args.profile)
+        if use_sharded:
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded import sharded_recalibrate
+
+            def recal_fn():
+                return sharded_recalibrate(recal, data.header, data.batch,
+                                           args.max_cycle, make_mesh())
+        else:
+            def recal_fn():
+                return recal.recalibrate(data.header, data.batch, args.max_cycle)
+        tables = _timed(args.timed, "Base recalibration.", recal_fn, args.profile)
         os.makedirs(os.path.dirname(os.path.abspath(recal_file)) or ".", exist_ok=True)
         if args.bqsr_tables_only and not args.bqsr:
             # raw (pre-finalize) intermediate tables for later combining
@@ -477,6 +510,17 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
         nr_workers = args.nr_of_threads if args.nr_of_threads > 0 else (os.cpu_count() or 1)
         if os.environ.get("ELPREP_TPU_HC_WORKERS"):
             nr_workers = int(os.environ["ELPREP_TPU_HC_WORKERS"])
+        # multi-chip PairHMM: the batched pair dispatch shards over the
+        # same mesh as the sort/dedup/BQSR phases (cleared otherwise —
+        # the module state must not leak into later non-sharded runs)
+        from .ops.pairhmm import set_pairhmm_mesh
+
+        if getattr(args, "sharded", False):
+            from .parallel.mesh import make_mesh
+
+            set_pairhmm_mesh(make_mesh())
+        else:
+            set_pairhmm_mesh(None)
         vcf_header, variants = hcdriver.call_variants(
             params, data.header, reads_by_contig, get_reference,
             sample_name=sample_box[0], bed_regions=bed_spans,

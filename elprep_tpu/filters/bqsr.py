@@ -369,20 +369,66 @@ class BaseRecalibrator:
 
         rgmap = rg_covariate_map(header)
         cov_names = sorted(set(rgmap.values()))
-        cov_index = {name: i for i, name in enumerate(cov_names)}
         tables = BaseRecalibratorTables.zeros(cov_names, max_cycle)
         n = len(batch)
         if n == 0:
             return tables
-
-        eligible, rg_vals = _recalibrate_eligibility(header, batch)
-        rows = np.flatnonzero(eligible)
-        if len(rows) == 0:
+        p = prep_recalibrate_columns(self, header, batch, None, max_cycle)
+        if p["m"] == 0:
             return tables
+        out = bqsr_ops.recalibrate_tables(
+            jnp.asarray(p["base"]), jnp.asarray(p["qual"]), jnp.asarray(p["seq_len"]),
+            jnp.asarray(p["flag"]), jnp.asarray(p["pos"]), jnp.asarray(p["rg"]),
+            jnp.asarray(p["refoff"]), jnp.asarray(p["skip"]),
+            jnp.asarray(p["op_class"]), jnp.asarray(p["op_len"]),
+            jnp.asarray(self.ref.classes),
+            max_cycle=max_cycle, n_rg=len(cov_names),
+        )
+        qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, max_abs_cycle = map(np.asarray, out)
+        if int(max_abs_cycle) > max_cycle:
+            raise ValueError("cycle value exceeds maximum cycle value")
+        nrg = len(cov_names)
+        ncyc = 2 * max_cycle + 1
+        tables.qs_obs += qs_obs.reshape(nrg, NQUAL)
+        tables.qs_mism += qs_mism.reshape(nrg, NQUAL)
+        tables.cyc_obs += cyc_obs.reshape(nrg, NQUAL, ncyc)
+        tables.cyc_mism += cyc_mism.reshape(nrg, NQUAL, ncyc)
+        tables.ctx_obs += ctx_obs.reshape(nrg, NQUAL, NCTX)
+        tables.ctx_mism += ctx_mism.reshape(nrg, NQUAL, NCTX)
+        return tables
 
-        # host: clip adaptor + soft clips per eligible read; collect clipped views
-        clipped: List[clipping.ClipRead] = []
-        names = batch.names
+
+def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,
+                             batch: ReadBatch, row_subset, max_cycle: int) -> dict:
+    """Host side of the BQSR table build for a row subset: eligibility
+    gate, adaptor/soft-clip hard clipping, dense padded covariate columns
+    (reference: bqsr.go:225-285,389-414). ``row_subset`` of None means
+    all rows. Returns a dict of arrays plus ``m``/``L``/``C`` (rows are
+    padded to a power of two; dummies contribute nothing)."""
+    rgmap = rg_covariate_map(header)
+    cov_names = sorted(set(rgmap.values()))
+    cov_index = {name: i for i, name in enumerate(cov_names)}
+
+    eligible, rg_vals = _recalibrate_eligibility(header, batch)
+    if row_subset is not None:
+        sub = np.zeros(len(batch), bool)
+        sub[row_subset] = True
+        eligible = eligible & sub
+    rows = np.flatnonzero(eligible)
+    self = recal
+    empty = dict(m=0, L=0, C=0,
+                 base=np.zeros((0, 0), np.uint8), qual=np.zeros((0, 0), np.uint8),
+                 skip=np.zeros((0, 0), bool), seq_len=np.zeros(0, np.int32),
+                 flag=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
+                 rg=np.zeros(0, np.int32), refoff=np.zeros(0, np.int64),
+                 op_class=np.zeros((0, 0), np.int8), op_len=np.zeros((0, 0), np.int32))
+    if len(rows) == 0:
+        return empty
+
+    # host: clip adaptor + soft clips per eligible read; collect clipped views
+    clipped: List[clipping.ClipRead] = []
+    names = batch.names
+    if True:
         for i in rows:
             r = clipping.ClipRead(
                 flag=int(batch.flag[i]),
@@ -405,7 +451,7 @@ class BaseRecalibrator:
                 continue
             clipped.append(r)
         if not clipped:
-            return tables
+            return empty
 
         n_real = len(clipped)
         # pad shapes to buckets so runs share compiled programs (dummy
@@ -456,26 +502,9 @@ class BaseRecalibrator:
                         fe = sl - 1
                     skip[k, fs : fe + 1] = True
 
-        out = bqsr_ops.recalibrate_tables(
-            jnp.asarray(base), jnp.asarray(qual), jnp.asarray(seq_len),
-            jnp.asarray(flag), jnp.asarray(pos), jnp.asarray(rg),
-            jnp.asarray(refoff), jnp.asarray(skip),
-            jnp.asarray(op_class), jnp.asarray(op_len),
-            jnp.asarray(self.ref.classes),
-            max_cycle=max_cycle, n_rg=len(cov_names),
-        )
-        qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, max_abs_cycle = map(np.asarray, out)
-        if int(max_abs_cycle) > max_cycle:
-            raise ValueError("cycle value exceeds maximum cycle value")
-        nrg = len(cov_names)
-        ncyc = 2 * max_cycle + 1
-        tables.qs_obs += qs_obs.reshape(nrg, NQUAL)
-        tables.qs_mism += qs_mism.reshape(nrg, NQUAL)
-        tables.cyc_obs += cyc_obs.reshape(nrg, NQUAL, ncyc)
-        tables.cyc_mism += cyc_mism.reshape(nrg, NQUAL, ncyc)
-        tables.ctx_obs += ctx_obs.reshape(nrg, NQUAL, NCTX)
-        tables.ctx_mism += ctx_mism.reshape(nrg, NQUAL, NCTX)
-        return tables
+        return dict(m=m, L=L, C=C, base=base, qual=qual, skip=skip,
+                    seq_len=seq_len, flag=flag, pos=pos, rg=rg, refoff=refoff,
+                    op_class=op_class, op_len=op_len)
 
 
 def _recalibrate_eligibility(header: Header, batch: ReadBatch) -> Tuple[np.ndarray, np.ndarray]:

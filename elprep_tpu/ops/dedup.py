@@ -189,16 +189,14 @@ def mark_duplicates(libid, refid, upos, rev, score, qrank, flag):
     return dup
 
 
-def mark_duplicates_batch(batch, header):
-    """Host glue: derive dedup input columns from a ReadBatch + header and
-    run the device kernel. Returns (dup_mask, aux dict with the derived
-    columns for reuse by optical-duplicate marking).
+def dedup_columns(batch, header):
+    """Host-derived dedup input columns: (libid, unclipped-pos, score,
+    rev) int32 arrays for a ReadBatch.
 
     LIBID mapping: @RG ID -> LB (reference: mark-duplicates.go:411-423);
-    reads without an RG tag or whose RG has no LB get LIBID nil, which is
-    its own group key value (-1 here).
-    """
-    from . import readstats, sortkeys
+    libids are assigned canonically in @RG header order (optical.py
+    rebuilds the same table from the header)."""
+    from . import readstats
 
     lb_by_rg = {}
     for rg_entry in header.rg:
@@ -210,9 +208,6 @@ def mark_duplicates_batch(batch, header):
             lb_by_rg[rg_id.encode()] = lb
 
     rg_vals = batch.tags.extract_z(b"RG")
-    # Canonical libid assignment: @RG header order, first occurrence of each
-    # LB (optical.py rebuilds the same table from the header; assigning by
-    # read-appearance order instead would mis-attribute per-library metrics).
     lb_ids: dict[str, int] = {}
     for rg_entry in header.rg:
         lb = rg_entry.get("LB")
@@ -224,14 +219,29 @@ def mark_duplicates_batch(batch, header):
         if lb is not None:
             libid[i] = lb_ids.setdefault(lb, len(lb_ids))
 
-    refid = batch.temps["REFID"]
-    qrank = sortkeys.qname_ranks(batch.qname)
     op_class, op_len, n_ops = readstats.pad_cigars(batch.cigar_len, batch.cigar_op)
     qual_padded, qual_len = readstats.pad_quals(batch.qual)
-
-    upos = np.asarray(readstats.unclipped_position(batch.pos, batch.flag, op_class, op_len, n_ops))
+    upos = np.asarray(readstats.unclipped_position(batch.pos, batch.flag, op_class,
+                                                   op_len, n_ops))
     score = np.asarray(readstats.phred_score(qual_padded, qual_len))
     rev = ((batch.flag & REVERSED) >> 4).astype(np.int32)
+    return libid, upos, score, rev
+
+
+def mark_duplicates_batch(batch, header):
+    """Host glue: derive dedup input columns from a ReadBatch + header and
+    run the device kernel. Returns (dup_mask, aux dict with the derived
+    columns for reuse by optical-duplicate marking).
+
+    LIBID mapping: @RG ID -> LB (reference: mark-duplicates.go:411-423);
+    reads without an RG tag or whose RG has no LB get LIBID nil, which is
+    its own group key value (-1 here).
+    """
+    from . import sortkeys
+
+    libid, upos, score, rev = dedup_columns(batch, header)
+    refid = batch.temps["REFID"]
+    qrank = sortkeys.qname_ranks(batch.qname)
 
     # pad the batch to a power of two so runs share compiled programs
     # (ineligible UNMAPPED dummies cannot win or lose duels)

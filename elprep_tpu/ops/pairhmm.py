@@ -294,6 +294,15 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+# PairHMM mesh: when set (multi-chip mode), the batched pair dispatch
+# shards its B axis over the mesh instead of running single-device.
+_MESH: list = [None]
+
+
+def set_pairhmm_mesh(mesh) -> None:
+    _MESH[0] = mesh
+
+
 def pairhmm_logl_pairs(
     reads: Sequence[Tuple[bytes, np.ndarray, int]],
     haps: Sequence[bytes],
@@ -311,7 +320,8 @@ def pairhmm_logl_pairs(
     if B == 0:
         return np.zeros(0, np.float64)
 
-    if jax.default_backend() == "tpu":
+    mesh = _MESH[0]
+    if jax.default_backend() == "tpu" and (mesh is None or mesh.devices.size <= 1):
         from .pairhmm_pallas import pairhmm_pallas_pairs
 
         return pairhmm_pallas_pairs(reads, haps, pair_r, pair_h)
@@ -359,13 +369,38 @@ def pairhmm_logl_pairs(
         hap_len[b] = lh
         initial[b] = np.float32(2.0 ** F32_INITIAL_POW / lh)
 
-    acc = np.asarray(
-        _pairhmm_f32_scan(
-            jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mp), jnp.asarray(nmp),
-            jnp.asarray(m2m), jnp.asarray(m2i), jnp.asarray(read_len),
-            jnp.asarray(hap_len), jnp.asarray(initial), lr_pad=lr_pad, lh_pad=lh_pad,
+    if mesh is not None and mesh.devices.size > 1:
+        # shard the pair batch over every chip: pairs are independent, so
+        # the B axis partitions with no collectives (the multi-chip GCUPS
+        # axis of BASELINE; elprep_tpu.parallel.pairhmm_sharded is the
+        # standalone form of the same layout)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+        flatm = Mesh(np.asarray(mesh.devices).reshape(-1), ("b",))
+        n_dev = flatm.devices.size
+        B_pad = ((B + n_dev - 1) // n_dev) * n_dev
+
+        def padB(a, fill):
+            if len(a) == B_pad:
+                return a
+            out = np.full((B_pad,) + a.shape[1:], fill, a.dtype)
+            out[:B] = a
+            return out
+
+        sh2 = NamedSharding(flatm, Pspec("b", None))
+        sh1 = NamedSharding(flatm, Pspec("b"))
+        args2 = [jax.device_put(padB(a, 0), sh2) for a in (x, hbp, mp, nmp, m2m, m2i)]
+        args1 = [jax.device_put(padB(a, 1), sh1) for a in (read_len, hap_len, initial)]
+        acc = np.asarray(_pairhmm_f32_scan(
+            *args2, *args1, lr_pad=lr_pad, lh_pad=lh_pad))[:B]
+    else:
+        acc = np.asarray(
+            _pairhmm_f32_scan(
+                jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mp), jnp.asarray(nmp),
+                jnp.asarray(m2m), jnp.asarray(m2i), jnp.asarray(read_len),
+                jnp.asarray(hap_len), jnp.asarray(initial), lr_pad=lr_pad, lh_pad=lh_pad,
+            )
         )
-    )
     log10_init = F32_INITIAL_POW * np.log10(2.0)
     with np.errstate(divide="ignore"):
         out = np.log10(acc.astype(np.float64)) - log10_init
