@@ -274,19 +274,19 @@ def filter_command(argv: List[str]) -> int:
                             first = False
                         f.write(samio.format_alignments(apply_filters(batch, bfs)))
             else:
-                from .core.batch import ReadBatch
+                from .io.bam import StreamingBamWriter
 
-                header_out = None
-                batches_out = []
-                for hdr, batch in samio.iter_sam_chunks(args.input):
-                    if first:
-                        bfs = compose_filters(hdr, all_filters)
-                        effective_sorting_order(sorting_order, hdr, hdr.hd_so())
-                        header_out = hdr
-                        first = False
-                    batches_out.append(apply_filters(batch, bfs))
-                samio.write_sam_file(args.output, header_out,
-                                     ReadBatch.concat(batches_out), fmt=fmt)
+                writer = None
+                with open(args.output, "wb") as f:
+                    for hdr, batch in samio.iter_sam_chunks(args.input):
+                        if first:
+                            bfs = compose_filters(hdr, all_filters)
+                            effective_sorting_order(sorting_order, hdr, hdr.hd_so())
+                            writer = StreamingBamWriter(f, hdr)
+                            first = False
+                        writer.write_batch(apply_filters(batch, bfs))
+                    if writer is not None:
+                        writer.close()
 
         _timed(args.timed, "Running pipeline.", streaming_phase, args.profile)
         return 0
@@ -521,21 +521,30 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             set_pairhmm_mesh(make_mesh())
         else:
             set_pairhmm_mesh(None)
-        vcf_header, variants = hcdriver.call_variants(
-            params, data.header, reads_by_contig, get_reference,
-            sample_name=sample_box[0], bed_regions=bed_spans,
-            use_device_pairhmm=not args.host_pairhmm,
-            activity_profile=ap, assembly_regions_out=ar,
-            nr_workers=nr_workers,
-        )
+        # streaming writeback: the VCF header must be written before any
+        # variants, so write it from a first pass of the header builder,
+        # then flush records incrementally as call_variants emits them
+        os.makedirs(os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".",
+                    exist_ok=True)
+        sink = vcfmod.StreamingVcfWriter(
+            args.haplotypecaller,
+            hcdriver.write_vcf_header(params, data.header, sample_box[0],
+                                      get_reference))
+        try:
+            vcf_header, variants = hcdriver.call_variants(
+                params, data.header, reads_by_contig, get_reference,
+                sample_name=sample_box[0], bed_regions=bed_spans,
+                use_device_pairhmm=not args.host_pairhmm,
+                activity_profile=ap, assembly_regions_out=ar,
+                nr_workers=nr_workers, variant_sink=sink,
+            )
+        finally:
+            sink.close()
     finally:
         if ap:
             ap.close()
         if ar:
             ar.close()
-    os.makedirs(os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".",
-                exist_ok=True)
-    vcfmod.write_vcf_file(args.haplotypecaller, vcf_header, variants)
     if args.random_seed_file:
         with open(args.random_seed_file, "w") as f:
             f.write(str(params.random.reflect_seed()))

@@ -562,6 +562,7 @@ def call_variants(
     activity_profile=None,
     assembly_regions_out=None,
     nr_workers: int = 1,
+    variant_sink=None,
 ) -> Tuple[VcfHeader, List[Variant]]:
     """Run the full HaplotypeCaller over coordinate-sorted reads.
 
@@ -662,8 +663,17 @@ def call_variants(
                         else:
                             out_variants.append(
                                 reference_variant_to_full(contig, reference, sv))
+                # streaming writeback: emitted entries are final (the
+                # combiner's open block is not in the list yet), so the
+                # accumulated prefix can flush at any point
+                if variant_sink is not None and len(out_variants) >= 4096:
+                    variant_sink.write_variants(out_variants)
+                    out_variants = []
     if gvcf and combiner is not None:
         final = combiner.finalize()
         if final is not None:
             out_variants.append(final)
+    if variant_sink is not None:
+        variant_sink.write_variants(out_variants)
+        out_variants = []
     return vcf_header, out_variants

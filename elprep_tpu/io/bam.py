@@ -235,6 +235,70 @@ def parse_bam(data: bytes) -> Tuple[Header, ReadBatch]:
     return hdr, batch
 
 
+def _try_parse_bam_header(raw: bytes):
+    """parse_bam_header_raw that returns None while ``raw`` is still an
+    incomplete prefix of the header section (streaming reads)."""
+    if len(raw) < 12:
+        return None
+    if raw[:4] != BAM_MAGIC:
+        raise ValueError("did not find BAM magic sequence")
+    l_text = struct.unpack_from("<i", raw, 4)[0]
+    pos = 8 + l_text
+    if len(raw) < pos + 4:
+        return None
+    n_ref = struct.unpack_from("<i", raw, pos)[0]
+    pos += 4
+    for _ in range(n_ref):
+        if len(raw) < pos + 4:
+            return None
+        l_name = struct.unpack_from("<i", raw, pos)[0]
+        if len(raw) < pos + 8 + l_name:
+            return None
+        pos += 8 + l_name
+    return parse_bam_header_raw(raw)
+
+
+def _records_complete_prefix(raw: bytes, start: int) -> int:
+    """Length-prefix walk: end offset of the last whole record in ``raw``
+    (reference framing: bamReader.Fetch, bam-files.go:780-800)."""
+    pos = start
+    n = len(raw)
+    unpack = struct.unpack_from
+    while pos + 4 <= n:
+        size = unpack("<i", raw, pos)[0]
+        if size < 0 or pos + 4 + size > n:
+            break
+        pos += 4 + size
+    return pos
+
+
+def iter_bam_chunks(f, head: bytes = b"", chunk_bytes: int = 64 << 20):
+    """Yield (header, batch) pairs streaming a BGZF BAM file in bounded
+    memory: incremental block decompression (io.bgzf.iter_bgzf_chunks)
+    plus length-prefixed record framing, the streaming structure of the
+    reference reader (bam-files.go:780-800, bgzf-files.go:95-265)."""
+    hdr = None
+    refs: List[Tuple[bytes, int]] = []
+    buf = b""
+    for chunk in bgzf.iter_bgzf_chunks(f, head=head):
+        buf += chunk
+        if hdr is None:
+            parsed = _try_parse_bam_header(buf)
+            if parsed is None:
+                continue
+            hdr, refs, start = parsed
+            buf = buf[start:]
+        if len(buf) >= chunk_bytes:
+            end = _records_complete_prefix(buf, 0)
+            if end:
+                yield hdr, parse_bam_records(buf[:end], refs, 0)
+                buf = buf[end:]
+    if hdr is None:
+        hdr, refs, start = parse_bam_header_raw(buf)
+        buf = buf[start:]
+    yield hdr, parse_bam_records(buf, refs, 0)
+
+
 def parse_bam_records(raw: bytes, refs: List[Tuple[bytes, int]], start: int) -> ReadBatch:
     u8 = np.frombuffer(raw, np.uint8)
     n_total = len(raw)
@@ -578,3 +642,21 @@ def _scatter_ragged(out: np.ndarray, starts: np.ndarray, rg: Ragged) -> None:
 def format_bam(hdr: Header, batch: ReadBatch, level: int = 6) -> bytes:
     raw = format_bam_header_raw(hdr) + format_bam_records(hdr, batch)
     return bgzf.compress(raw, level=level)
+
+
+class StreamingBamWriter:
+    """Bounded-memory BAM writer, byte-identical to format_bam() on the
+    concatenation of the written batches (the BGZF chop happens at the
+    same 64 KB payload boundaries)."""
+
+    def __init__(self, fileobj, hdr: Header, level: int = 6):
+        self.hdr = hdr
+        self.w = bgzf.StreamingBgzfWriter(fileobj, level)
+        self.w.write(format_bam_header_raw(hdr))
+
+    def write_batch(self, batch: ReadBatch) -> None:
+        if len(batch):
+            self.w.write(format_bam_records(self.hdr, batch))
+
+    def close(self) -> None:
+        self.w.close()

@@ -145,3 +145,85 @@ def compress(data: bytes, level: int = 6, eof: bool = True) -> bytes:
 
 def is_bgzf(data: bytes) -> bool:
     return data[:2] == b"\x1f\x8b" and len(data) >= 12 and (data[3] & 4) != 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming (bounded-memory) reader / writer
+# (reference: the pipelined reader/writer of utils/bgzf/bgzf-files.go
+# presents io.Reader/io.Writer over the parallel block codec; here the
+# same bounded-memory contract is a chunk iterator + a buffered writer)
+# ---------------------------------------------------------------------------
+
+
+def _complete_prefix(data: bytes) -> int:
+    """Byte length of the longest prefix of ``data`` consisting of whole
+    BGZF blocks (framing walk only, no decompression)."""
+    pos = 0
+    n = len(data)
+    while True:
+        if pos + 18 > n:
+            return pos
+        if data[pos : pos + 2] != b"\x1f\x8b" or not data[pos + 3] & 4:
+            raise ValueError("did not find gzip magic in BGZF block header")
+        xlen = struct.unpack_from("<H", data, pos + 10)[0]
+        if pos + 12 + xlen > n:
+            return pos
+        xpos, xend, bsize = pos + 12, pos + 12 + xlen, None
+        while xpos + 4 <= xend:
+            si1, si2, slen = data[xpos], data[xpos + 1], struct.unpack_from("<H", data, xpos + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", data, xpos + 4)[0] + 1
+            xpos += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BC extra subfield")
+        if bsize < 12 + xlen + 8:
+            raise ValueError("corrupt BGZF block: BSIZE smaller than its own framing")
+        if pos + bsize > n:
+            return pos
+        pos += bsize
+
+
+def iter_bgzf_chunks(f, head: bytes = b"", slab_bytes: int = 16 << 20):
+    """Yield uncompressed chunks from a BGZF stream in bounded memory:
+    compressed slabs are framed to whole blocks and decompressed with
+    the parallel codec; partial trailing blocks carry into the next
+    slab. ``head`` holds bytes already consumed from ``f`` (sniffing)."""
+    carry = bytes(head)
+    while True:
+        slab = f.read(slab_bytes)
+        if not slab:
+            if carry:
+                # must end on a block boundary
+                if _complete_prefix(carry) != len(carry):
+                    raise ValueError("truncated BGZF stream")
+                yield decompress(carry)
+            return
+        buf = carry + slab
+        consumed = _complete_prefix(buf)
+        carry = buf[consumed:]
+        if consumed:
+            yield decompress(buf[:consumed])
+
+
+class StreamingBgzfWriter:
+    """Bounded-memory BGZF writer producing byte-identical output to
+    ``compress(whole_payload)``: uncompressed bytes buffer until whole
+    64 KB blocks are available, which compress through the parallel
+    codec; close() flushes the remainder and the EOF marker."""
+
+    def __init__(self, fileobj, level: int = 6, flush_blocks: int = 256):
+        self.f = fileobj
+        self.level = level
+        self.buf = bytearray()
+        self.flush_bytes = flush_blocks * MAX_BLOCK_SIZE
+
+    def write(self, data: bytes) -> None:
+        self.buf += data
+        if len(self.buf) >= self.flush_bytes:
+            whole = (len(self.buf) // MAX_BLOCK_SIZE) * MAX_BLOCK_SIZE
+            self.f.write(compress(bytes(self.buf[:whole]), self.level, eof=False))
+            del self.buf[:whole]
+
+    def close(self) -> None:
+        self.f.write(compress(bytes(self.buf), self.level, eof=True))
+        self.buf = bytearray()

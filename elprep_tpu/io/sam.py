@@ -432,10 +432,10 @@ def iter_sam_chunks(path: str, chunk_bytes: int = 64 << 20):
     with open(path, "rb") as f:
         # seek-free so pipes (/dev/stdin) work (reference: aln-files.go:144-251)
         head = f.read(1)
-        if head == b"\x1f":  # BAM/BGZF: in-memory fallback
+        if head == b"\x1f":  # BAM/BGZF: streaming block reader
             from . import bam
 
-            yield bam.parse_bam(head + f.read())
+            yield from bam.iter_bam_chunks(f, head=head, chunk_bytes=chunk_bytes)
             return
         # read header lines; the first non-@ line becomes the initial carry
         header_buf = bytearray()

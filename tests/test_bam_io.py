@@ -118,3 +118,64 @@ def test_bgzf_corrupt_bsize_rejected():
         bgzf._frame_blocks(bytes(bad))
     with pytest.raises(ValueError):
         bgzf.decompress(bytes(bad))
+
+
+def test_streaming_bam_reader_matches_whole_file(tmp_path):
+    # iter_sam_chunks over a BAM must reproduce parse_bam exactly, in
+    # bounded chunks (reference: bam-files.go:780-800 streaming framing)
+    data = samgen.make_sam(4000, seed=21)
+    hdr, batch = sam.parse_sam(data)
+    p = tmp_path / "t.bam"
+    sam.write_sam_file(str(p), hdr, batch, fmt="bam")
+
+    whole_hdr, whole = sam.read_sam_file(str(p))
+    chunks = []
+    n_chunks = 0
+    import io as _io
+    from elprep_tpu.io.bam import iter_bam_chunks
+
+    with open(p, "rb") as f:
+        head = f.read(1)
+        for h, b in iter_bam_chunks(f, head=head, chunk_bytes=1 << 16):
+            n_chunks += 1
+            chunks.append(b)
+    assert n_chunks > 1, "expected multiple streamed chunks"
+    from elprep_tpu.core.batch import ReadBatch
+
+    merged = ReadBatch.concat(chunks)
+    assert len(merged) == len(whole)
+    np.testing.assert_array_equal(merged.qname, whole.qname)
+    np.testing.assert_array_equal(merged.flag, whole.flag)
+    np.testing.assert_array_equal(merged.pos, whole.pos)
+    assert sam.format_alignments(merged) == sam.format_alignments(whole)
+
+
+def test_streaming_bam_writer_byte_identical(tmp_path):
+    from elprep_tpu.io.bam import StreamingBamWriter, format_bam
+
+    data = samgen.make_sam(3000, seed=22)
+    hdr, batch = sam.parse_sam(data)
+    whole = format_bam(hdr, batch)
+    p = tmp_path / "s.bam"
+    with open(p, "wb") as f:
+        w = StreamingBamWriter(f, hdr)
+        step = 257
+        for i in range(0, len(batch), step):
+            w.write_batch(batch.select(np.arange(i, min(i + step, len(batch)))))
+        w.close()
+    assert p.read_bytes() == whole
+
+
+def test_streaming_bgzf_writer_byte_identical():
+    import random
+    from elprep_tpu.io.bgzf import StreamingBgzfWriter, compress
+    import io as _io
+
+    rng = random.Random(1)
+    payload = bytes(rng.getrandbits(8) for _ in range(300_000))
+    buf = _io.BytesIO()
+    w = StreamingBgzfWriter(buf, flush_blocks=2)
+    for i in range(0, len(payload), 10_007):
+        w.write(payload[i : i + 10_007])
+    w.close()
+    assert buf.getvalue() == compress(payload)

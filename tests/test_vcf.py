@@ -150,3 +150,24 @@ def test_non_ref_block_fast_path_matches_generic():
     assert fast == slow
     assert fast == ("chr1\t1234\t.\tT\t<NON_REF>\t.\t.\tEND=1300\t"
                     "GT:DP:GQ:MIN_DP:PL\t0/0:7:21:5:0,21,315\n")
+
+
+def test_streaming_vcf_writer_byte_identical(tmp_path):
+    hdr = VcfHeader()
+    hdr.infos.append(FormatInformation(id="DP", number=1, type="Integer", description="d"))
+    hdr.formats.append(FormatInformation(id="GT", number=1, type="String", description="g"))
+    hdr.columns = vcf.DEFAULT_COLUMNS + ["FORMAT", "s1"]
+    variants = [
+        Variant(chrom="chr1", pos=100 + i, ref="A", alt=["T"], qual=31.5,
+                info={"DP": i}, genotype_format=["GT"],
+                genotypes=[Genotype(gt=[0, 1])])
+        for i in range(500)
+    ]
+    whole = tmp_path / "w.vcf.gz"
+    vcf.write_vcf_file(str(whole), hdr, variants)
+    stream = tmp_path / "s.vcf.gz"
+    w = vcf.StreamingVcfWriter(str(stream), hdr)
+    for v in variants:
+        w.write_variants([v])
+    w.close()
+    assert whole.read_bytes() == stream.read_bytes()
