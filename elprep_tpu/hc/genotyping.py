@@ -1252,6 +1252,58 @@ class HypergeometricDistribution:
 # ---------------------------------------------------------------------------
 
 
+def compute_sor(contingency) -> float:
+    """Symmetric odds ratio of the strand 2x2 table with +1 pseudocounts
+    (reference: assigngls.go SOR block; contingency order is
+    refFwd, refRev, altFwd, altRev)."""
+    t00 = contingency[0] + 1.0
+    t01 = contingency[1] + 1.0
+    t10 = contingency[2] + 1.0
+    t11 = contingency[3] + 1.0
+    ratio = (t00 / t01) * (t11 / t10) + (t01 / t00) * (t10 / t11)
+    if t00 > t01:
+        t00, t01 = t01, t00
+    ref_ratio = t00 / t01
+    if t10 > t11:
+        t10, t11 = t11, t10
+    alt_ratio = t10 / t11
+    return math.log(ratio) + math.log(ref_ratio) - math.log(alt_ratio)
+
+
+def compute_fs(contingency) -> float:
+    """Phred-scaled two-sided Fisher's exact strand-bias p-value
+    (reference: assigngls.go FS block; hypergeometric tail with the
+    GATK >400 normalization and REL_ERR inclusion threshold)."""
+    total = sum(contingency)
+    if total <= 2:
+        return 0.0
+    ct = list(contingency)
+    if total > 400:
+        norm = total / 200
+        ct = [int(c / norm) for c in ct]
+    m = ct[0] + ct[1]
+    n = ct[2] + ct[3]
+    k = ct[0] + ct[2]
+    lo = max(0, k - n)
+    hi = min(k, m)
+    p_value = 0.0
+    if hi > lo:
+        dist = HypergeometricDistribution(m + n, m, k)
+        logds = [dist.log_probability(i) for i in range(lo, hi + 1)]
+        threshold = logds[ct[0] - lo] * REL_ERR
+        i = 0
+        while i < len(logds):
+            if logds[i] <= threshold:
+                logds[i] = logds[i] * math.log10(math.e)
+                i += 1
+            else:
+                del logds[i]
+        p_value = abs(-10 * max(
+            math.log10(max(min(10 ** log10_sum_log10_slice(logds), 1.0), 1e-320)),
+            MIN_LOG10_SCALED_QUAL))
+    return p_value
+
+
 def calc_alignment_byte_array_offset(cigar: List[sw.CigOp], offset: int) -> int:
     pos = 0
     alignment_pos = 0
@@ -1411,48 +1463,8 @@ def annotate_call(params: HCParams, call: Variant,
                 call.genotypes[0].data["SB"] = list(contingency)
             break
     if params.confidence_mode == "NONE":
-        t00 = contingency[0] + 1.0
-        t01 = contingency[1] + 1.0
-        t10 = contingency[2] + 1.0
-        t11 = contingency[3] + 1.0
-        ratio = (t00 / t01) * (t11 / t10) + (t01 / t00) * (t10 / t11)
-        if t00 > t01:
-            t00, t01 = t01, t00
-        ref_ratio = t00 / t01
-        if t10 > t11:
-            t10, t11 = t11, t10
-        alt_ratio = t10 / t11
-        sor = math.log(ratio) + math.log(ref_ratio) - math.log(alt_ratio)
-        call.info["SOR"] = formatf(sor, 3)
-        total = sum(contingency)
-        if total <= 2:
-            call.info["FS"] = "0.000"
-        else:
-            ct = list(contingency)
-            if total > 400:
-                norm = total / 200
-                ct = [int(c / norm) for c in ct]
-            m = ct[0] + ct[1]
-            n = ct[2] + ct[3]
-            k = ct[0] + ct[2]
-            lo = max(0, k - n)
-            hi = min(k, m)
-            p_value = 0.0
-            if hi > lo:
-                dist = HypergeometricDistribution(m + n, m, k)
-                logds = [dist.log_probability(i) for i in range(lo, hi + 1)]
-                threshold = logds[ct[0] - lo] * REL_ERR
-                i = 0
-                while i < len(logds):
-                    if logds[i] <= threshold:
-                        logds[i] = logds[i] * math.log10(math.e)
-                        i += 1
-                    else:
-                        del logds[i]
-                p_value = abs(-10 * max(
-                    math.log10(max(min(10 ** log10_sum_log10_slice(logds), 1.0), 1e-320)),
-                    MIN_LOG10_SCALED_QUAL))
-            call.info["FS"] = formatf(p_value, 3)
+        call.info["SOR"] = formatf(compute_sor(contingency), 3)
+        call.info["FS"] = formatf(compute_fs(contingency), 3)
         for g in call_gt:
             if g > 0:
                 qd_depth = depth if depth != 0 else len(likelihoods.alns)

@@ -374,3 +374,39 @@ def test_sfm_gvcf_equals_whole_file(workdir, tmp_path):
     w = [l for l in gzip.open(tmp_path / "w.vcf.gz", "rt") if not l.startswith("#")]
     s = [l for l in gzip.open(tmp_path / "s.vcf.gz", "rt") if not l.startswith("#")]
     assert w == s
+
+
+def test_target_regions_restricts_calling(workdir, tmp_path):
+    """--target-regions BED restricts HC to the given spans
+    (reference: cmd/filter.go --target-regions + computeRegion BED flow,
+    haplotypecaller.go:735-798)."""
+    wd = workdir
+    bed = tmp_path / "targets.bed"
+    # cover only chr1:1900-2300 (0-based BED), around the het SNP at 2001
+    bed.write_text("chr1\t1900\t2300\n")
+
+    def run(tag, extra):
+        out = tmp_path / ("tr_%s.vcf.gz" % tag)
+        rc = cli.main([
+            "filter", str(wd / "in.sam"), "/dev/null",
+            "--mark-duplicates", "--sorting-order", "coordinate",
+            "--reference", str(wd / "ref.elfasta"),
+            "--haplotypecaller", str(out),
+            "--reference-confidence", "NONE", "--host-pairhmm",
+        ] + extra)
+        assert rc == 0
+        from elprep_tpu.io import vcf as vcfmod
+
+        return vcfmod.read_vcf_file(str(out))[1]
+
+    targeted = run("bed", ["--target-regions", str(bed)])
+    full = run("full", [])
+    # the SNP call inside the target span is present in both
+    assert any(v.pos == 2001 for v in targeted)
+    assert any(v.pos == 2001 for v in full)
+    # targeted calling emits nothing outside the padded span
+    for v in targeted:
+        assert v.chrom == "chr1"
+        assert 1900 - 100 <= v.pos <= 2300 + 100
+    # chr2 had reads but no targets -> absent from targeted run
+    assert not any(v.chrom == "chr2" for v in targeted)
