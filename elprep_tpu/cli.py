@@ -116,6 +116,14 @@ def _build_filter_parser() -> argparse.ArgumentParser:
     p.add_argument("--activity-profile", default="")
     p.add_argument("--assembly-regions", default="")
     p.add_argument("--mark-duplicates-deterministic", action="store_true")  # compat no-op
+    p.add_argument("--pg-cmd-line", default="",
+                   help="program command line to be stored in the header "
+                        "(only for sfm subcommands) (cmd/filter.go:475)")
+    p.add_argument("--randomized-qd", action="store_true",
+                   help="jitter QD >= 35 with Gaussian noise like the "
+                        "reference's default build "
+                        "(randomized-max-qd.go:30-44); default is the "
+                        "deterministic fixed_high_qd clamp")
     p.add_argument("--pedantic", action="store_true",
                    help="binary-parity behaviors of the reference's "
                         "`pedantic` build tag: Java-style float rounding, "
@@ -235,9 +243,15 @@ def filter_command(argv: List[str]) -> int:
         else:
             tags = [t.strip() for t in args.keep_optional_fields.split(",")]
             filters2.append(fsimple.keep_optional_fields(tags))
+    # --pg-cmd-line overrides the @PG CL (nested sfm invocations pass
+    # the outer command, reference: cmd/filter.go:933-943)
     filters1.insert(0, fsimple.add_pg_line({
-        "ID": "elprep_tpu", "PN": "elprep_tpu", "VN": "5.1.3", "CL": command_line,
+        "ID": "elprep_tpu", "PN": "elprep_tpu", "VN": "5.1.3",
+        "CL": args.pg_cmd_line or command_line,
     }))
+    from .hc.genotyping import set_randomized_qd
+
+    set_randomized_qd(args.randomized_qd)
 
     bed_obj = None
     bed_regions = None
@@ -563,10 +577,13 @@ def vcf_to_elsites(argv: List[str]) -> int:
     p.add_argument("vcf")
     p.add_argument("elsites")
     args = p.parse_args(argv)
-    _, variants = vcfmod.read_vcf_file(args.vcf)
-    by_chrom: Dict[str, list] = {}
-    for v in variants:
-        by_chrom.setdefault(v.chrom, []).append((v.pos - 1, v.end()))
+    with open(args.vcf, "rb") as f:
+        data = f.read()
+    if data[:1] == b"\x1f":
+        from .io import bgzf
+
+        data = bgzf.decompress(data)
+    by_chrom = vcfmod.scan_vcf_sites(data)
     ivals = {c: iv.flatten(iv.sort_by_start(iv.make([s for s, _ in xs],
                                                     [e for _, e in xs])))
              for c, xs in by_chrom.items()}

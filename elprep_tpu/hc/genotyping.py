@@ -1326,9 +1326,27 @@ def nof_aligned_bases_with_soft_clips(cigar: List[sw.CigOp]) -> int:
     return sum(ln for ln, op in cigar if op in "M=XS")
 
 
+# randomized-QD state: the reference's DEFAULT build jitters QD >= 35
+# with Gaussian noise (filters/randomized-max-qd.go:30-44, matching
+# GATK); the fixed_high_qd build clamps to 30 for deterministic diffing.
+# The repo defaults to the fixed variant; --randomized-qd enables the
+# jitter (numpy normals — same distribution as the reference's Go
+# rand stream, not the same values, as the feature is nondeterministic
+# by design).
+_QD_RANDOM: list = [None]
+
+
+def set_randomized_qd(enabled: bool) -> None:
+    _QD_RANDOM[0] = np.random.RandomState(487723223) if enabled else None
+
+
 def fix_too_high_qd(qd: float) -> float:
-    """fixed_high_qd build variant (filters/fixed-max-qd.go:25-30)."""
+    """fixed_high_qd build variant (filters/fixed-max-qd.go:25-30), or
+    the randomized default when --randomized-qd is on."""
     if qd >= 35:
+        rng = _QD_RANDOM[0]
+        if rng is not None:
+            return 30.0 + rng.standard_normal() * 3.0
         return 30.0
     return qd
 

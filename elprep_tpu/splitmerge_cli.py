@@ -175,6 +175,10 @@ def sfm_command(argv: List[str]) -> int:
     have_spread = (not args.single_end) and os.path.exists(spread_file)
 
     pt = list(passthrough)
+    # nested filter invocations carry the sfm command as their @PG CL
+    # (reference: cmd/sfm.go:599,842)
+    if "--pg-cmd-line" not in pt:
+        pt += ["--pg-cmd-line", "elprep_tpu sfm " + " ".join(argv)]
     bqsr_out = None
     if "--bqsr" in pt:
         i = pt.index("--bqsr")

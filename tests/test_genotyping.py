@@ -358,3 +358,42 @@ def test_spanning_deletion_star_allele():
     assert spanned, "expected a spanning-deletion '*' allele at the SNP site: %r" % [
         (v.pos, v.ref, v.alt) for v in variants]
     assert any(v.pos == 1006 for v in spanned)
+
+
+def test_formatf_matches_go_strconv_vectors():
+    """formatf == Go strconv.FormatFloat(v, 'f', p, 64) on adversarial
+    vectors (unpedantic.go:38-41). Both produce the unique correctly-
+    rounded decimal rendering of the binary double, so these expected
+    strings are what a Go build prints: half-to-even ties on the BINARY
+    value (2.675 is really 2.67499...), negative zero, the exact
+    expansion of 0.1 at 20 digits, huge magnitudes without exponent."""
+    vectors = [
+        (0.125, 2, "0.12"),            # binary-exact tie -> even
+        (0.375, 2, "0.38"),            # binary-exact tie -> even
+        (2.675, 2, "2.67"),            # looks like a tie, binary is below
+        (9.995, 2, "9.99"),
+        (-0.0, 3, "-0.000"),
+        (0.1, 20, "0.10000000000000000555"),
+        (1e21, 2, "1000000000000000000000.00"),
+        (-1.5, 0, "-2"),
+        (2.5, 0, "2"),
+        (35.25, 3, "35.250"),
+        (1.0000000000000002, 16, "1.0000000000000002"),
+        (float("nan"), 2, "NaN"),
+        (float("inf"), 2, "+Inf"),
+        (float("-inf"), 2, "-Inf"),
+    ]
+    for v, p, expected in vectors:
+        assert G.formatf(v, p) == expected, (v, p)
+
+
+def test_randomized_qd_flag():
+    G.set_randomized_qd(True)
+    try:
+        vals = {G.fix_too_high_qd(40.0) for _ in range(8)}
+        assert len(vals) > 1  # jittered
+        assert all(15.0 < v < 45.0 for v in vals)  # 30 +/- 3sigma-ish
+        assert G.fix_too_high_qd(20.0) == 20.0  # below threshold untouched
+    finally:
+        G.set_randomized_qd(False)
+    assert G.fix_too_high_qd(40.0) == 30.0

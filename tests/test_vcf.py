@@ -171,3 +171,19 @@ def test_streaming_vcf_writer_byte_identical(tmp_path):
         w.write_variants([v])
     w.close()
     assert whole.read_bytes() == stream.read_bytes()
+
+
+def test_scan_vcf_sites_matches_full_parse():
+    text = (b"##fileformat=VCFv4.2\n"
+            b'##INFO=<ID=END,Number=1,Type=Integer,Description="e">\n'
+            b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            b"chr1\t100\t.\tACGT\tA\t.\t.\t.\n"
+            b"chr1\t200\trs1\tG\tC\t50\tPASS\tEND=260\n"
+            b"chr2\t5\t.\tT\tTTT\t.\t.\tDP=3;END=9;MQ=1\n")
+    sites = vcf.scan_vcf_sites(text)
+    hdr, variants = vcf.parse_vcf(text)
+    expected = {}
+    for v in variants:
+        expected.setdefault(v.chrom, []).append((v.pos - 1, v.end()))
+    assert sites == expected
+    assert sites == {"chr1": [(99, 103), (199, 260)], "chr2": [(4, 9)]}
