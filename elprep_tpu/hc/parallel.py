@@ -39,10 +39,12 @@ import numpy as np
 
 # regions per prepare task: small for load balance across skewed costs
 PREP_TASK_SIZE = 4
-# pendings per device PairHMM dispatch (matches the serial driver's
-# 16-region grouping; values are padding-invariant so batching does not
-# change results)
-PAIRHMM_BATCH = 16
+# PairHMM dispatch batching: accumulate pendings until this many
+# (read, hap) pairs share one device program (values are
+# padding-invariant so batching does not change results; bigger batches
+# amortize per-dispatch latency, which dominates on high-latency links)
+PAIRHMM_PAIR_TARGET = 8192
+PAIRHMM_MAX_PENDINGS = 64
 # outstanding prepare tasks per worker before flow control kicks in
 MAX_INFLIGHT = 8
 
@@ -219,8 +221,15 @@ class HCWorkerPool:
 
         pending_batch: List[int] = []
 
+        def batch_pairs() -> int:
+            return sum(len(pend_inputs[rid][0]) * len(pend_inputs[rid][1])
+                       for rid in pending_batch)
+
         def dispatch_pairhmm(force=False):
-            if not pending_batch or (len(pending_batch) < PAIRHMM_BATCH and not force):
+            if not pending_batch:
+                return
+            if not force and batch_pairs() < PAIRHMM_PAIR_TARGET \
+                    and len(pending_batch) < PAIRHMM_MAX_PENDINGS:
                 return
             batch = pending_batch[:]
             del pending_batch[:]

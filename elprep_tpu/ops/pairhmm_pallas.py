@@ -26,6 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..hc import tables
 
 LANE = 128
+# host-side encoding for 'N' bases: any sum of two base codes stays far
+# below this unless one of them is the sentinel, making the kernel's
+# "match or either-is-N" test one add + one compare
+N_SENTINEL = np.float32(1000.0)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -34,11 +38,10 @@ def _round_up(v: int, m: int) -> int:
 
 def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
             rl_ref, hl_ref, init_ref, acc_ref,
-            md1, md2, id1, id2, dd1, dd2,
+            md1, md2, id1, id2, dd1, dd2, hbs, acc2d,
             *, n_pad: int, lh_pad: int, pad_off: int, n_steps: int):
     i2m = jnp.float32(tables.INDEL_TO_MATCH)
     i2i = jnp.float32(tables.INDEL_TO_INDEL)
-    ord_n = jnp.float32(ord("N"))
 
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (n_pad, LANE), 0)
     x = x_ref[:]            # [n_pad, LANE] f32 (read bases as floats)
@@ -57,48 +60,72 @@ def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
     dd2[:] = jnp.zeros((n_pad, LANE), jnp.float32)
     # diagonal d=0: D[0,0] = initial
     dd1[:] = jnp.where(iota_i == 0, init, 0.0)
-    acc_ref[:] = jnp.zeros((1, LANE), jnp.float32)
+    acc2d[:] = jnp.zeros((n_pad, LANE), jnp.float32)
 
     def shift1(a):
         rolled = pltpu.roll(a, 1, axis=0)
         return jnp.where(iota_i == 0, 0.0, rolled)
 
-    def step(d, _):
-        hb = hbp_ref[pl.ds(pad_off + lh_pad - d, n_pad), :]  # [n_pad, LANE]
-        is_match = (x == hb) | (x == ord_n) | (hb == ord_n)
+    # destination-row coefficients pre-shifted up once so each recurrence
+    # rolls ONE combined operand: shift1(A * c_up)[i] == A[i-1] * c[i]
+    # (the wrapped last row feeds destination n_pad, which does not exist)
+    m2m_up = pltpu.roll(m2m, n_pad - 1, axis=0)  # roll by -1 (cyclic)
+    m2i_up = pltpu.roll(m2i, n_pad - 1, axis=0)
+    # diagonal-invariant mask pieces hoisted out of the step loop
+    nz = iota_i != 0
+    fin_row = iota_i == rl          # [n_pad, LANE]
+    # haplotype diagonal window: instead of re-slicing [n_pad, LANE] at a
+    # dynamic row offset every step, keep the window in scratch and shift
+    # it down one row per diagonal, loading only the single new top row
+    hbs[:] = hbp_ref[pl.ds(pad_off + lh_pad, n_pad), :]
+
+    def inner(d, p1m, p1i, p1d, p2m, p2i, p2d):
+        """One diagonal: reads d-1 states from p1*, d-2 states from p2*,
+        and writes the new diagonal IN PLACE into p2* (whose values are
+        dead after their single use) — the caller swaps buffer roles, so
+        no state copies are needed."""
+        new_row = hbp_ref[pl.ds(pad_off + lh_pad - d, 1), :]   # [1, LANE]
+        hb = jnp.where(iota_i == 0, new_row,
+                       pltpu.roll(hbs[:], 1, axis=0))
+        hbs[:] = hb
+        # 'N' bases are encoded as N_SENTINEL (1000.0) by the host, so
+        # "equal or either is N" is one add + one compare
+        is_match = (x == hb) | ((x + hb) >= N_SENTINEL)
         prior = jnp.where(is_match, mp, nmp)
-        Md1 = md1[:]
-        Id1 = id1[:]
-        Dd1 = dd1[:]
-        Md2 = md2[:]
-        Id2 = id2[:]
-        Dd2 = dd2[:]
-        M_cur = prior * (shift1(Md2) * m2m + (shift1(Id2) + shift1(Dd2)) * i2m)
-        I_cur = shift1(Md1) * m2i + shift1(Id1) * i2i
-        D_cur = Md1 * m2i + Dd1 * i2i
-        valid = iota_i <= d - 1
-        M_cur = jnp.where(valid, M_cur, 0.0)
-        I_cur = jnp.where(valid, I_cur, 0.0)
-        D_cur = jnp.where(valid, D_cur, 0.0)
-        row0 = iota_i == 0
-        M_cur = jnp.where(row0, 0.0, M_cur)
-        I_cur = jnp.where(row0, 0.0, I_cur)
-        D_cur = jnp.where(row0, init, D_cur)
-        # final-row accumulation via masked sublane reduction
+        Md1 = p1m[:]
+        Id1 = p1i[:]
+        Dd1 = p1d[:]
+        # shift1 is linear, so each recurrence needs ONE sublane roll of
+        # a pre-combined operand instead of one per state vector.
+        # No not-yet-started masks needed: zero-initialized states
+        # propagate zeros through the pure-product recurrences, and
+        # shift1 zeroes the row-0 inflow; the only boundary is
+        # D[0][j] = init for every diagonal.
+        M_cur = prior * shift1(p2m[:] * m2m_up + (p2i[:] + p2d[:]) * i2m)
+        I_cur = shift1(Md1 * m2i_up + Id1 * i2i)
+        D_cur = jnp.where(nz, Md1 * m2i + Dd1 * i2i, init)
+        # final-row accumulation: masked add into a 2D accumulator (one
+        # sublane reduction AFTER the loop instead of one per diagonal)
         j_final = d - rl  # [1, LANE]
-        fin_mask = (iota_i == rl) & (j_final >= 1) & (j_final <= hl)
-        add = jnp.sum(jnp.where(fin_mask, M_cur + I_cur, 0.0), axis=0,
-                      keepdims=True)
-        acc_ref[:] = acc_ref[:] + add
-        md2[:] = Md1
-        id2[:] = Id1
-        dd2[:] = Dd1
-        md1[:] = M_cur
-        id1[:] = I_cur
-        dd1[:] = D_cur
+        fin_mask = fin_row & (j_final >= 1) & (j_final <= hl)
+        acc2d[:] = acc2d[:] + jnp.where(fin_mask, M_cur + I_cur, 0.0)
+        p2m[:] = M_cur
+        p2i[:] = I_cur
+        p2d[:] = D_cur
+
+    def step2(k, _):
+        # two diagonals per loop iteration (Mosaic's fori_loop does not
+        # support unroll>1; the manual unroll both halves per-iteration
+        # bookkeeping and makes the ping-pong swap static). Diagonals
+        # beyond n_steps contribute nothing to acc (their fin_mask is
+        # empty), so the even padding is safe.
+        d = 2 * k + 1
+        inner(d, md1, id1, dd1, md2, id2, dd2)
+        inner(d + 1, md2, id2, dd2, md1, id1, dd1)
         return 0
 
-    jax.lax.fori_loop(1, n_steps + 1, step, 0)
+    jax.lax.fori_loop(0, (n_steps + 1) // 2, step2, 0)
+    acc_ref[:] = jnp.sum(acc2d[:], axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "lh_pad", "pad_off"))
@@ -135,7 +162,7 @@ def pairhmm_pallas(x, hbp, mp, nmp, m2m, m2i, rl, hl, init,
         ],
         out_specs=pl.BlockSpec((1, LANE), tile, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, B_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_pad, LANE), jnp.float32) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((n_pad, LANE), jnp.float32) for _ in range(8)],
         interpret=interpret,
     )(x, hbp, mp, nmp, m2m, m2i, rl, hl, init)
 
@@ -181,6 +208,12 @@ def pairhmm_pallas_pairs(reads: Sequence[Tuple[bytes, np.ndarray, int]],
         per_read[r] = (np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0,
                        m2m_a, m2i_a)
     hap_u8 = [np.frombuffer(h, np.uint8) for h in haps]
+    ord_n = ord("N")
+    per_read = {r: (np.where(s == ord_n, N_SENTINEL, s.astype(np.float32)),
+                    mpa, nmpa, m2m_a, m2i_a)
+                for r, (s, mpa, nmpa, m2m_a, m2i_a) in per_read.items()}
+    hap_u8 = [np.where(h == ord_n, N_SENTINEL, h.astype(np.float32))
+              for h in hap_u8]
     for b in range(B):
         r, h = int(pair_r[b]), int(pair_h[b])
         seq_u8, mpa, nmpa, m2m_a, m2i_a = per_read[r]

@@ -102,3 +102,28 @@ def test_compute_read_likelihoods_cap_and_filter():
     assert vals.shape == (2, 1)
     # cap: ref-hap value >= best_alt - 4.5
     assert vals[0, 0] >= vals[1, 0] + tables.GLOBAL_READ_MISMAPPING_RATE - 1e-12
+
+
+def test_pallas_kernel_matches_scan_interpret():
+    """The Pallas wavefront (interpret mode off-TPU) must match the
+    lax.scan formulation and the f64 oracle on mixed-length pairs."""
+    from elprep_tpu.ops import pairhmm_pallas as pp
+
+    rng = np.random.RandomState(9)
+    reads = []
+    for lr in (17, 33, 48):
+        seq, qual, hap = _rand_case(rng, lr, 0 or 1)
+        seq = rng.choice(_BASES, lr).tobytes()
+        qual = rng.randint(2, 42, lr).astype(np.uint8)
+        reads.append((seq, qual, 60))
+    haps = [rng.choice(_BASES, lh).tobytes() for lh in (40, 67, 129)]
+    # inject 'N' bases (both sides) to cover the sentinel-match path
+    reads[1] = (reads[1][0][:5] + b"N" + reads[1][0][6:], reads[1][1], 60)
+    haps[0] = haps[0][:10] + b"NN" + haps[0][12:]
+    pair_r = np.repeat(np.arange(len(reads)), len(haps))
+    pair_h = np.tile(np.arange(len(haps)), len(reads))
+    got = pp.pairhmm_pallas_pairs(reads, haps, pair_r, pair_h)
+    for b in range(len(pair_r)):
+        seq, qual, _ = reads[pair_r[b]]
+        exact = pairhmm.pairhmm_f64_diag(seq, qual, 60, haps[pair_h[b]])
+        assert abs(got[b] - exact) < 5e-4, (b, got[b], exact)
