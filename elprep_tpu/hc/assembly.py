@@ -33,6 +33,15 @@ MAX_HAPLOTYPES = 128
 MIN_HAPLOTYPE_REFERENCE_LENGTH = 30
 
 
+def _use_native() -> bool:
+    """The native graph engine (native/assembly_native.cpp) runs the
+    per-kmer-size attempt; this Python module is its oracle. Set
+    ELPREP_TPU_NO_NATIVE_ASSEMBLY=1 to force the Python path."""
+    import os
+
+    return not os.environ.get("ELPREP_TPU_NO_NATIVE_ASSEMBLY")
+
+
 @dataclass
 class Haplotype:
     bases: bytes
@@ -1219,21 +1228,35 @@ class KmerGraph:
                     if e.multiplicity > 0 else score + float("-inf")
                 enqueue((ext, vertices + [self.vertices[e.id]], False))
 
-        existing = {h.bases for h in result}
-        for score, vertices in results:
-            bases = b"".join(v.bases for v in vertices)
-            if bases in existing:
-                continue
-            cigar = sw.calculate_cigar(reference_haplotype.bases, bases,
-                                       padded_reference_bases, sw.SOFTCLIP)
-            if not cigar or any(op == "N" for _, op in cigar) \
-                    or sw.reference_length(cigar) < MIN_HAPLOTYPE_REFERENCE_LENGTH:
-                continue
-            h = Haplotype(bases=bases, score=score, is_ref=False,
-                          cigar=cigar, location=region_start)
-            result.append(h)
-            existing.add(bases)
-        return result
+        return finish_candidates(
+            result, [(score, b"".join(v.bases for v in vertices))
+                     for score, vertices in results],
+            reference_haplotype, padded_reference_bases, region_start)
+
+
+def finish_candidates(result: List[Haplotype],
+                      candidates: List[Tuple[float, bytes]],
+                      reference_haplotype: Haplotype,
+                      padded_reference_bases: bytes,
+                      region_start: int) -> List[Haplotype]:
+    """Dedup + haplotype-vs-reference cigar + filters for k-best
+    candidate (score, bases) pairs (the tail of addBestHaplotypes,
+    assemble-reads.go:1853-1896). Shared by the Python graph and the
+    native engine (native/assembly_native.cpp)."""
+    existing = {h.bases for h in result}
+    for score, bases in candidates:
+        if bases in existing:
+            continue
+        cigar = sw.calculate_cigar(reference_haplotype.bases, bases,
+                                   padded_reference_bases, sw.SOFTCLIP)
+        if not cigar or any(op == "N" for _, op in cigar) \
+                or sw.reference_length(cigar) < MIN_HAPLOTYPE_REFERENCE_LENGTH:
+            continue
+        h = Haplotype(bases=bases, score=score, is_ref=False,
+                      cigar=cigar, location=region_start)
+        result.append(h)
+        existing.add(bases)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -1286,6 +1309,17 @@ def assemble_reads(
 
     def process_kmer_size(kmer_size: int, last_attempt: bool) -> bool:
         nonlocal result
+        if _use_native():
+            from .. import native
+
+            cand = native.assembly_try(reference_bases, reads, kmer_size,
+                                       min_base_qual, last_attempt)
+            if cand is not None:
+                if cand is False:
+                    return False
+                result = finish_candidates(result, cand, reference_haplotype,
+                                           padded_reference_bases, padded_start)
+                return True
         if not last_attempt and non_unique_kmers_exist(reference_bases, kmer_size):
             return False
         graph = KmerGraph(kmer_size)

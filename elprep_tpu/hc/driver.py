@@ -598,6 +598,8 @@ def call_variants(
         contig_length = sam_header.sq_ln(sq)
         contig_reads = downsample(reads_by_contig.get(contig, []), params)
         reference = get_reference(contig)
+        if pool is not None:
+            pool.set_contig(params, reference)
         if bed_regions is not None:
             spans = bed_regions.get(contig)
             if not spans:
@@ -622,14 +624,25 @@ def call_variants(
             span = stop - start
             is_active = np.zeros(span, np.float64)
             hq_mean = np.zeros(span, np.float64)
-            CHUNK = 1 << 18
-            for cs in range(start, stop, CHUNK):
-                ce = min(cs + CHUNK, stop)
-                chunk_reads, _ = aln_slice(region_reads, cs + 1 - max_ref_len,
-                                           ce + 1, max_ref_len,
-                                           positions=region_positions)
-                ia, hm = compute_activity(chunk_reads, reference, cs + 1, ce + 1,
-                                          params)
+            CHUNK = 1 << 18 if pool is None else 1 << 16
+            bounds = [(cs, min(cs + CHUNK, stop))
+                      for cs in range(start, stop, CHUNK)]
+            chunk_read_lists = [
+                aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
+                          max_ref_len, positions=region_positions)[0]
+                for cs, ce in bounds]
+            if pool is not None:
+                # activity chunks are independent: scatter them over the
+                # worker pool (the band-pass smear below runs on the
+                # stitched whole-span array, so results are unchanged)
+                results = pool.map_activity(
+                    [(reads_c, cs, ce)
+                     for reads_c, (cs, ce) in zip(chunk_read_lists, bounds)])
+            else:
+                results = [compute_activity(reads_c, reference, cs + 1, ce + 1,
+                                            params)
+                           for reads_c, (cs, ce) in zip(chunk_read_lists, bounds)]
+            for (cs, ce), (ia, hm) in zip(bounds, results):
                 is_active[cs - start : ce - start] = ia
                 hq_mean[cs - start : ce - start] = hm
             states = band_pass_states(is_active, hq_mean, params)

@@ -74,6 +74,14 @@ def _worker_main(wid: int, req_q, res_q) -> None:
                 _, params, reference = msg
                 store.clear()
                 continue
+            if kind == "act":
+                _, tid, reads, cs, ce = msg
+                from .activity import compute_activity
+
+                ia, hm = compute_activity(reads, reference, cs + 1, ce + 1,
+                                          params)
+                res_q.put(("act_done", tid, ia, hm))
+                continue
             if kind == "flush":
                 store.clear()
                 continue
@@ -162,19 +170,39 @@ class HCWorkerPool:
             raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
         return msg
 
+    def set_contig(self, params, reference: bytes) -> None:
+        """Broadcast the contig context (params + reference) to every
+        worker; resets their region stores."""
+        for q in self.req_qs:
+            q.put(("contig", params, reference))
+
+    def map_activity(self, chunks):
+        """Scatter activity chunks (reads, cs, ce) over the workers and
+        gather (is_active, hq_mean) per chunk in order. Requires
+        set_contig() first (workers hold the reference)."""
+        for tid, (reads, cs, ce) in enumerate(chunks):
+            self.req_qs[tid % self.n].put(("act", tid, reads, cs, ce))
+        out = [None] * len(chunks)
+        got = 0
+        while got < len(chunks):
+            msg = self._recv()
+            assert msg[0] == "act_done", msg[0]
+            out[msg[1]] = (msg[2], msg[3])
+            got += 1
+        return out
+
     def process_regions(self, params, regions, deletions, use_device_pairhmm,
                         fill_reads):
         """Yield (region, variants, deletions) in region order.
 
         ``fill_reads(region)`` attaches the region's reads (main-process
         aln_slice). ``deletions`` is the incoming carry for the first
-        region; each yielded tuple carries the updated list.
+        region; each yielded tuple carries the updated list. The caller
+        must have sent set_contig() for this contig already.
         """
         from ..ops import pairhmm
 
         n = len(regions)
-        for q in self.req_qs:
-            q.put(("contig", params, regions[0].reference if regions else b""))
 
         # results per rid
         term: Dict[int, list] = {}

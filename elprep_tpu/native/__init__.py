@@ -17,7 +17,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "elprep_native.cpp")
+_SRCS = [os.path.join(_DIR, "elprep_native.cpp"),
+         os.path.join(_DIR, "assembly_native.cpp")]
 _LIB = os.path.join(_DIR, "libelprep_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -28,7 +29,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB, _SRC, "-lz", "-lpthread"],
+             "-o", _LIB] + _SRCS + ["-lz", "-lpthread"],
             check=True, capture_output=True, timeout=240,
         )
         return True
@@ -41,8 +42,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+    if not os.path.exists(_LIB) or any(
+            os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_LIB)
+            for s in _SRCS):
         if not _build():
             return None
     try:
@@ -68,6 +70,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_longlong,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.assembly_try.restype = ctypes.c_longlong
+    lib.assembly_try.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong,          # ref
+        ctypes.c_char_p, ctypes.c_char_p,            # seq/qual concat
+        ctypes.c_void_p, ctypes.c_longlong,          # read offs, n_reads
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,    # k, min_q, last_attempt
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,  # scores, bases, cap
+        ctypes.c_void_p]                             # base offs
     _lib = lib
     return _lib
 
@@ -386,3 +396,50 @@ def set_default_threads(n: int) -> None:
 
 def default_threads() -> int:
     return _DEFAULT_THREADS[0]
+
+
+def assembly_try(ref: bytes, reads, kmer_size: int, min_base_qual: int,
+                 last_attempt: bool):
+    """One native de Bruijn assembly attempt (assembly_native.cpp; the
+    Python hc.assembly.process_kmer_size is the oracle). ``reads`` is a
+    list of (seq bytes, qual bytes). Returns a list of (score, bases)
+    candidate haplotypes, or False when the attempt fails, or None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(reads)
+    offs = np.empty(n + 1, np.int64)
+    offs[0] = 0
+    for i, (s, _) in enumerate(reads):
+        offs[i + 1] = offs[i] + len(s)
+    seq_concat = b"".join(s for s, _ in reads)
+    qual_concat = b"".join(q for _, q in reads)
+    # reusable per-process output buffers (calls are serial per process)
+    bufs = _ASSEMBLY_BUFS
+    if bufs is None:
+        bufs = globals()["_ASSEMBLY_BUFS"] = [
+            np.empty(128, np.float64), np.empty(129, np.int64),
+            np.empty(1 << 20, np.uint8)]
+    scores, base_offs, bases = bufs
+    while True:
+        rc = lib.assembly_try(
+            ref, len(ref), seq_concat, qual_concat,
+            offs.ctypes.data, n, kmer_size, min_base_qual,
+            1 if last_attempt else 0,
+            scores.ctypes.data, bases.ctypes.data, len(bases),
+            base_offs.ctypes.data)
+        if rc == -2:
+            bases = bufs[2] = np.empty(len(bases) * 4, np.uint8)
+            continue
+        break
+    if rc == -1:
+        return False
+    out = []
+    for i in range(int(rc)):
+        b = bases[base_offs[i] : base_offs[i + 1]].tobytes()
+        out.append((float(scores[i]), b))
+    return out
+
+
+_ASSEMBLY_BUFS = None

@@ -1,6 +1,9 @@
 """De Bruijn assembly tests (reference semantics: filters/assemble-reads.go)."""
 
+import math
+
 import numpy as np
+import pytest
 
 from elprep_tpu.hc import assembly
 from elprep_tpu.ops import sw
@@ -96,3 +99,108 @@ def test_low_qual_bases_excluded():
 def test_short_reference_returns_ref_only():
     haps = assembly.assemble_reads(b"ACGTA", 0, [])
     assert len(haps) == 1 and haps[0].is_ref
+
+
+def test_native_assembly_matches_python_fuzz():
+    """The native graph engine must reproduce the Python module
+    (its oracle) exactly: same candidate scores and haplotype bases on
+    randomized regions with SNPs, indels, low-qual runs and N bases."""
+    from elprep_tpu import native
+    from elprep_tpu.hc import assembly as A
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(123)
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    n_checked = 0
+    for trial in range(40):
+        ref_len = int(rng.randint(120, 500))
+        ref = rng.choice(bases4, ref_len).tobytes()
+        # alternate haplotype with 1-3 events
+        alt = bytearray(ref)
+        for _ in range(rng.randint(1, 4)):
+            p = int(rng.randint(10, ref_len - 10))
+            kind = rng.randint(3)
+            if kind == 0:  # SNP
+                alt[p] = (alt[p] + 1) if alt[p] != ord("T") else ord("A")
+            elif kind == 1 and len(alt) > 40:  # deletion
+                del alt[p : p + int(rng.randint(1, 6))]
+            else:  # insertion
+                ins = rng.choice(bases4, int(rng.randint(1, 5))).tobytes()
+                alt[p:p] = ins
+        alt = bytes(alt)
+        reads = []
+        for i in range(int(rng.randint(10, 40))):
+            hap = ref if i % 2 == 0 else alt
+            if len(hap) < 60:
+                continue
+            start = int(rng.randint(0, len(hap) - 50))
+            ln = int(rng.randint(40, min(90, len(hap) - start)))
+            seq = bytearray(hap[start : start + ln])
+            qual = rng.randint(8, 40, ln).astype(np.uint8)
+            # sprinkle N bases and low-qual positions
+            for _ in range(rng.randint(0, 3)):
+                seq[int(rng.randint(ln))] = ord("N")
+            reads.append((bytes(seq), qual.tobytes()))
+        for k in (10, 25):
+            if ref_len < k:
+                continue
+            got = native.assembly_try(ref, reads, k, 10, False)
+            # python oracle for the same attempt
+            if A.non_unique_kmers_exist(ref, k):
+                expected = False
+            else:
+                g = A.KmerGraph(k)
+                seqs = [A.Kmer(bases=ref, start=0, stop=len(ref), is_ref=True)]
+                for s, q in reads:
+                    seqs = A.add_sequences_for_kmers(seqs, s, q, k, 10)
+                g.initialize_non_unique_kmers(seqs)
+                rs = ref[:k]
+                for ks in seqs:
+                    u = g.find_start_of_kmers(ks)
+                    if u == -1:
+                        continue
+                    v = g.get_kmer_vertex(ks, u)
+                    g.increase_counts_matched_kmers(ks, v)
+                    for i in range(u + 1, ks.stop - k + 1):
+                        v = g.extend_chain_by_one(rs, v, ks, i)
+                if not g.vertices:
+                    expected = False
+                else:
+                    g.prune_chains_with_low_weight()
+                    if not g.vertices or g.has_cycle() or g.is_low_complexity():
+                        expected = False
+                    else:
+                        g.recover_dangling_tails()
+                        g.recover_dangling_heads(k)
+                        g.remove_paths_not_connected_to_reference()
+                        g.convert_to_sequence_graph()
+                        g.clean_sequence_graph()
+                        ref_h = A.make_reference_haplotype(ref, 1)
+                        # capture raw candidates via the shared tail: run
+                        # add_best_haplotypes with an empty result and no
+                        # filtering shortcut — compare through full
+                        # assemble path instead (below)
+                        expected = None
+            if expected is False:
+                assert got is False, (trial, k)
+                continue
+            # full-path comparison (covers candidate production + tail)
+            n_checked += 1
+            import os
+
+            os.environ["ELPREP_TPU_NO_NATIVE_ASSEMBLY"] = "1"
+            try:
+                py = A.assemble_reads(ref, 1, reads, min_base_qual=10)
+            finally:
+                del os.environ["ELPREP_TPU_NO_NATIVE_ASSEMBLY"]
+            nat = A.assemble_reads(ref, 1, reads, min_base_qual=10)
+            assert len(py) == len(nat), (trial, k, len(py), len(nat))
+            for hp, hn in zip(py, nat):
+                assert hp.bases == hn.bases, (trial, k)
+                assert hp.cigar == hn.cigar, (trial, k)
+                assert (hp.score == hn.score) or (
+                    math.isnan(hp.score) and math.isnan(hn.score)), (trial, k)
+            break  # full-path check once per trial is enough
+    assert n_checked >= 10, f"fuzz exercised only {n_checked} full paths"
