@@ -272,35 +272,83 @@ def filter_command(argv: List[str]) -> int:
     )
     if streaming_ok:
         def streaming_phase():
+            # Overlapped 3-stage pipeline: a reader/parser thread feeds
+            # batches through a bounded queue, filters run on the main
+            # thread, and a formatter/writer thread drains a second
+            # queue — wall approaches max(stage) instead of the sum
+            # (reference: pargo pipeline, sam/filter-pipeline.go:269-296).
+            # The hot parse/format/compress work runs in the native lib
+            # with the GIL released, so the threads genuinely overlap.
+            import queue
+            import threading
+
             from .core.pipeline import apply_filters, compose_filters, effective_sorting_order
 
             fmt = args.output_type or ("bam" if args.output.endswith(".bam") else "sam")
             all_filters = filters1 + filters2
-            first = True
-            bfs = None
-            if fmt == "sam":
-                with open(args.output, "wb") as f:
-                    for hdr, batch in samio.iter_sam_chunks(args.input):
-                        if first:
-                            bfs = compose_filters(hdr, all_filters)
-                            effective_sorting_order(sorting_order, hdr, hdr.hd_so())
-                            f.write(samio.format_sam_header(hdr))
-                            first = False
-                        f.write(samio.format_alignments(apply_filters(batch, bfs)))
-            else:
-                from .io.bam import StreamingBamWriter
+            q_in: "queue.Queue" = queue.Queue(maxsize=3)
+            q_out: "queue.Queue" = queue.Queue(maxsize=3)
+            errors: List[BaseException] = []
 
-                writer = None
-                with open(args.output, "wb") as f:
-                    for hdr, batch in samio.iter_sam_chunks(args.input):
-                        if first:
-                            bfs = compose_filters(hdr, all_filters)
-                            effective_sorting_order(sorting_order, hdr, hdr.hd_so())
-                            writer = StreamingBamWriter(f, hdr)
-                            first = False
-                        writer.write_batch(apply_filters(batch, bfs))
-                    if writer is not None:
-                        writer.close()
+            def reader():
+                try:
+                    for item in samio.iter_sam_chunks(args.input):
+                        q_in.put(item)
+                except BaseException as e:  # propagate to main
+                    errors.append(e)
+                finally:
+                    q_in.put(None)
+
+            def writer_thread():
+                try:
+                    with open(args.output, "wb") as f:
+                        writer = None
+                        while True:
+                            item = q_out.get()
+                            if item is None:
+                                break
+                            hdr, batch = item
+                            if writer is None:
+                                if fmt == "sam":
+                                    f.write(samio.format_sam_header(hdr))
+                                    writer = ("sam", f)
+                                else:
+                                    from .io.bam import StreamingBamWriter
+
+                                    writer = ("bam", StreamingBamWriter(f, hdr))
+                            if writer[0] == "sam":
+                                writer[1].write(samio.format_alignments(batch))
+                            else:
+                                writer[1].write_batch(batch)
+                        if writer is not None and writer[0] == "bam":
+                            writer[1].close()
+                except BaseException as e:
+                    errors.append(e)
+                    # drain so the producer can finish
+                    while q_out.get() is not None:
+                        pass
+
+            t_read = threading.Thread(target=reader, daemon=True)
+            t_write = threading.Thread(target=writer_thread, daemon=True)
+            t_read.start()
+            t_write.start()
+            bfs = None
+            first = True
+            while True:
+                item = q_in.get()
+                if item is None:
+                    break
+                hdr, batch = item
+                if first:
+                    bfs = compose_filters(hdr, all_filters)
+                    effective_sorting_order(sorting_order, hdr, hdr.hd_so())
+                    first = False
+                q_out.put((hdr, apply_filters(batch, bfs)))
+            q_out.put(None)
+            t_read.join()
+            t_write.join()
+            if errors:
+                raise errors[0]
 
         _timed(args.timed, "Running pipeline.", streaming_phase, args.profile)
         return 0
