@@ -57,6 +57,18 @@ class ClipRead:
     def end(self) -> int:
         return self.pos + reference_length_from_cigar(self.cigar) - 1
 
+    # compact pickling: millions of ClipReads cross the HC worker-pool
+    # pipes; a positional tuple beats the default per-object __dict__
+    def __reduce__(self):
+        return (_mk_clipread, (self.flag, self.pos, self.pnext, self.tlen,
+                               self.mapq, self.cigar, self.seq, self.qual,
+                               self.rname, self.rnext, self.qname, self.row,
+                               self.base_start))
+
+
+def _mk_clipread(*args) -> "ClipRead":
+    return ClipRead(*args)
+
 
 def is_strict_unmapped(r: ClipRead) -> bool:
     """(reference: filters/utils.go:140-142)"""
