@@ -171,3 +171,34 @@ def test_cli_sharded_five_step_byte_equal(tmp_path):
                 if not l.startswith(b"##")]
 
     assert vcf_body(plain / "out.vcf.gz") == vcf_body(sharded / "out.vcf.gz")
+
+
+def test_sharded_empty_and_unmapped_shards(tmp_path):
+    """Edge cases: contigs with no reads (empty shards) and unmapped
+    reads (refid -1 -> last shard, sorting after all valid refids)."""
+    header = samgen.make_header_lines(
+        CONTIGS, rgs=[{"ID": "rg1", "LB": "lib1", "SM": "s1", "PU": "u1"}])
+    qual = "I" * 20
+    seq = "ACGTACGTACGTACGTACGT"
+    lines = [
+        # reads only on the first and last contig; middles empty
+        f"q1\t0\t{CONTIGS[0][0]}\t500\t60\t20M\t*\t0\t0\t{seq}\t{qual}\tRG:Z:rg1",
+        f"q2\t0\t{CONTIGS[-1][0]}\t900\t60\t20M\t*\t0\t0\t{seq}\t{qual}\tRG:Z:rg1",
+        # unmapped read (no coordinates)
+        f"u1\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\tRG:Z:rg1",
+    ]
+    data = ("\n".join(header + lines) + "\n").encode()
+
+    hdr_a, batch_a = samio.parse_sam(data)
+    serial = _serial_result(hdr_a, batch_a)
+
+    hdr_b, batch_b = samio.parse_sam(data)
+    prep = run_pipeline(SamData(hdr_b, batch_b), [fsimple.add_refid],
+                        SortingOrder.KEEP)
+    sharded_batch, _ = run_sharded_sort_dedup(prep.batch, prep.header,
+                                              make_mesh(8))
+    hdr_b.set_hd_so(SortingOrder.COORDINATE)
+    assert samio.format_sam(serial.header, serial.batch) == \
+        samio.format_sam(hdr_b, sharded_batch)
+    # unmapped read sorts last
+    assert bytes(sharded_batch.qname[-1]) == b"u1"
