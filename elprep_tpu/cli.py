@@ -382,6 +382,15 @@ def filter_command(argv: List[str]) -> int:
         return run_pipeline(SamData(hdr, batch), filters1, sorting_order)
 
     _setup_log(args.log_path, command_line)
+    if want_bqsr or want_hc:
+        # pre-spawn the worker pool: the children's jax/package imports
+        # overlap the read phase instead of stalling the first pooled use
+        from .hc.parallel import get_pool
+
+        nw = args.nr_of_threads if args.nr_of_threads > 0 else (os.cpu_count() or 1)
+        if os.environ.get("ELPREP_TPU_HC_WORKERS"):
+            nw = int(os.environ["ELPREP_TPU_HC_WORKERS"])
+        get_pool(nw)
     data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase, args.profile)
 
     # Phase 2: optical duplicates
@@ -430,7 +439,13 @@ def filter_command(argv: List[str]) -> int:
                                            args.max_cycle, make_mesh())
         else:
             def recal_fn():
-                return recal.recalibrate(data.header, data.batch, args.max_cycle)
+                from .hc.parallel import get_pool
+
+                nw = args.nr_of_threads if args.nr_of_threads > 0 else (os.cpu_count() or 1)
+                if os.environ.get("ELPREP_TPU_HC_WORKERS"):
+                    nw = int(os.environ["ELPREP_TPU_HC_WORKERS"])
+                return recal.recalibrate(data.header, data.batch, args.max_cycle,
+                                         pool=get_pool(nw))
         tables = _timed(args.timed, "Base recalibration.", recal_fn, args.profile)
         os.makedirs(os.path.dirname(os.path.abspath(recal_file)) or ".", exist_ok=True)
         if args.bqsr_tables_only and not args.bqsr:

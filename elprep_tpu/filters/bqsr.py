@@ -363,8 +363,12 @@ class BaseRecalibrator:
         for chrom in self.known:
             self.known[chrom] = iv.flatten(iv.sort_by_start(self.known[chrom]))
 
-    def recalibrate(self, header: Header, batch: ReadBatch, max_cycle: int) -> BaseRecalibratorTables:
-        """(reference: bqsr.go:467-551)"""
+    def recalibrate(self, header: Header, batch: ReadBatch, max_cycle: int,
+                    pool=None) -> BaseRecalibratorTables:
+        """(reference: bqsr.go:467-551). With ``pool`` (an
+        hc.parallel.HCWorkerPool), the host prep fans out over the
+        worker processes; the scatter-add tables are commutative, so the
+        result is identical."""
         import jax.numpy as jnp
 
         rgmap = rg_covariate_map(header)
@@ -373,7 +377,16 @@ class BaseRecalibrator:
         n = len(batch)
         if n == 0:
             return tables
-        p = prep_recalibrate_columns(self, header, batch, None, max_cycle)
+        if pool is not None and n > 4096:
+            from types import SimpleNamespace
+
+            lite = SimpleNamespace(
+                ref=SimpleNamespace(offsets=self.ref.offsets), known=self.known)
+            preps = [p for p in pool.map_bqsr_prep(lite, header, batch, max_cycle)
+                     if p["m"] > 0]
+            p = _concat_preps(preps)
+        else:
+            p = prep_recalibrate_columns(self, header, batch, None, max_cycle)
         if p["m"] == 0:
             return tables
         out = bqsr_ops.recalibrate_tables(
@@ -396,6 +409,47 @@ class BaseRecalibrator:
         tables.ctx_obs += ctx_obs.reshape(nrg, NQUAL, NCTX)
         tables.ctx_mism += ctx_mism.reshape(nrg, NQUAL, NCTX)
         return tables
+
+
+def _concat_preps(preps: List[dict]) -> dict:
+    """Row-concatenate per-chunk prep dicts to shared (L, C) widths and a
+    pow2 row count (dummies contribute nothing to the tables)."""
+    if not preps:
+        return dict(m=0)
+    L = max(p["L"] for p in preps)
+    C = max(p["C"] for p in preps)
+    total = sum(p["m"] for p in preps)
+    m = 1
+    while m < total:
+        m *= 2
+    out = dict(m=m, L=L, C=C)
+
+    def cat(key, fill, dtype, width=None):
+        if width is None:
+            a = np.full(m, fill, dtype)
+            o = 0
+            for p in preps:
+                a[o : o + p["m"]] = p[key]
+                o += p["m"]
+        else:
+            a = np.full((m, width), fill, dtype)
+            o = 0
+            for p in preps:
+                a[o : o + p["m"], : p[key].shape[1]] = p[key]
+                o += p["m"]
+        return a
+
+    out["base"] = cat("base", 0, np.uint8, L)
+    out["qual"] = cat("qual", 0, np.uint8, L)
+    out["skip"] = cat("skip", False, bool, L)
+    out["seq_len"] = cat("seq_len", 0, np.int32)
+    out["flag"] = cat("flag", 0, np.int32)
+    out["pos"] = cat("pos", 0, np.int32)
+    out["rg"] = cat("rg", 0, np.int32)
+    out["refoff"] = cat("refoff", 0, np.int64)
+    out["op_class"] = cat("op_class", bqsr_ops.OP_CLASS[ord("S")], np.int8, C)
+    out["op_len"] = cat("op_len", 0, np.int32, C)
+    return out
 
 
 def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,

@@ -82,6 +82,14 @@ def _worker_main(wid: int, req_q, res_q) -> None:
                                           params)
                 res_q.put(("act_done", tid, ia, hm))
                 continue
+            if kind == "bqsr_prep":
+                _, tid, recal_lite, hdr, sub_batch, max_cycle = msg
+                from ..filters.bqsr import prep_recalibrate_columns
+
+                p = prep_recalibrate_columns(recal_lite, hdr, sub_batch, None,
+                                             max_cycle)
+                res_q.put(("bqsr_prep_done", tid, p))
+                continue
             if kind == "flush":
                 store.clear()
                 continue
@@ -188,6 +196,31 @@ class HCWorkerPool:
             msg = self._recv()
             assert msg[0] == "act_done", msg[0]
             out[msg[1]] = (msg[2], msg[3])
+            got += 1
+        return out
+
+    def map_bqsr_prep(self, recal_lite, header, batch, max_cycle: int):
+        """Chunk the batch over the workers for the BQSR host prep
+        (eligibility + adaptor/soft-clip hard clipping + dense covariate
+        columns). Returns the per-chunk prep dicts in chunk order —
+        table scatter-adds are commutative, so chunked prep feeds the
+        same device reduction as whole-batch prep."""
+        n = len(batch)
+        chunk = max(1, (n + self.n - 1) // self.n)
+        tids = 0
+        for w, lo in enumerate(range(0, n, chunk)):
+            import numpy as _np
+
+            sub = batch.select(_np.arange(lo, min(lo + chunk, n)))
+            self.req_qs[w % self.n].put(
+                ("bqsr_prep", tids, recal_lite, header, sub, max_cycle))
+            tids += 1
+        out = [None] * tids
+        got = 0
+        while got < tids:
+            msg = self._recv()
+            assert msg[0] == "bqsr_prep_done", msg[0]
+            out[msg[1]] = msg[2]
             got += 1
         return out
 

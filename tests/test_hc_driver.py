@@ -159,3 +159,31 @@ def test_vcf_header_none_mode(snp_setup):
     assert "##INFO=<ID=QD" in text
     assert "##FORMAT=<ID=GT" in text
     assert text.rstrip().endswith("FORMAT\ts1")
+
+
+def test_bp_resolution_mode(snp_setup):
+    """BP_RESOLUTION: per-position reference confidence with NO GVCF
+    banding — every covered position gets its own record
+    (reference: haplotypecaller.go:117-123,213-224)."""
+    ref, alt, reads = snp_setup
+    params = make_hc_params("BP_RESOLUTION", command_line="test")
+    hdr, variants = driver.call_variants(
+        params, _sam_header(len(ref)), {"chr1": reads}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False,
+    )
+    from elprep_tpu.hc.refconf import expand_variants
+
+    variants = expand_variants(variants)
+    assert variants
+    # the het SNP site is present with <NON_REF> appended
+    v = next((v for v in variants if v.pos == 1001 and len(v.alt) > 1), None)
+    assert v is not None
+    # reference records are single-position (no multi-position END blocks)
+    ref_blocks = [v for v in variants if v.alt == ["<NON_REF>"]]
+    assert ref_blocks
+    for v in ref_blocks:
+        end = v.info.get("END")
+        assert end is None or end == v.pos, (v.pos, end)
+    # contiguous coverage: consecutive records advance by their span
+    poss = [v.pos for v in variants]
+    assert poss == sorted(poss)
