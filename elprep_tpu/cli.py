@@ -233,7 +233,9 @@ def filter_command(argv: List[str]) -> int:
         filters2.append(fsimple.remove_duplicate_reads)
     if args.remove_optional_fields:
         if args.remove_optional_fields == "all":
-            filters2.append(fsimple.remove_optional_fields([]))
+            # "all" removes everything = keep the empty set
+            # (reference: cmd/filter.go:879-880 KeepOptionalFields(nil))
+            filters2.append(fsimple.keep_optional_fields([]))
         else:
             tags = [t.strip() for t in args.remove_optional_fields.split(",")]
             filters2.append(fsimple.remove_optional_fields(tags))

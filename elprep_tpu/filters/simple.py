@@ -202,7 +202,11 @@ def add_refid(header: Header) -> BatchFilter:
             [dict_table.get(nm, -1) for nm in batch.names], dtype=np.int32
         ) if batch.names else np.zeros(0, np.int32)
         refid = pool_ref[batch.rname_id] if len(batch.names) else np.zeros(len(batch), np.int32)
-        is_eq = _name_mask(batch, lambda nm: nm == b"=") if batch.names else np.zeros(len(batch), bool)
+        # RNEXT '=' resolves to the read's own REFID
+        # (simple-filters.go:220-222)
+        pool_eq = np.array([nm == b"=" for nm in batch.names], dtype=bool) \
+            if batch.names else np.zeros(0, bool)
+        is_eq = pool_eq[batch.rnext_id] if len(batch.names) else np.zeros(len(batch), bool)
         next_refid = np.where(
             is_eq, refid, pool_ref[batch.rnext_id] if len(batch.names) else 0
         ).astype(np.int32)
