@@ -412,13 +412,14 @@ class BaseRecalibrator:
 
 
 def _concat_preps(preps: List[dict]) -> dict:
-    """Row-concatenate per-chunk prep dicts to shared (L, C) widths and a
-    pow2 row count (dummies contribute nothing to the tables)."""
+    """Row-concatenate per-chunk prep dicts (REAL rows only — each
+    chunk's own pow2 dummies are dropped) to shared (L, C) widths and one
+    final pow2 row pad (dummies contribute nothing to the tables)."""
     if not preps:
         return dict(m=0)
     L = max(p["L"] for p in preps)
     C = max(p["C"] for p in preps)
-    total = sum(p["m"] for p in preps)
+    total = sum(p["n_real"] for p in preps)
     m = 1
     while m < total:
         m *= 2
@@ -429,14 +430,14 @@ def _concat_preps(preps: List[dict]) -> dict:
             a = np.full(m, fill, dtype)
             o = 0
             for p in preps:
-                a[o : o + p["m"]] = p[key]
-                o += p["m"]
+                a[o : o + p["n_real"]] = p[key][: p["n_real"]]
+                o += p["n_real"]
         else:
             a = np.full((m, width), fill, dtype)
             o = 0
             for p in preps:
-                a[o : o + p["m"], : p[key].shape[1]] = p[key]
-                o += p["m"]
+                a[o : o + p["n_real"], : p[key].shape[1]] = p[key][: p["n_real"]]
+                o += p["n_real"]
         return a
 
     out["base"] = cat("base", 0, np.uint8, L)
@@ -470,7 +471,7 @@ def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,
         eligible = eligible & sub
     rows = np.flatnonzero(eligible)
     self = recal
-    empty = dict(m=0, L=0, C=0,
+    empty = dict(m=0, n_real=0, L=0, C=0,
                  base=np.zeros((0, 0), np.uint8), qual=np.zeros((0, 0), np.uint8),
                  skip=np.zeros((0, 0), bool), seq_len=np.zeros(0, np.int32),
                  flag=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
@@ -482,83 +483,82 @@ def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,
     # host: clip adaptor + soft clips per eligible read; collect clipped views
     clipped: List[clipping.ClipRead] = []
     names = batch.names
-    if True:
-        for i in rows:
-            r = clipping.ClipRead(
-                flag=int(batch.flag[i]),
-                pos=int(batch.pos[i]),
-                pnext=int(batch.pnext[i]),
-                tlen=int(batch.tlen[i]),
-                mapq=int(batch.mapq[i]),
-                cigar=list(zip(batch.cigar_len.row(i).tolist(), batch.cigar_op.row(i).tobytes().decode())),
-                seq=batch.seq.row(i).tobytes(),
-                qual=batch.qual.row(i).tobytes(),
-                rname=names[batch.rname_id[i]],
-                rnext=names[batch.rnext_id[i]],
-                row=int(i),
-            )
-            clipping.hard_clip_adaptor_sequence(r)
-            if len(r.seq) == 0:
-                continue
-            clipping.hard_clip_soft_clipped_bases(r)
-            if len(r.seq) == 0:
-                continue
-            clipped.append(r)
-        if not clipped:
-            return empty
+    for i in rows:
+        r = clipping.ClipRead(
+            flag=int(batch.flag[i]),
+            pos=int(batch.pos[i]),
+            pnext=int(batch.pnext[i]),
+            tlen=int(batch.tlen[i]),
+            mapq=int(batch.mapq[i]),
+            cigar=list(zip(batch.cigar_len.row(i).tolist(), batch.cigar_op.row(i).tobytes().decode())),
+            seq=batch.seq.row(i).tobytes(),
+            qual=batch.qual.row(i).tobytes(),
+            rname=names[batch.rname_id[i]],
+            rnext=names[batch.rnext_id[i]],
+            row=int(i),
+        )
+        clipping.hard_clip_adaptor_sequence(r)
+        if len(r.seq) == 0:
+            continue
+        clipping.hard_clip_soft_clipped_bases(r)
+        if len(r.seq) == 0:
+            continue
+        clipped.append(r)
+    if not clipped:
+        return empty
 
-        n_real = len(clipped)
-        # pad shapes to buckets so runs share compiled programs (dummy
-        # rows have seq_len 0 and contribute nothing)
-        m = 1
-        while m < n_real:
-            m *= 2
-        L = ((max(len(r.seq) for r in clipped) + 31) // 32) * 32
-        C = ((max(len(r.cigar) for r in clipped) + 7) // 8) * 8
-        base = np.zeros((m, L), np.uint8)
-        qual = np.zeros((m, L), np.uint8)
-        skip = np.zeros((m, L), bool)
-        seq_len = np.zeros(m, np.int32)
-        flag = np.zeros(m, np.int32)
-        pos = np.zeros(m, np.int32)
-        rg = np.zeros(m, np.int32)
-        refoff = np.zeros(m, np.int64)
-        op_class = np.full((m, C), bqsr_ops.OP_CLASS[ord("S")], np.int8)
-        op_len = np.zeros((m, C), np.int32)
+    n_real = len(clipped)
+    # pad shapes to buckets so runs share compiled programs (dummy
+    # rows have seq_len 0 and contribute nothing)
+    m = 1
+    while m < n_real:
+        m *= 2
+    L = ((max(len(r.seq) for r in clipped) + 31) // 32) * 32
+    C = ((max(len(r.cigar) for r in clipped) + 7) // 8) * 8
+    base = np.zeros((m, L), np.uint8)
+    qual = np.zeros((m, L), np.uint8)
+    skip = np.zeros((m, L), bool)
+    seq_len = np.zeros(m, np.int32)
+    flag = np.zeros(m, np.int32)
+    pos = np.zeros(m, np.int32)
+    rg = np.zeros(m, np.int32)
+    refoff = np.zeros(m, np.int64)
+    op_class = np.full((m, C), bqsr_ops.OP_CLASS[ord("S")], np.int8)
+    op_len = np.zeros((m, C), np.int32)
 
-        for k, r in enumerate(clipped):
-            sl = len(r.seq)
-            base[k, :sl] = np.frombuffer(r.seq, np.uint8)
-            qual[k, :sl] = np.frombuffer(r.qual, np.uint8)
-            seq_len[k] = sl
-            flag[k] = r.flag
-            pos[k] = r.pos
-            rg[k] = cov_index[rgmap[rg_vals[r.row]]]
-            refoff[k] = self.ref.offsets[r.rname.decode()]
-            for c, (ln, op) in enumerate(r.cigar):
-                op_class[k, c] = bqsr_ops.OP_CLASS[ord(op)]
-                op_len[k, c] = ln
-            # known-sites skip slice (reference: bqsr.go:389-414)
-            ksites = self.known.get(r.rname.decode())
-            if ksites is not None and len(ksites):
-                ss = clipping.soft_start(r)
-                se = clipping.soft_end(r)
-                for s_start, s_end in iv.intersect(ksites, ss, se):
-                    fs, ok = clipping.get_read_coordinate_for_reference_coordinate(
-                        r.cigar, ss, int(s_start), clipping.LEFT
-                    )
-                    if not ok or fs < 0:
-                        fs = 0
-                    fe, ok = clipping.get_read_coordinate_for_reference_coordinate(
-                        r.cigar, ss, int(s_end), clipping.LEFT
-                    )
-                    if not ok or fe > sl - 1:
-                        fe = sl - 1
-                    skip[k, fs : fe + 1] = True
+    for k, r in enumerate(clipped):
+        sl = len(r.seq)
+        base[k, :sl] = np.frombuffer(r.seq, np.uint8)
+        qual[k, :sl] = np.frombuffer(r.qual, np.uint8)
+        seq_len[k] = sl
+        flag[k] = r.flag
+        pos[k] = r.pos
+        rg[k] = cov_index[rgmap[rg_vals[r.row]]]
+        refoff[k] = self.ref.offsets[r.rname.decode()]
+        for c, (ln, op) in enumerate(r.cigar):
+            op_class[k, c] = bqsr_ops.OP_CLASS[ord(op)]
+            op_len[k, c] = ln
+        # known-sites skip slice (reference: bqsr.go:389-414)
+        ksites = self.known.get(r.rname.decode())
+        if ksites is not None and len(ksites):
+            ss = clipping.soft_start(r)
+            se = clipping.soft_end(r)
+            for s_start, s_end in iv.intersect(ksites, ss, se):
+                fs, ok = clipping.get_read_coordinate_for_reference_coordinate(
+                    r.cigar, ss, int(s_start), clipping.LEFT
+                )
+                if not ok or fs < 0:
+                    fs = 0
+                fe, ok = clipping.get_read_coordinate_for_reference_coordinate(
+                    r.cigar, ss, int(s_end), clipping.LEFT
+                )
+                if not ok or fe > sl - 1:
+                    fe = sl - 1
+                skip[k, fs : fe + 1] = True
 
-        return dict(m=m, L=L, C=C, base=base, qual=qual, skip=skip,
-                    seq_len=seq_len, flag=flag, pos=pos, rg=rg, refoff=refoff,
-                    op_class=op_class, op_len=op_len)
+    return dict(m=m, n_real=n_real, L=L, C=C, base=base, qual=qual, skip=skip,
+                seq_len=seq_len, flag=flag, pos=pos, rg=rg, refoff=refoff,
+                op_class=op_class, op_len=op_len)
 
 
 def _recalibrate_eligibility(header: Header, batch: ReadBatch) -> Tuple[np.ndarray, np.ndarray]:

@@ -142,6 +142,9 @@ class HCParams:
     random: JavaRandom = field(default_factory=JavaRandom)
     sample_name: str = ""
     command_line: str = ""
+    # --randomized-qd: carried in params so spawned HC workers apply the
+    # same mode (module state does not cross process boundaries)
+    randomized_qd: bool = False
 
 
 def make_hc_params(reference_confidence: str = "NONE",

@@ -1337,6 +1337,8 @@ _QD_RANDOM: list = [None]
 
 
 def set_randomized_qd(enabled: bool) -> None:
+    if enabled and _QD_RANDOM[0] is not None:
+        return  # keep the live stream (one seed per process, like the reference)
     _QD_RANDOM[0] = np.random.RandomState(487723223) if enabled else None
 
 

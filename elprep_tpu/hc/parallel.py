@@ -61,6 +61,7 @@ def _worker_main(wid: int, req_q, res_q) -> None:
 
     params = None
     reference: bytes = b""
+    bqsr_ctx = None
     # rid -> (pickled original region, pending, vals, keep)
     store: Dict[int, list] = {}
 
@@ -73,6 +74,9 @@ def _worker_main(wid: int, req_q, res_q) -> None:
             if kind == "contig":
                 _, params, reference = msg
                 store.clear()
+                from .genotyping import set_randomized_qd
+
+                set_randomized_qd(getattr(params, "randomized_qd", False))
                 continue
             if kind == "act":
                 _, tid, reads, cs, ce = msg
@@ -82,10 +86,16 @@ def _worker_main(wid: int, req_q, res_q) -> None:
                                           params)
                 res_q.put(("act_done", tid, ia, hm))
                 continue
+            if kind == "bqsr_ctx":
+                # broadcast once per recalibrate call: known sites can be
+                # dbSNP-scale, so they must not ride along with every chunk
+                _, bqsr_ctx = msg
+                continue
             if kind == "bqsr_prep":
-                _, tid, recal_lite, hdr, sub_batch, max_cycle = msg
+                _, tid, sub_batch = msg
                 from ..filters.bqsr import prep_recalibrate_columns
 
+                recal_lite, hdr, max_cycle = bqsr_ctx
                 p = prep_recalibrate_columns(recal_lite, hdr, sub_batch, None,
                                              max_cycle)
                 res_q.put(("bqsr_prep_done", tid, p))
@@ -97,8 +107,11 @@ def _worker_main(wid: int, req_q, res_q) -> None:
                 _, task_id, items = msg
                 out = []
                 for rid, region in items:
-                    region.reference = reference
+                    # snapshot BEFORE attaching the contig reference: the
+                    # redo path re-attaches it after loads, and pickling
+                    # it here would store a contig-sized copy per region
                     raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
+                    region.reference = reference
                     terminal, pending = prepare_region(params, region)
                     if pending is None:
                         out.append((rid, "term", terminal))
@@ -206,14 +219,15 @@ class HCWorkerPool:
         table scatter-adds are commutative, so chunked prep feeds the
         same device reduction as whole-batch prep."""
         n = len(batch)
+        for q in self.req_qs:
+            q.put(("bqsr_ctx", (recal_lite, header, max_cycle)))
         chunk = max(1, (n + self.n - 1) // self.n)
         tids = 0
         for w, lo in enumerate(range(0, n, chunk)):
             import numpy as _np
 
             sub = batch.select(_np.arange(lo, min(lo + chunk, n)))
-            self.req_qs[w % self.n].put(
-                ("bqsr_prep", tids, recal_lite, header, sub, max_cycle))
+            self.req_qs[w % self.n].put(("bqsr_prep", tids, sub))
             tids += 1
         out = [None] * tids
         got = 0

@@ -290,6 +290,8 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
     prep = [fbqsr.prep_recalibrate_columns(
         recal, header, batch, np.flatnonzero(shard_of == s), max_cycle)
         for s in range(n_shards)]
+    if not any(p["m"] for p in prep):
+        return tables  # no eligible reads anywhere (matches bqsr.py:388)
     m = max(p["m"] for p in prep)
     L = max(p["L"] for p in prep)
     C = max(p["C"] for p in prep)
