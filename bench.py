@@ -134,6 +134,9 @@ def _e2e_bench() -> dict:
 
 
 def main() -> None:
+    from elprep_tpu import native as _native
+
+    _native.tune_malloc()
     import jax
 
     # persistent compilation cache: first run pays the axon remote

@@ -701,6 +701,9 @@ def _setup_jax_cache() -> None:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    from . import native as _native
+
+    _native.tune_malloc()
     # platform override for subprocess workers (the axon TPU plugin
     # ignores JAX_PLATFORMS; jax.config must be set pre-init)
     plat = os.environ.get("ELPREP_TPU_PLATFORM")

@@ -384,73 +384,92 @@ class BaseRecalibrator:
                 ref=SimpleNamespace(offsets=self.ref.offsets), known=self.known)
             preps = [p for p in pool.map_bqsr_prep(lite, header, batch, max_cycle)
                      if p["m"] > 0]
-            p = _concat_preps(preps)
         else:
             p = prep_recalibrate_columns(self, header, batch, None, max_cycle)
-        if p["m"] == 0:
+            preps = [p] if p["m"] > 0 else []
+        if not preps:
             return tables
-        out = bqsr_ops.recalibrate_tables(
-            jnp.asarray(p["base"]), jnp.asarray(p["qual"]), jnp.asarray(p["seq_len"]),
-            jnp.asarray(p["flag"]), jnp.asarray(p["pos"]), jnp.asarray(p["rg"]),
-            jnp.asarray(p["refoff"]), jnp.asarray(p["skip"]),
-            jnp.asarray(p["op_class"]), jnp.asarray(p["op_len"]),
-            jnp.asarray(self.ref.classes),
-            max_cycle=max_cycle, n_rg=len(cov_names),
-        )
-        qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, max_abs_cycle = map(np.asarray, out)
-        if int(max_abs_cycle) > max_cycle:
-            raise ValueError("cycle value exceeds maximum cycle value")
+        # the device table build runs over FIXED-SIZE row slices: one
+        # compiled program reused across slices, bounded device buffers
+        # at WGS scale, and identical tables (scatter-adds commute)
         nrg = len(cov_names)
         ncyc = 2 * max_cycle + 1
-        tables.qs_obs += qs_obs.reshape(nrg, NQUAL)
-        tables.qs_mism += qs_mism.reshape(nrg, NQUAL)
-        tables.cyc_obs += cyc_obs.reshape(nrg, NQUAL, ncyc)
-        tables.cyc_mism += cyc_mism.reshape(nrg, NQUAL, ncyc)
-        tables.ctx_obs += ctx_obs.reshape(nrg, NQUAL, NCTX)
-        tables.ctx_mism += ctx_mism.reshape(nrg, NQUAL, NCTX)
+        max_abs_cycle = 0
+        for sl in _iter_prep_slices(preps, max_rows=1 << 17):
+            out = bqsr_ops.recalibrate_tables(
+                jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
+                jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
+                jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
+                jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
+                jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
+                jnp.asarray(self.ref.classes),
+                max_cycle=max_cycle, n_rg=nrg,
+            )
+            qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, mac = map(
+                np.asarray, out)
+            max_abs_cycle = max(max_abs_cycle, int(mac))
+            tables.qs_obs += qs_obs.reshape(nrg, NQUAL)
+            tables.qs_mism += qs_mism.reshape(nrg, NQUAL)
+            tables.cyc_obs += cyc_obs.reshape(nrg, NQUAL, ncyc)
+            tables.cyc_mism += cyc_mism.reshape(nrg, NQUAL, ncyc)
+            tables.ctx_obs += ctx_obs.reshape(nrg, NQUAL, NCTX)
+            tables.ctx_mism += ctx_mism.reshape(nrg, NQUAL, NCTX)
+        if max_abs_cycle > max_cycle:
+            raise ValueError("cycle value exceeds maximum cycle value")
         return tables
 
 
-def _concat_preps(preps: List[dict]) -> dict:
-    """Row-concatenate per-chunk prep dicts (REAL rows only — each
-    chunk's own pow2 dummies are dropped) to shared (L, C) widths and one
-    final pow2 row pad (dummies contribute nothing to the tables)."""
-    if not preps:
-        return dict(m=0)
+def _iter_prep_slices(preps: List[dict], max_rows: int):
+    """Yield fixed-shape row slices from per-chunk prep dicts: real rows
+    concatenate across preps (per-chunk pow2 dummies dropped); each
+    yielded slice has exactly min(max_rows, pow2(total)) rows at the
+    shared (L, C) widths, dummy-padded (dummies contribute nothing)."""
+    total = sum(p["n_real"] for p in preps)
+    if total == 0:
+        return
+    rows = 1
+    while rows < total:
+        rows *= 2
+    rows = min(rows, max_rows)
     L = max(p["L"] for p in preps)
     C = max(p["C"] for p in preps)
-    total = sum(p["n_real"] for p in preps)
-    m = 1
-    while m < total:
-        m *= 2
-    out = dict(m=m, L=L, C=C)
 
-    def cat(key, fill, dtype, width=None):
-        if width is None:
-            a = np.full(m, fill, dtype)
-            o = 0
-            for p in preps:
-                a[o : o + p["n_real"]] = p[key][: p["n_real"]]
-                o += p["n_real"]
-        else:
-            a = np.full((m, width), fill, dtype)
-            o = 0
-            for p in preps:
-                a[o : o + p["n_real"], : p[key].shape[1]] = p[key][: p["n_real"]]
-                o += p["n_real"]
-        return a
+    def fresh():
+        return dict(
+            m=rows, L=L, C=C,
+            base=np.zeros((rows, L), np.uint8),
+            qual=np.zeros((rows, L), np.uint8),
+            skip=np.zeros((rows, L), bool),
+            seq_len=np.zeros(rows, np.int32),
+            flag=np.zeros(rows, np.int32),
+            pos=np.zeros(rows, np.int32),
+            rg=np.zeros(rows, np.int32),
+            refoff=np.zeros(rows, np.int64),
+            op_class=np.full((rows, C), bqsr_ops.OP_CLASS[ord("S")], np.int8),
+            op_len=np.zeros((rows, C), np.int32),
+        )
 
-    out["base"] = cat("base", 0, np.uint8, L)
-    out["qual"] = cat("qual", 0, np.uint8, L)
-    out["skip"] = cat("skip", False, bool, L)
-    out["seq_len"] = cat("seq_len", 0, np.int32)
-    out["flag"] = cat("flag", 0, np.int32)
-    out["pos"] = cat("pos", 0, np.int32)
-    out["rg"] = cat("rg", 0, np.int32)
-    out["refoff"] = cat("refoff", 0, np.int64)
-    out["op_class"] = cat("op_class", bqsr_ops.OP_CLASS[ord("S")], np.int8, C)
-    out["op_len"] = cat("op_len", 0, np.int32, C)
-    return out
+    keys_2d = ("base", "qual", "skip", "op_class", "op_len")
+    keys_1d = ("seq_len", "flag", "pos", "rg", "refoff")
+    sl = fresh()
+    fill = 0
+    for p in preps:
+        src = 0
+        n_real = p["n_real"]
+        while src < n_real:
+            take = min(n_real - src, rows - fill)
+            for k in keys_2d:
+                sl[k][fill : fill + take, : p[k].shape[1]] = p[k][src : src + take]
+            for k in keys_1d:
+                sl[k][fill : fill + take] = p[k][src : src + take]
+            fill += take
+            src += take
+            if fill == rows:
+                yield sl
+                sl = fresh()
+                fill = 0
+    if fill:
+        yield sl
 
 
 def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,

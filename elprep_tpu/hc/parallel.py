@@ -51,6 +51,9 @@ MAX_INFLIGHT = 8
 
 def _worker_main(wid: int, req_q, res_q) -> None:
     os.environ["ELPREP_TPU_PLATFORM"] = "cpu"
+    from .. import native as _native
+
+    _native.tune_malloc()
     try:
         import jax
 
@@ -295,10 +298,22 @@ class HCWorkerPool:
         send_tasks()
 
         pending_batch: List[int] = []
+        from concurrent.futures import ThreadPoolExecutor
+
+        ph_pool = ThreadPoolExecutor(max_workers=1)
+        ph_futures: List = []
 
         def batch_pairs() -> int:
             return sum(len(pend_inputs[rid][0]) * len(pend_inputs[rid][1])
                        for rid in pending_batch)
+
+        def _run_pairhmm(batch, workloads):
+            # off the event loop: jax/numpy release the GIL during the
+            # heavy work, so the recv/emit loop keeps draining results
+            pairs = pairhmm.compute_read_likelihoods_multi(
+                workloads, use_device=use_device_pairhmm)
+            for rid, (vals, keep) in zip(batch, pairs):
+                self.req_qs[owner[rid]].put(("geno", rid, vals, keep, []))
 
         def dispatch_pairhmm(force=False):
             if not pending_batch:
@@ -309,10 +324,7 @@ class HCWorkerPool:
             batch = pending_batch[:]
             del pending_batch[:]
             workloads = [pend_inputs.pop(rid) for rid in batch]
-            pairs = pairhmm.compute_read_likelihoods_multi(
-                workloads, use_device=use_device_pairhmm)
-            for rid, (vals, keep) in zip(batch, pairs):
-                self.req_qs[owner[rid]].put(("geno", rid, vals, keep, []))
+            ph_futures.append(ph_pool.submit(_run_pairhmm, batch, workloads))
 
         emit = 0
         while emit < n:
@@ -381,7 +393,20 @@ def get_pool(n_workers: int) -> Optional[HCWorkerPool]:
         return _pool
     if _pool is not None:
         _pool.close()
-    _pool = HCWorkerPool(n_workers)
+        _pool = None
+    try:
+        _pool = HCWorkerPool(n_workers)
+    except Exception as e:
+        # e.g. a library caller without the `if __name__ == "__main__"`
+        # guard: spawn refuses to bootstrap. Degrade to single-process
+        # rather than crashing the pipeline.
+        import sys
+
+        print(f"elprep_tpu: worker pool unavailable ({e}); "
+              "running single-process", file=sys.stderr)
+        _pool = None
+        _pool_size = 0
+        return None
     _pool_size = n_workers
     return _pool
 
