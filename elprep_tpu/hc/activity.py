@@ -741,17 +741,50 @@ def compute_activity(reads: List[ClipRead], reference: bytes, low: int, high: in
 
 def band_pass_states(is_active: np.ndarray, hq_mean: np.ndarray,
                      params: HCParams) -> np.ndarray:
-    """processState + bandPassProcessState over all positions."""
+    """processState + bandPassProcessState over all positions.
+
+    Vectorized as one shifted add per kernel offset, iterated from the
+    largest offset down: output j then receives its contributions from
+    source positions j-50..j+50 in ASCENDING source order — bitwise the
+    same accumulation order as the per-hot-position loop
+    (`_band_pass_states_py`, the oracle) and the reference's incremental
+    smear (haplotypecaller.go:286-299). Adding src==0 terms contributes
+    an exact +0.0 (all operands are non-negative), so no masking is
+    needed."""
     kernel = tables.GAUSSIAN_KERNEL
     filter_size = len(kernel) // 2
     n = len(is_active)
     states = np.zeros(n, np.float64)
-    src = np.where(
+    src = _band_pass_src(is_active, hq_mean, params)
+    for k in range(len(kernel) - 1, -1, -1):
+        d = k - filter_size
+        w = kernel[k]
+        if d >= 0:
+            if d < n:
+                states[d:] += src[: n - d] * w
+        else:
+            if -d < n:
+                states[: n + d] += src[-d:] * w
+    return states
+
+
+def _band_pass_src(is_active, hq_mean, params):
+    return np.where(
         (is_active > 0) & (hq_mean > AVERAGE_HQ_SOFT_CLIPS_THRESHOLD),
         is_active * (2 * np.minimum(hq_mean.astype(np.int64),
                                     params.max_prob_propagation_distance) + 1),
         is_active,
     )
+
+
+def _band_pass_states_py(is_active: np.ndarray, hq_mean: np.ndarray,
+                         params: HCParams) -> np.ndarray:
+    """Per-hot-position oracle for band_pass_states."""
+    kernel = tables.GAUSSIAN_KERNEL
+    filter_size = len(kernel) // 2
+    n = len(is_active)
+    states = np.zeros(n, np.float64)
+    src = _band_pass_src(is_active, hq_mean, params)
     hot = np.flatnonzero(src > 0)
     for pos in hot:
         band_start = -filter_size if pos - filter_size >= 0 else -pos

@@ -215,3 +215,18 @@ def test_flip_jump_assembly_regions_match_oracle():
             "c", b"A" * (rs + n + 10), rs, rs + n, rs + n + 10, states, params)
         assert [(x.start, x.end, x.is_active) for x in a] == \
                [(y.start, y.end, y.is_active) for y in b]
+
+
+def test_band_pass_states_vectorized_matches_oracle():
+    from elprep_tpu.hc.activity import (band_pass_states,
+                                        _band_pass_states_py, make_hc_params)
+
+    rng = np.random.RandomState(5)
+    params = make_hc_params("GVCF")
+    for n in (1, 7, 99, 5000):
+        ia = np.where(rng.rand(n) < 0.2, rng.rand(n), 0.0)
+        hq = rng.rand(n) * 12
+        a = band_pass_states(ia, hq, params)
+        b = _band_pass_states_py(ia, hq, params)
+        # bitwise identical (same accumulation order)
+        assert a.tobytes() == b.tobytes(), n
