@@ -624,24 +624,28 @@ def call_variants(
             span = stop - start
             is_active = np.zeros(span, np.float64)
             hq_mean = np.zeros(span, np.float64)
-            CHUNK = 1 << 18 if pool is None else 1 << 16
-            bounds = [(cs, min(cs + CHUNK, stop))
-                      for cs in range(start, stop, CHUNK)]
-            chunk_read_lists = [
-                aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
-                          max_ref_len, positions=region_positions)[0]
-                for cs, ce in bounds]
             if pool is not None:
-                # activity chunks are independent: scatter them over the
-                # worker pool (the band-pass smear below runs on the
-                # stitched whole-span array, so results are unchanged)
-                results = pool.map_activity(
-                    [(reads_c, cs, ce)
-                     for reads_c, (cs, ce) in zip(chunk_read_lists, bounds)])
+                # ship each worker its contiguous read block ONCE; the
+                # workers slice activity chunks and regions locally
+                # (results unchanged: same aln_slice arguments, and the
+                # band-pass smear below runs on the stitched span)
+                from .parallel import ACT_CHUNK
+
+                pool.distribute_span(region_reads, region_positions,
+                                     max_ref_len)
+                bounds = [(cs, min(cs + ACT_CHUNK, stop))
+                          for cs in range(start, stop, ACT_CHUNK)]
+                results = pool.map_activity(bounds)
             else:
-                results = [compute_activity(reads_c, reference, cs + 1, ce + 1,
-                                            params)
-                           for reads_c, (cs, ce) in zip(chunk_read_lists, bounds)]
+                CHUNK = 1 << 18
+                bounds = [(cs, min(cs + CHUNK, stop))
+                          for cs in range(start, stop, CHUNK)]
+                results = [
+                    compute_activity(
+                        aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
+                                  max_ref_len, positions=region_positions)[0],
+                        reference, cs + 1, ce + 1, params)
+                    for cs, ce in bounds]
             for (cs, ce), (ia, hm) in zip(bounds, results):
                 is_active[cs - start : ce - start] = ia
                 hq_mean[cs - start : ce - start] = hm
@@ -658,7 +662,7 @@ def call_variants(
 
             if pool is not None:
                 results_iter = pool.process_regions(
-                    params, regions, deletions, use_device_pairhmm, fill_reads)
+                    params, regions, deletions, use_device_pairhmm)
             else:
                 results_iter = _iter_region_results_serial(
                     params, regions, deletions, use_device_pairhmm, fill_reads)

@@ -39,6 +39,9 @@ import numpy as np
 
 # regions per prepare task: small for load balance across skewed costs
 PREP_TASK_SIZE = 4
+# activity chunk width in reference positions (the pool path; the serial
+# driver uses larger chunks)
+ACT_CHUNK = 1 << 16
 # PairHMM dispatch batching: accumulate pendings until this many
 # (read, hap) pairs share one device program (values are
 # padding-invariant so batching does not change results; bigger batches
@@ -65,6 +68,11 @@ def _worker_main(wid: int, req_q, res_q) -> None:
     params = None
     reference: bytes = b""
     bqsr_ctx = None
+    # the worker's contiguous read block for the current span (reads are
+    # shipped ONCE per span; activity chunks and regions slice locally)
+    block_reads: list = []
+    block_positions = None
+    max_ref_len = 0
     # rid -> (pickled original region, pending, vals, keep)
     store: Dict[int, list] = {}
 
@@ -81,10 +89,20 @@ def _worker_main(wid: int, req_q, res_q) -> None:
 
                 set_randomized_qd(getattr(params, "randomized_qd", False))
                 continue
+            if kind == "reads_block":
+                _, block_reads, max_ref_len = msg
+                block_positions = np.fromiter((r.pos for r in block_reads),
+                                              np.int64, len(block_reads))
+                continue
             if kind == "act":
-                _, tid, reads, cs, ce = msg
-                from .activity import compute_activity
+                # slice the chunk's reads from the local block with the
+                # exact arguments the serial driver uses
+                _, tid, cs, ce = msg
+                from .activity import aln_slice, compute_activity
 
+                reads, _ = aln_slice(block_reads, cs + 1 - max_ref_len,
+                                     ce + 1, max_ref_len,
+                                     positions=block_positions)
                 ia, hm = compute_activity(reads, reference, cs + 1, ce + 1,
                                           params)
                 res_q.put(("act_done", tid, ia, hm))
@@ -108,13 +126,20 @@ def _worker_main(wid: int, req_q, res_q) -> None:
                 continue
             if kind == "prep":
                 _, task_id, items = msg
+                from .activity import aln_slice as _aln_slice
+
                 out = []
                 for rid, region in items:
-                    # snapshot BEFORE attaching the contig reference: the
-                    # redo path re-attaches it after loads, and pickling
-                    # it here would store a contig-sized copy per region
+                    # snapshot BEFORE attaching the contig reference or
+                    # the reads (redo re-derives both; regions arrive
+                    # bare so neither the contig nor the read block is
+                    # copied into the per-region snapshot)
                     raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
                     region.reference = reference
+                    region.reads, _ = _aln_slice(
+                        block_reads, region.padded_start(),
+                        region.padded_end(), max_ref_len,
+                        positions=block_positions)
                     terminal, pending = prepare_region(params, region)
                     if pending is None:
                         out.append((rid, "term", terminal))
@@ -138,9 +163,14 @@ def _worker_main(wid: int, req_q, res_q) -> None:
                 # true incoming deletions; prepare is deterministic so
                 # the stored PairHMM values still apply
                 _, rid, incoming = msg
+                from .activity import aln_slice as _aln_slice
+
                 ent = store[rid]
                 region = pickle.loads(ent[0])
                 region.reference = reference
+                region.reads, _ = _aln_slice(
+                    block_reads, region.padded_start(), region.padded_end(),
+                    max_ref_len, positions=block_positions)
                 _terminal, pending = prepare_region(params, region)
                 assert pending is not None, "redo of a terminal region"
                 variants, outgoing = genotype_region(params, pending, ent[2],
@@ -197,15 +227,61 @@ class HCWorkerPool:
     def set_contig(self, params, reference: bytes) -> None:
         """Broadcast the contig context (params + reference) to every
         worker; resets their region stores."""
+        self._block_bounds: List[int] = []
         for q in self.req_qs:
             q.put(("contig", params, reference))
 
+    def distribute_span(self, reads, positions, max_ref_len: int) -> None:
+        """Partition the span's reads into per-worker contiguous blocks
+        (equal read counts; boundaries by position) and ship each block
+        ONCE. Activity chunks and regions route to the block owning
+        their start position and slice reads locally — the read data
+        crosses the pipes once per span instead of once per task."""
+        import bisect  # noqa: F401  (owner_of uses it)
+
+        n = len(reads)
+        if n == 0 or self.n == 1:
+            self._block_bounds = []
+            self.req_qs[0].put(("reads_block", list(reads), max_ref_len))
+            for q in self.req_qs[1:]:
+                q.put(("reads_block", [], max_ref_len))
+            return
+        bounds = sorted({int(positions[(w * n) // self.n])
+                         for w in range(1, self.n)})
+        self._block_bounds = bounds
+        # margins proven by the slice formulas: activity chunks need
+        # positions >= start - 2*max_ref_len + 2 and < end + ACT_CHUNK + 1;
+        # regions (<= 300 bp + 100 extension) need start-100-max_ref_len
+        # .. start+400
+        ml = 2 * max_ref_len + 512
+        mr = ACT_CHUNK + 512
+        nb = len(bounds)  # may be < n-1 when quantile positions collide
+        for w in range(self.n):
+            if w > nb:
+                self.req_qs[w].put(("reads_block", [], max_ref_len))
+                continue
+            lo_b = None if w == 0 else bounds[w - 1]
+            hi_b = None if w >= nb else bounds[w]
+            j = 0 if lo_b is None else int(np.searchsorted(positions, lo_b - ml,
+                                                           side="left"))
+            k = n if hi_b is None else int(np.searchsorted(positions, hi_b + mr,
+                                                           side="right"))
+            self.req_qs[w].put(("reads_block", list(reads[j:k]), max_ref_len))
+
+    def owner_of(self, start_pos: int) -> int:
+        import bisect
+
+        if not self._block_bounds:
+            return 0
+        return min(bisect.bisect_right(self._block_bounds, start_pos),
+                   self.n - 1)
+
     def map_activity(self, chunks):
-        """Scatter activity chunks (reads, cs, ce) over the workers and
+        """Scatter activity chunks (cs, ce) over the block owners and
         gather (is_active, hq_mean) per chunk in order. Requires
-        set_contig() first (workers hold the reference)."""
-        for tid, (reads, cs, ce) in enumerate(chunks):
-            self.req_qs[tid % self.n].put(("act", tid, reads, cs, ce))
+        set_contig() + distribute_span() first."""
+        for tid, (cs, ce) in enumerate(chunks):
+            self.req_qs[self.owner_of(cs)].put(("act", tid, cs, ce))
         out = [None] * len(chunks)
         got = 0
         while got < len(chunks):
@@ -241,14 +317,13 @@ class HCWorkerPool:
             got += 1
         return out
 
-    def process_regions(self, params, regions, deletions, use_device_pairhmm,
-                        fill_reads):
+    def process_regions(self, params, regions, deletions, use_device_pairhmm):
         """Yield (region, variants, deletions) in region order.
 
-        ``fill_reads(region)`` attaches the region's reads (main-process
-        aln_slice). ``deletions`` is the incoming carry for the first
-        region; each yielded tuple carries the updated list. The caller
-        must have sent set_contig() for this contig already.
+        ``deletions`` is the incoming carry for the first region; each
+        yielded tuple carries the updated list. The caller must have
+        sent set_contig() and distribute_span() first — regions ship
+        bare and the owning worker slices their reads from its block.
         """
         from ..ops import pairhmm
 
@@ -261,39 +336,52 @@ class HCWorkerPool:
         geno: Dict[int, tuple] = {}
         redo_sent: set = set()
 
-        # build prepare tasks
-        tasks = []
-        for t0 in range(0, n, PREP_TASK_SIZE):
-            tasks.append(list(range(t0, min(t0 + PREP_TASK_SIZE, n))))
-        next_task = 0
+        # build prepare tasks: consecutive regions grouped while they
+        # share a block owner (regions route to the worker holding their
+        # reads; regions ship BARE — the owner slices reads locally)
+        tasks: List[List[int]] = []
+        cur: List[int] = []
+        cur_owner = -1
+        for rid in range(n):
+            w = self.owner_of(regions[rid].start)
+            if cur and (w != cur_owner or len(cur) >= PREP_TASK_SIZE):
+                tasks.append(cur)
+                cur = []
+            cur_owner = w
+            cur.append(rid)
+            owner[rid] = w
+        if cur:
+            tasks.append(cur)
+        from collections import deque
+
+        wtasks = [deque() for _ in range(self.n)]
+        for t, rids in enumerate(tasks):
+            wtasks[owner[rids[0]]].append(t)
         inflight = [0] * self.n
-        task_owner: Dict[int, int] = {}
         preps_outstanding = len(tasks)
 
         def send_tasks():
-            nonlocal next_task
-            while next_task < len(tasks):
-                w = min(range(self.n), key=lambda i: inflight[i])
-                if inflight[w] >= MAX_INFLIGHT:
-                    return
-                rids = tasks[next_task]
-                items = []
-                for rid in rids:
-                    region = regions[rid]
-                    fill_reads(region)
-                    # ship an immutable copy: Queue.put pickles in a
-                    # feeder thread, so the original must not be mutated
-                    # after (and the 1+ MB contig reference must not ride
-                    # along with every region)
-                    copy = dataclasses.replace(
-                        region, reference=None, supporting_states=None)
-                    items.append((rid, copy))
-                    owner[rid] = w
-                    region.reads = []  # worker owns them now
-                task_owner[next_task] = w
-                self.req_qs[w].put(("prep", next_task, items))
-                inflight[w] += 1
-                next_task += 1
+            # per-worker queues: every worker's pipeline fills up to
+            # MAX_INFLIGHT independently of the others' progress
+            for w in range(self.n):
+                while wtasks[w] and inflight[w] < MAX_INFLIGHT:
+                    t = wtasks[w].popleft()
+                    items = []
+                    for rid in tasks[t]:
+                        # ship an immutable bare copy: Queue.put pickles
+                        # in a feeder thread, so the original must not be
+                        # mutated after (and neither the contig reference
+                        # nor the reads ride along — the owner holds the
+                        # read block)
+                        copy = dataclasses.replace(
+                            regions[rid], reference=None,
+                            supporting_states=None, reads=[])
+                        items.append((rid, copy))
+                    self.req_qs[w].put(("prep", t, items))
+                    inflight[w] += 1
+
+        def tasks_remaining() -> bool:
+            return any(wtasks)
 
         send_tasks()
 
@@ -370,7 +458,7 @@ class HCWorkerPool:
                         pend_inputs[rid] = (item[2], item[3], item[4])
                         pending_batch.append(rid)
                 send_tasks()
-                dispatch_pairhmm(force=preps_outstanding == 0 and next_task == len(tasks))
+                dispatch_pairhmm(force=preps_outstanding == 0 and not tasks_remaining())
             elif msg[0] == "geno_done":
                 _, rid, variants, outgoing = msg
                 geno[rid] = (variants, outgoing)
