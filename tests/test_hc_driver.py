@@ -187,3 +187,102 @@ def test_bp_resolution_mode(snp_setup):
     # contiguous coverage: consecutive records advance by their span
     poss = [v.pos for v in variants]
     assert poss == sorted(poss)
+
+
+@pytest.mark.parametrize("mode", ["NONE", "GVCF"])
+def test_parallel_pool_matches_serial(snp_setup, mode):
+    """call_variants with the worker pool == serial, record for record
+    (covers the block distribution, bare-region shipping, speculative
+    deletions protocol, and ordered emission)."""
+    rng = np.random.RandomState(17)
+    ref = _mkref(rng, 6000)
+    # two variant clusters incl. a long deletion crossing region-size
+    # boundaries, plus a SNP inside the deleted span on the other hap
+    hap_del = ref[:2000] + ref[2200:]           # 200bp deletion @2000
+    sub = b"A" if ref[2104:2105] != b"A" else b"C"
+    hap_snp = ref[:2104] + sub + ref[2105:]
+    snp2 = b"G" if ref[4000:4001] != b"G" else b"T"
+    hap_b = ref[:4000] + snp2 + ref[4001:]
+    reads = []
+    for i in range(120):
+        hap = (hap_del, hap_snp, hap_b)[i % 3]
+        start = (1800 + (i * 13) % 500) if i % 3 != 2 else (3850 + (i * 11) % 250)
+        seq = hap[start : start + 120]
+        flag = 0x63 if i % 2 == 0 else 0x93
+        reads.append(ClipRead(
+            flag=flag, pos=start + 1, pnext=start + 151,
+            tlen=300 if i % 2 == 0 else -300, mapq=60,
+            cigar=[(len(seq), "M")], seq=seq, qual=bytes([35]) * len(seq),
+            rname=b"chr1", rnext=b"=", qname=b"pp%04d" % i))
+    reads.sort(key=lambda r: r.pos)
+    hdr = _sam_header(len(ref))
+    params_a = make_hc_params(mode, command_line="t")
+    _, serial = driver.call_variants(
+        params_a, hdr, {"chr1": list(reads)}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False, nr_workers=1)
+    params_b = make_hc_params(mode, command_line="t")
+    _, pooled = driver.call_variants(
+        params_b, hdr, {"chr1": list(reads)}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False, nr_workers=2)
+    from elprep_tpu.hc.refconf import expand_variants
+    from elprep_tpu.io.vcf import format_variant
+
+    a = [format_variant(v) for v in expand_variants(serial)]
+    b = [format_variant(v) for v in expand_variants(pooled)]
+    assert a == b
+    assert a  # fixture produced calls
+
+
+def test_parallel_pool_redo_path_on_deletions_carry():
+    """Force the cross-region deletions carry (tiny regions + a 150bp
+    het deletion): the pooled run must take the speculative-redo path
+    and still match the serial output exactly."""
+    rng = np.random.RandomState(23)
+    ref = _mkref(rng, 4000)
+    hap_del = ref[:2000] + ref[2150:]
+    reads = []
+    for i in range(80):
+        hap = hap_del if i % 2 == 0 else ref
+        start = 1850 + (i * 7) % 300
+        seq = hap[start : start + 120]
+        flag = 0x63 if i % 2 == 0 else 0x93
+        reads.append(ClipRead(
+            flag=flag, pos=start + 1, pnext=start + 151,
+            tlen=300 if i % 2 == 0 else -300, mapq=60,
+            cigar=[(len(seq), "M")], seq=seq, qual=bytes([35]) * len(seq),
+            rname=b"chr1", rnext=b"=", qname=b"dd%04d" % i))
+    reads.sort(key=lambda r: r.pos)
+    hdr = _sam_header(len(ref))
+
+    def mk_params():
+        p = make_hc_params("GVCF", command_line="t")
+        p.max_region_size = 60
+        p.min_region_size = 20
+        return p
+
+    # serial run, instrumented: assert the carry actually fires (which
+    # guarantees the pooled run below must issue a redo for that region)
+    carried = []
+    orig = driver.genotype_region
+    def spy(params, pending, vals, keep, incoming):
+        if incoming:
+            carried.append(list(incoming))
+        return orig(params, pending, vals, keep, incoming)
+    driver.genotype_region = spy
+    try:
+        _, serial = driver.call_variants(
+            mk_params(), hdr, {"chr1": list(reads)}, lambda c: ref,
+            sample_name="s1", use_device_pairhmm=False, nr_workers=1)
+    finally:
+        driver.genotype_region = orig
+    assert carried, "fixture no longer exercises the deletions carry"
+
+    _, pooled = driver.call_variants(
+        mk_params(), hdr, {"chr1": list(reads)}, lambda c: ref,
+        sample_name="s1", use_device_pairhmm=False, nr_workers=2)
+    from elprep_tpu.hc.refconf import expand_variants
+    from elprep_tpu.io.vcf import format_variant
+
+    a = [format_variant(v) for v in expand_variants(serial)]
+    b = [format_variant(v) for v in expand_variants(pooled)]
+    assert a == b and a
