@@ -452,17 +452,29 @@ def print_duplicates_metrics(path: str, command_line: str, ctrs: Dict[str, Dupli
 # sfm intermediate form: JSON replaces the reference's gob (:701-731)
 
 
+_CTR_COUNTERS = (
+    "UnpairedReadsExamined", "ReadPairsExamined",
+    "SecondaryOrSupplementaryReads", "UnmappedReads",
+    "UnpairedReadDuplicates", "ReadPairDuplicates",
+    "ReadPairOpticalDuplicates",
+)
+_CTR_HISTOGRAMS = (
+    "duplicatesCountHistogram", "nonOpticalDuplicatesCountHistogram",
+    "opticalDuplicatesCountHistogram",
+)
+
+
 def save_metrics_intermediate(path: str, ctrs: Dict[str, DuplicatesCtr]) -> None:
+    """Intermediate form for the sfm-style merge: the additive counters
+    AND the duplicate-set-size histograms (the reference gob-encodes the
+    full ctr and merges histograms element-wise,
+    mark-optical-duplicates.go:119-129,701-731)."""
     data = {
-        lib: {
-            "UnpairedReadsExamined": c.UnpairedReadsExamined,
-            "ReadPairsExamined": c.ReadPairsExamined,
-            "SecondaryOrSupplementaryReads": c.SecondaryOrSupplementaryReads,
-            "UnmappedReads": c.UnmappedReads,
-            "UnpairedReadDuplicates": c.UnpairedReadDuplicates,
-            "ReadPairDuplicates": c.ReadPairDuplicates,
-            "ReadPairOpticalDuplicates": c.ReadPairOpticalDuplicates,
-        }
+        lib: dict(
+            {k: getattr(c, k) for k in _CTR_COUNTERS},
+            **{k: {str(sz): cnt for sz, cnt in getattr(c, k).items()}
+               for k in _CTR_HISTOGRAMS},
+        )
         for lib, c in ctrs.items()
     }
     with open(path, "w") as fh:
@@ -470,9 +482,8 @@ def save_metrics_intermediate(path: str, ctrs: Dict[str, DuplicatesCtr]) -> None
 
 
 def load_and_combine_metrics(paths: List[str]) -> Dict[str, DuplicatesCtr]:
-    """(reference: LoadAndCombineDuplicateMetrics, :713-731). Note: only the
-    additive counters travel through the intermediate form; histograms are
-    recomputed where possible (the reference loses them too)."""
+    """(reference: LoadAndCombineDuplicateMetrics, :713-731): counters
+    sum, histograms merge element-wise, derived metrics recompute."""
     ctrs: Dict[str, DuplicatesCtr] = {}
     for p in paths:
         with open(p) as fh:
@@ -480,7 +491,12 @@ def load_and_combine_metrics(paths: List[str]) -> Dict[str, DuplicatesCtr]:
         for lib, vals in data.items():
             ctr = ctrs.setdefault(lib, DuplicatesCtr())
             for k, v in vals.items():
-                setattr(ctr, k, getattr(ctr, k) + v)
+                if k in _CTR_HISTOGRAMS:
+                    hist = getattr(ctr, k)
+                    for sz, cnt in v.items():
+                        hist[int(sz)] = hist.get(int(sz), 0) + cnt
+                else:
+                    setattr(ctr, k, getattr(ctr, k) + v)
     for ctr in ctrs.values():
         calculate_derived_metrics(ctr)
     return ctrs

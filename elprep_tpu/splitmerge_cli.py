@@ -354,13 +354,27 @@ def _combine_vcf_outputs(paths: List[str], output: str) -> None:
 
 
 def merge_metrics_command(argv: List[str]) -> int:
+    """(reference: cmd/merge-optical-duplicates-metrics.go:42-127 —
+    positionals are input, output, metrics, intermediate-metrics dir;
+    input/output only feed the embedded command line)."""
     from .filters import optical as foptical
 
     p = argparse.ArgumentParser(prog="elprep_tpu merge-optical-duplicates-metrics")
-    p.add_argument("metrics_path")
+    p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("metrics")
+    p.add_argument("intermediate_metrics")
+    p.add_argument("--remove-duplicates", action="store_true")
+    p.add_argument("--nr-of-threads", type=int, default=0)
+    p.add_argument("--timed", action="store_true")
+    p.add_argument("--profile", default="")
+    p.add_argument("--log-path", default="")
     args = p.parse_args(argv)
-    paths = sorted(glob.glob(os.path.join(args.metrics_path, "*")))
+    command = "elprep_tpu merge-optical-duplicates-metrics %s %s %s %s" % (
+        args.input, args.output, args.metrics, args.intermediate_metrics)
+    if args.remove_duplicates:
+        command += " --remove-duplicates"
+    paths = sorted(glob.glob(os.path.join(args.intermediate_metrics, "*")))
     ctrs = foptical.load_and_combine_metrics(paths)
-    foptical.print_duplicates_metrics(args.output, "elprep_tpu " + " ".join(argv), ctrs)
+    foptical.print_duplicates_metrics(args.metrics, command, ctrs)
     return 0

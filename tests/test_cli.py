@@ -410,3 +410,91 @@ def test_target_regions_restricts_calling(workdir, tmp_path):
         assert 1900 - 100 <= v.pos <= 2300 + 100
     # chr2 had reads but no targets -> absent from targeted run
     assert not any(v.chrom == "chr2" for v in targeted)
+
+
+def test_sfm_single_end_equals_whole_file(tmp_path):
+    """sfm --single-end (no spread file, split-merge.go:664-724) must
+    match the whole-file filter output."""
+    import samgen
+
+    contigs = [("c1", 50_000), ("c2", 40_000), ("c3", 30_000)]
+    header = samgen.make_header_lines(
+        contigs, rgs=[{"ID": "rg1", "LB": "l1", "SM": "s1"}])
+    import random
+
+    rng = random.Random(3)
+    lines = []
+    for i in range(600):
+        c, ln = contigs[rng.randrange(3)]
+        pos = rng.randrange(1, ln - 200)
+        if rng.random() < 0.3:
+            pos = 1000 + 10 * (i % 5)  # duplicate clusters
+        seq = "".join(rng.choice("ACGT") for _ in range(80))
+        qual = "".join(chr(33 + rng.randrange(15, 40)) for _ in range(80))
+        flag = 0x10 if rng.random() < 0.5 else 0
+        lines.append(f"r{i:05d}\t{flag}\t{c}\t{pos}\t40\t80M\t*\t0\t0\t{seq}\t{qual}\tRG:Z:rg1")
+    sam_in = tmp_path / "se.sam"
+    sam_in.write_text("\n".join(header + lines) + "\n")
+
+    whole = tmp_path / "whole.sam"
+    assert cli.main(["filter", str(sam_in), str(whole),
+                     "--mark-duplicates", "--sorting-order", "coordinate"]) == 0
+    sfm_out = tmp_path / "sfm.sam"
+    assert cli.main(["sfm", str(sam_in), str(sfm_out), "--single-end",
+                     "--tmp-path", str(tmp_path / "t"),
+                     "--contig-group-size", "1",
+                     "--mark-duplicates", "--sorting-order", "coordinate"]) == 0
+    from elprep_tpu.io import sam as samio
+
+    h1, b1 = samio.read_sam_file(str(whole))
+    h2, b2 = samio.read_sam_file(str(sfm_out))
+    assert len(b1) == len(b2)
+    k1 = list(zip(b1.qname.astype(bytes), b1.flag, b1.pos))
+    k2 = list(zip(b2.qname.astype(bytes), b2.flag, b2.pos))
+    assert k1 == k2
+
+
+def test_merge_optical_duplicates_metrics_cli(workdir, tmp_path):
+    """split -> per-group intermediates -> merge-optical-duplicates-metrics
+    == whole-file metrics (reference: cmd/merge-optical-duplicates-metrics.go,
+    gob merge mark-optical-duplicates.go:701-731)."""
+    wd = workdir
+    whole_metrics = tmp_path / "whole_metrics.txt"
+    assert cli.main(["filter", str(wd / "in.sam"), "/dev/null",
+                     "--mark-duplicates",
+                     "--mark-optical-duplicates", str(whole_metrics),
+                     "--sorting-order", "keep"]) == 0
+
+    assert cli.main(["split", str(wd / "in.sam"), str(tmp_path / "sp"),
+                     "--output-prefix", "x", "--output-type", "sam",
+                     "--contig-group-size", "1"]) == 0
+    import glob as _glob
+
+    inter_dir = tmp_path / "inter"
+    inter_dir.mkdir()
+    inters = []
+    for i, gf in enumerate(sorted(_glob.glob(str(tmp_path / "sp" / "splits" / "x-*.sam")))):
+        ip = str(inter_dir / ("m%d.intermediate" % i))
+        assert cli.main(["filter", gf, "/dev/null", "--mark-duplicates",
+                         "--mark-optical-duplicates-intermediate", ip,
+                         "--sorting-order", "keep"]) == 0
+        inters.append(ip)
+    # the spread file holds cross-group pairs
+    spread = str(tmp_path / "sp" / "x-spread.sam")
+    import os as _os
+
+    if _os.path.exists(spread):
+        ip = str(inter_dir / "spread.intermediate")
+        assert cli.main(["filter", spread, "/dev/null", "--mark-duplicates",
+                         "--mark-optical-duplicates-intermediate", ip,
+                         "--sorting-order", "keep"]) == 0
+    merged = tmp_path / "merged_metrics.txt"
+    assert cli.main(["merge-optical-duplicates-metrics",
+                     str(wd / "in.sam"), "out.sam", str(merged),
+                     str(inter_dir)]) == 0
+
+    def body(p):
+        return [l for l in open(p).read().splitlines()
+                if l and not l.startswith("#")]
+
+    assert body(merged) == body(whole_metrics)
