@@ -632,7 +632,7 @@ def call_variants(
                 from .parallel import ACT_CHUNK
 
                 pool.distribute_span(region_reads, region_positions,
-                                     max_ref_len)
+                                     max_ref_len, params=params)
                 bounds = [(cs, min(cs + ACT_CHUNK, stop))
                           for cs in range(start, stop, ACT_CHUNK)]
                 results = pool.map_activity(bounds)

@@ -28,6 +28,7 @@ cannot perturb it.
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import multiprocessing as mp
 import os
@@ -209,7 +210,7 @@ class HCWorkerPool:
             if p.is_alive():
                 p.terminate()
 
-    def _recv(self):
+    def _recv(self, extra_check=None):
         import queue as _queue
 
         while True:
@@ -217,6 +218,8 @@ class HCWorkerPool:
                 msg = self.res_q.get(timeout=60)
                 break
             except _queue.Empty:
+                if extra_check is not None:
+                    extra_check()
                 dead = [i for i, p in enumerate(self.procs) if not p.is_alive()]
                 if dead:
                     raise RuntimeError(f"HC worker(s) {dead} died unexpectedly")
@@ -231,14 +234,13 @@ class HCWorkerPool:
         for q in self.req_qs:
             q.put(("contig", params, reference))
 
-    def distribute_span(self, reads, positions, max_ref_len: int) -> None:
+    def distribute_span(self, reads, positions, max_ref_len: int,
+                        params=None) -> None:
         """Partition the span's reads into per-worker contiguous blocks
         (equal read counts; boundaries by position) and ship each block
         ONCE. Activity chunks and regions route to the block owning
         their start position and slice reads locally — the read data
         crosses the pipes once per span instead of once per task."""
-        import bisect  # noqa: F401  (owner_of uses it)
-
         n = len(reads)
         if n == 0 or self.n == 1:
             self._block_bounds = []
@@ -251,10 +253,14 @@ class HCWorkerPool:
         self._block_bounds = bounds
         # margins proven by the slice formulas: activity chunks need
         # positions >= start - 2*max_ref_len + 2 and < end + ACT_CHUNK + 1;
-        # regions (<= 300 bp + 100 extension) need start-100-max_ref_len
-        # .. start+400
-        ml = 2 * max_ref_len + 512
-        mr = ACT_CHUNK + 512
+        # regions (<= max_region_size, padded by `extension`) need
+        # start - extension - max_ref_len .. start + max_region_size +
+        # extension — derived from params so non-default padding cannot
+        # silently truncate block-boundary reads
+        ext = getattr(params, "padding", 100) if params is not None else 100
+        mrs = getattr(params, "max_region_size", 300) if params is not None else 300
+        ml = 2 * max_ref_len + ext + 512
+        mr = ACT_CHUNK + mrs + ext + 512
         nb = len(bounds)  # may be < n-1 when quantile positions collide
         for w in range(self.n):
             if w > nb:
@@ -269,8 +275,6 @@ class HCWorkerPool:
             self.req_qs[w].put(("reads_block", list(reads[j:k]), max_ref_len))
 
     def owner_of(self, start_pos: int) -> int:
-        import bisect
-
         if not self._block_bounds:
             return 0
         return min(bisect.bisect_right(self._block_bounds, start_pos),
@@ -414,54 +418,70 @@ class HCWorkerPool:
             workloads = [pend_inputs.pop(rid) for rid in batch]
             ph_futures.append(ph_pool.submit(_run_pairhmm, batch, workloads))
 
+        def check_pairhmm_errors():
+            # a failed dispatch would otherwise hang the pipeline: its
+            # geno messages never arrive. Surface the exception here.
+            for f in list(ph_futures):
+                if f.done():
+                    exc = f.exception()
+                    if exc is not None:
+                        raise exc
+                    ph_futures.remove(f)
+
         emit = 0
-        while emit < n:
-            progressed = True
-            while progressed:
-                progressed = False
-                # advance the ordered consumer as far as possible
-                while emit < n:
-                    if emit in term:
-                        yield regions[emit], term.pop(emit), deletions
-                        emit += 1
-                        progressed = True
-                        continue
-                    if emit in geno:
-                        if deletions and emit not in redo_sent:
-                            # speculation assumed no incoming deletions:
-                            # rerun this region with the true carry
-                            redo_sent.add(emit)
-                            geno.pop(emit)
-                            self.req_qs[owner[emit]].put(
-                                ("redo", emit, deletions))
-                            break
-                        variants, outgoing = geno.pop(emit)
-                        redo_sent.discard(emit)
-                        deletions = outgoing
-                        yield regions[emit], variants, deletions
-                        emit += 1
-                        progressed = True
-                        continue
+        try:
+            while emit < n:
+                progressed = True
+                while progressed:
+                    progressed = False
+                    # advance the ordered consumer as far as possible
+                    while emit < n:
+                        if emit in term:
+                            yield regions[emit], term.pop(emit), deletions
+                            emit += 1
+                            progressed = True
+                            continue
+                        if emit in geno:
+                            if deletions and emit not in redo_sent:
+                                # speculation assumed no incoming
+                                # deletions: rerun with the true carry
+                                redo_sent.add(emit)
+                                geno.pop(emit)
+                                self.req_qs[owner[emit]].put(
+                                    ("redo", emit, deletions))
+                                break
+                            variants, outgoing = geno.pop(emit)
+                            redo_sent.discard(emit)
+                            deletions = outgoing
+                            yield regions[emit], variants, deletions
+                            emit += 1
+                            progressed = True
+                            continue
+                        break
+                if emit >= n:
                     break
-            if emit >= n:
-                break
-            msg = self._recv()
-            if msg[0] == "prep_done":
-                _, wid, task_id, out = msg
-                inflight[wid] -= 1
-                preps_outstanding -= 1
-                for item in out:
-                    rid = item[0]
-                    if item[1] == "term":
-                        term[rid] = item[2]
-                    else:
-                        pend_inputs[rid] = (item[2], item[3], item[4])
-                        pending_batch.append(rid)
-                send_tasks()
-                dispatch_pairhmm(force=preps_outstanding == 0 and not tasks_remaining())
-            elif msg[0] == "geno_done":
-                _, rid, variants, outgoing = msg
-                geno[rid] = (variants, outgoing)
+                check_pairhmm_errors()
+                msg = self._recv(extra_check=check_pairhmm_errors)
+                if msg[0] == "prep_done":
+                    _, wid, task_id, out = msg
+                    inflight[wid] -= 1
+                    preps_outstanding -= 1
+                    for item in out:
+                        rid = item[0]
+                        if item[1] == "term":
+                            term[rid] = item[2]
+                        else:
+                            pend_inputs[rid] = (item[2], item[3], item[4])
+                            pending_batch.append(rid)
+                    send_tasks()
+                    dispatch_pairhmm(
+                        force=preps_outstanding == 0 and not tasks_remaining())
+                elif msg[0] == "geno_done":
+                    _, rid, variants, outgoing = msg
+                    geno[rid] = (variants, outgoing)
+            check_pairhmm_errors()
+        finally:
+            ph_pool.shutdown(wait=True)
         for q in self.req_qs:
             q.put(("flush",))
         return
@@ -485,9 +505,13 @@ def get_pool(n_workers: int) -> Optional[HCWorkerPool]:
     try:
         _pool = HCWorkerPool(n_workers)
     except Exception as e:
-        # e.g. a library caller without the `if __name__ == "__main__"`
-        # guard: spawn refuses to bootstrap. Degrade to single-process
-        # rather than crashing the pipeline.
+        if mp.parent_process() is not None:
+            # we are inside a spawn child re-importing an unguarded
+            # caller script: crash the child so the parent fails fast
+            # instead of this child silently re-running the pipeline
+            raise
+        # parent-side spawn failure: degrade to single-process rather
+        # than crashing the pipeline.
         import sys
 
         print(f"elprep_tpu: worker pool unavailable ({e}); "
