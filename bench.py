@@ -205,30 +205,29 @@ def main() -> None:
     reads_per_sec = n_reads / dt
 
     # PairHMM GCUPS (the roofline metric from BASELINE): Pallas kernel,
-    # realistic WES shapes — 152bp reads x 400bp haplotypes, 16K pairs
+    # realistic WES shapes — 152bp reads x 400bp haplotypes, 16K pairs,
+    # uint8 inputs with on-device probability derivation
     from elprep_tpu.ops.pairhmm import F32_INITIAL_POW
-    from elprep_tpu.ops.pairhmm_pallas import pairhmm_pallas
+    from elprep_tpu.ops.pairhmm_pallas import pairhmm_pallas_u8
 
     rng = np.random.RandomState(1)
     lr, lh = 152, 400
     n_pad = 160
     pad_off = n_pad + 1
     B = 16384
-    x = rng.randint(65, 69, (n_pad, B)).astype(np.float32)
+    x = rng.randint(65, 69, (n_pad, B)).astype(np.uint8)
     hb_rows = ((pad_off + lh + pad_off + 7) // 8) * 8
-    hbp = rng.randint(65, 69, (hb_rows, B)).astype(np.float32)
-    mp = np.full((n_pad, B), 0.999, np.float32)
-    nmp = np.full((n_pad, B), 0.0003, np.float32)
-    m2m = np.full((n_pad, B), 0.9998, np.float32)
-    m2i = np.full((n_pad, B), 1e-4, np.float32)
+    hbp = rng.randint(65, 69, (hb_rows, B)).astype(np.uint8)
+    mq = np.full((n_pad, B), 35, np.uint8)
+    rrl = np.full((n_pad, B), 1, np.uint8)
     rl = np.full((1, B), lr, np.int32)
     hl = np.full((1, B), lh, np.int32)
     init = np.full((1, B), np.float32(2.0 ** F32_INITIAL_POW / lh), np.float32)
-    hmm_args = [jnp.asarray(a) for a in (x, hbp, mp, nmp, m2m, m2i, rl, hl, init)]
-    _sync(pairhmm_pallas(*hmm_args, n_pad=n_pad, lh_pad=lh, pad_off=pad_off))
+    hmm_args = [jnp.asarray(a) for a in (x, hbp, mq, rrl, rl, hl, init)]
+    _sync(pairhmm_pallas_u8(*hmm_args, n_pad=n_pad, lh_pad=lh, pad_off=pad_off))
     t0 = time.perf_counter()
     for _ in range(iters):
-        hmm_out = pairhmm_pallas(*hmm_args, n_pad=n_pad, lh_pad=lh, pad_off=pad_off)
+        hmm_out = pairhmm_pallas_u8(*hmm_args, n_pad=n_pad, lh_pad=lh, pad_off=pad_off)
     _sync(hmm_out)
     hmm_dt = (time.perf_counter() - t0) / iters
     gcups = B * lr * lh / hmm_dt / 1e9

@@ -101,19 +101,24 @@ def find_tandem_repeat_units(bases: bytes, offset: int) -> Tuple[bytes, int]:
     return best_unit, max_rl
 
 
+def repeat_lengths_for_read(bases: bytes) -> np.ndarray:
+    """Per-base tandem-repeat length, 21 sentinel on the last base
+    (reference: pairhmm.go:155-162) — the uint8 form shipped to the
+    device, which derives the transition probabilities by table lookup."""
+    n = len(bases)
+    rl = np.empty(n, np.uint8)
+    for i in range(n - 1):
+        _, r = find_tandem_repeat_units(bases, i)
+        rl[i] = r
+    if n:
+        rl[n - 1] = 21
+    return rl
+
+
 def match_probs_for_read(bases: bytes) -> Tuple[np.ndarray, np.ndarray]:
     """Per-base (matchToMatch, matchToIndel) (reference: pairhmm.go:155-162)."""
-    n = len(bases)
-    m2m = np.empty(n, np.float64)
-    m2i = np.empty(n, np.float64)
-    for i in range(n):
-        if i == n - 1:
-            rl = 21
-        else:
-            _, rl = find_tandem_repeat_units(bases, i)
-        m2m[i] = tables.MATCH_TO_MATCH[rl]
-        m2i[i] = tables.MATCH_TO_INDEL[rl]
-    return m2m, m2i
+    rl = repeat_lengths_for_read(bases)
+    return tables.MATCH_TO_MATCH[rl], tables.MATCH_TO_INDEL[rl]
 
 
 def modified_qualities(qual: np.ndarray, mapq: int) -> np.ndarray:

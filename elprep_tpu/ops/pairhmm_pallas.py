@@ -128,6 +128,38 @@ def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
     acc_ref[:] = jnp.sum(acc2d[:], axis=0, keepdims=True)
 
 
+# f64 arithmetic then ONE f32 cast — bit-identical to the former
+# host-side fills of the f32 kernel inputs
+_MP_TABLE = (1.0 - tables.QUAL_TO_ERROR_PROB).astype(np.float32)
+_NMP_TABLE = (tables.QUAL_TO_ERROR_PROB / 3.0).astype(np.float32)
+_M2M_TABLE = tables.MATCH_TO_MATCH.astype(np.float32)
+_M2I_TABLE = tables.MATCH_TO_INDEL.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "lh_pad", "pad_off"))
+def pairhmm_pallas_u8(x_u8, hbp_u8, mq_u8, rrl_u8, rl, hl, init,
+                      n_pad: int, lh_pad: int, pad_off: int):
+    """pairhmm_pallas fed with uint8 inputs: bases (raw ASCII), modified
+    quals, and per-base tandem-repeat lengths. The f32 probability
+    arrays derive ON DEVICE by table lookup — host→device transfer drops
+    ~5x, which dominates dispatch cost on high-latency links."""
+    x = jnp.where(x_u8 == np.uint8(ord("N")), N_SENTINEL,
+                  x_u8.astype(jnp.float32))
+    hbp = jnp.where(hbp_u8 == np.uint8(ord("N")), N_SENTINEL,
+                    hbp_u8.astype(jnp.float32))
+    # tables precomputed in f64 then cast once, so every gathered value
+    # is bit-identical to the host-filled f32 arrays (qual-0 pad rows:
+    # error prob 1.0 -> mp exactly 0, like the zero-padded f32 form;
+    # nmp/m2m/m2i pad values differ from the old zeros but only feed
+    # rows past the read length, which never reach the accumulated row)
+    mp = jnp.asarray(_MP_TABLE)[mq_u8]
+    nmp = jnp.asarray(_NMP_TABLE)[mq_u8]
+    m2m = jnp.asarray(_M2M_TABLE)[rrl_u8]
+    m2i = jnp.asarray(_M2I_TABLE)[rrl_u8]
+    return pairhmm_pallas(x, hbp, mp, nmp, m2m, m2i, rl, hl, init,
+                          n_pad=n_pad, lh_pad=lh_pad, pad_off=pad_off)
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "lh_pad", "pad_off"))
 def pairhmm_pallas(x, hbp, mp, nmp, m2m, m2i, rl, hl, init,
                    n_pad: int, lh_pad: int, pad_off: int):
@@ -188,13 +220,14 @@ def pairhmm_pallas_pairs(reads: Sequence[Tuple[bytes, np.ndarray, int]],
     while B_pad < B:
         B_pad *= 2
 
-    x = np.zeros((n_pad, B_pad), np.float32)
-    mp = np.zeros((n_pad, B_pad), np.float32)
-    nmp = np.zeros((n_pad, B_pad), np.float32)
-    m2m = np.zeros((n_pad, B_pad), np.float32)
-    m2i = np.zeros((n_pad, B_pad), np.float32)
+    # uint8 inputs only — bases (raw ASCII), modified quals, repeat
+    # lengths; the device derives the f32 probability arrays by table
+    # lookup (pairhmm_pallas_u8), cutting host→device transfer ~5x
+    x = np.zeros((n_pad, B_pad), np.uint8)
+    mq2 = np.zeros((n_pad, B_pad), np.uint8)
+    rrl = np.zeros((n_pad, B_pad), np.uint8)
     hb_rows = _round_up(pad_off + lh_pad + pad_off, 8)
-    hbp = np.zeros((hb_rows, B_pad), np.float32)
+    hbp = np.zeros((hb_rows, B_pad), np.uint8)
     rl = np.ones((1, B_pad), np.int32)
     hl = np.ones((1, B_pad), np.int32)
     init = np.ones((1, B_pad), np.float32)
@@ -202,38 +235,28 @@ def pairhmm_pallas_pairs(reads: Sequence[Tuple[bytes, np.ndarray, int]],
     per_read: dict = {}
     for r in set(int(v) for v in pair_r):
         seq, qual, mapq = reads[r]
-        m2m_a, m2i_a = ph.match_probs_for_read(seq)
-        mq = ph.modified_qualities(qual, mapq)
-        ep = ph.tables.QUAL_TO_ERROR_PROB[mq]
-        per_read[r] = (np.frombuffer(seq, np.uint8), 1.0 - ep, ep / 3.0,
-                       m2m_a, m2i_a)
+        per_read[r] = (np.frombuffer(seq, np.uint8),
+                       ph.modified_qualities(qual, mapq).astype(np.uint8),
+                       ph.repeat_lengths_for_read(seq))
     hap_u8 = [np.frombuffer(h, np.uint8) for h in haps]
-    ord_n = ord("N")
-    per_read = {r: (np.where(s == ord_n, N_SENTINEL, s.astype(np.float32)),
-                    mpa, nmpa, m2m_a, m2i_a)
-                for r, (s, mpa, nmpa, m2m_a, m2i_a) in per_read.items()}
-    hap_u8 = [np.where(h == ord_n, N_SENTINEL, h.astype(np.float32))
-              for h in hap_u8]
     for b in range(B):
         r, h = int(pair_r[b]), int(pair_h[b])
-        seq_u8, mpa, nmpa, m2m_a, m2i_a = per_read[r]
+        seq_u8, mq_a, rl_a = per_read[r]
         lr = len(seq_u8)
         hap = hap_u8[h]
         lh = len(hap)
         x[1 : lr + 1, b] = seq_u8
-        mp[1 : lr + 1, b] = mpa
-        nmp[1 : lr + 1, b] = nmpa
-        m2m[1 : lr + 1, b] = m2m_a
-        m2i[1 : lr + 1, b] = m2i_a
+        mq2[1 : lr + 1, b] = mq_a
+        rrl[1 : lr + 1, b] = rl_a
         hbp[pad_off + (lh_pad - lh) : pad_off + lh_pad, b] = hap[::-1]
         rl[0, b] = lr
         hl[0, b] = lh
         init[0, b] = np.float32(2.0 ** ph.F32_INITIAL_POW / lh)
 
-    acc = np.asarray(pairhmm_pallas(
-        jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mp), jnp.asarray(nmp),
-        jnp.asarray(m2m), jnp.asarray(m2i), jnp.asarray(rl), jnp.asarray(hl),
-        jnp.asarray(init), n_pad=n_pad, lh_pad=lh_pad, pad_off=pad_off,
+    acc = np.asarray(pairhmm_pallas_u8(
+        jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mq2), jnp.asarray(rrl),
+        jnp.asarray(rl), jnp.asarray(hl), jnp.asarray(init),
+        n_pad=n_pad, lh_pad=lh_pad, pad_off=pad_off,
     ))[0]
     log10_init = ph.F32_INITIAL_POW * np.log10(2.0)
     with np.errstate(divide="ignore"):
