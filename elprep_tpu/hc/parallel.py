@@ -58,6 +58,22 @@ def _worker_main(wid: int, req_q, res_q) -> None:
     from .. import native as _native
 
     _native.tune_malloc()
+    prof_prefix = os.environ.get("ELPREP_TPU_WORKER_PROFILE")
+    if prof_prefix:
+        import cProfile
+
+        pr = cProfile.Profile()
+        pr.enable()
+        try:
+            _worker_loop(wid, req_q, res_q)
+        finally:
+            pr.disable()
+            pr.dump_stats(f"{prof_prefix}{wid}.prof")
+        return
+    _worker_loop(wid, req_q, res_q)
+
+
+def _worker_loop(wid: int, req_q, res_q) -> None:
     try:
         import jax
 
@@ -504,6 +520,9 @@ def get_pool(n_workers: int) -> Optional[HCWorkerPool]:
         _pool = None
     try:
         _pool = HCWorkerPool(n_workers)
+        import atexit
+
+        atexit.register(shutdown_pool)
     except Exception as e:
         if mp.parent_process() is not None:
             # we are inside a spawn child re-importing an unguarded

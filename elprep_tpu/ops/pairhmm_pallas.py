@@ -151,11 +151,16 @@ def pairhmm_pallas_u8(x_u8, hbp_u8, mq_u8, rrl_u8, rl, hl, init,
     # is bit-identical to the host-filled f32 arrays (qual-0 pad rows:
     # error prob 1.0 -> mp exactly 0, like the zero-padded f32 form;
     # nmp/m2m/m2i pad values differ from the old zeros but only feed
-    # rows past the read length, which never reach the accumulated row)
-    mp = jnp.asarray(_MP_TABLE)[mq_u8]
-    nmp = jnp.asarray(_NMP_TABLE)[mq_u8]
-    m2m = jnp.asarray(_M2M_TABLE)[rrl_u8]
-    m2i = jnp.asarray(_M2I_TABLE)[rrl_u8]
+    # rows past the read length, which never reach the accumulated row).
+    # Lookups run as one-hot matmuls — exact (one product by 1.0 per
+    # row, the rest exact zeros) and MXU-friendly, where plain gathers
+    # lower poorly on TPU.
+    oh_q = jax.nn.one_hot(mq_u8, len(_MP_TABLE), dtype=jnp.float32, axis=-1)
+    mp = oh_q @ jnp.asarray(_MP_TABLE)
+    nmp = oh_q @ jnp.asarray(_NMP_TABLE)
+    oh_r = jax.nn.one_hot(rrl_u8, len(_M2M_TABLE), dtype=jnp.float32, axis=-1)
+    m2m = oh_r @ jnp.asarray(_M2M_TABLE)
+    m2i = oh_r @ jnp.asarray(_M2I_TABLE)
     return pairhmm_pallas(x, hbp, mp, nmp, m2m, m2i, rl, hl, init,
                           n_pad=n_pad, lh_pad=lh_pad, pad_off=pad_off)
 
