@@ -54,6 +54,7 @@ from .refconf import (
     SingleVariant,
     VariantCombiner,
     calculate_ref_confidence,
+    concat_ref_runs,
     reference_model_for_no_variation,
     reference_variant_to_full,
 )
@@ -579,6 +580,16 @@ def call_variants(
     gvcf = params.confidence_mode == "GVCF"
     combiner = VariantCombiner(params, get_reference) if gvcf else None
     out_variants: List[Variant] = []
+    run_buf: List = []
+    run_len = 0
+
+    def flush_runs(variants: List[Variant]) -> List[Variant]:
+        nonlocal run_len
+        if run_buf:
+            variants = combiner.merge_run(variants, concat_ref_runs(run_buf))
+            run_buf.clear()
+            run_len = 0
+        return variants
 
     from .parallel import get_pool
 
@@ -594,6 +605,9 @@ def call_variants(
         contig = sq["SN"]
         if valid_contigs is not None and contig not in valid_contigs:
             continue
+        # the buffer must not cross a contig switch: its runs belong to
+        # the combiner's current contig
+        out_variants = flush_runs(out_variants)
         deletions: List[Tuple[int, int]] = []
         contig_length = sam_header.sq_ln(sq)
         contig_reads = downsample(reads_by_contig.get(contig, []), params)
@@ -671,8 +685,15 @@ def call_variants(
                     if gvcf:
                         out_variants = combiner.set_contig(out_variants, contig)
                         if isinstance(sv, RefRun):
-                            out_variants = combiner.merge_run(out_variants, sv)
+                            # buffer position-adjacent runs: one vectorized
+                            # merge replaces thousands of per-region calls
+                            if run_buf and (run_buf[-1].pos0 + len(run_buf[-1])
+                                            != sv.pos0 or run_len > 1 << 17):
+                                out_variants = flush_runs(out_variants)
+                            run_buf.append(sv)
+                            run_len += len(sv)
                         else:
+                            out_variants = flush_runs(out_variants)
                             out_variants = combiner.merge_variant(out_variants, sv)
                     else:
                         if sv.full_variant is not None:
@@ -687,6 +708,7 @@ def call_variants(
                     variant_sink.write_variants(out_variants)
                     out_variants = []
     if gvcf and combiner is not None:
+        out_variants = flush_runs(out_variants)
         final = combiner.finalize()
         if final is not None:
             out_variants.append(final)

@@ -1005,6 +1005,24 @@ class RefRun:
         return len(self.gq)
 
 
+def concat_ref_runs(runs: "List[RefRun]") -> "RefRun":
+    """Concatenate position-adjacent runs (runs[k+1].pos0 must equal
+    runs[k].pos0 + len(runs[k])) into one run. merge_run over the result
+    is equivalent to merging each run in sequence — band splits depend
+    only on per-position GQ and adjacency, both preserved — so the
+    driver batches adjacent runs to amortize the per-call numpy cost."""
+    if len(runs) == 1:
+        return runs[0]
+    return RefRun(
+        runs[0].pos0,
+        np.concatenate([r.dp for r in runs]),
+        np.concatenate([r.ad_ref for r in runs]),
+        np.concatenate([r.ad_nonref for r in runs]),
+        np.vstack([r.pls for r in runs]),
+        np.concatenate([r.gq for r in runs]),
+    )
+
+
 def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
                              region: AssemblyRegion, reads: List[ClipRead],
                              calls: Optional[List[Variant]],

@@ -488,7 +488,17 @@ def format_bam_records(hdr: Header, batch: ReadBatch) -> bytes:
     is_eq = rnext_names[batch.rnext_id] == b"="
     next_ref_id = np.where(is_eq, ref_id, name_to_refid[batch.rnext_id])
 
-    qname_len = np.char.str_len(batch.qname.astype(bytes)).astype(np.int64) if n else np.zeros(0, np.int64)
+    # qnames live in a fixed-width NUL-padded 'S' array; SAM qnames cannot
+    # contain NUL, so non-zero counts give the lengths and a row-major mask
+    # gather gives the ragged bytes without a per-read loop
+    if n:
+        qarr = np.ascontiguousarray(batch.qname)
+        qw = max(qarr.dtype.itemsize, 1)
+        qmat = qarr.view(np.uint8).reshape(n, qw)
+        qmask = qmat != 0
+        qname_len = qmask.sum(1).astype(np.int64)
+    else:
+        qname_len = np.zeros(0, np.int64)
     n_cigar = batch.cigar_len.lengths.astype(np.int64)
     long_cigar = n_cigar > 0xFFFF
     l_seq = batch.seq.lengths.astype(np.int64)
@@ -554,11 +564,14 @@ def format_bam_records(hdr: Header, batch: ReadBatch) -> bytes:
     head_u8 = head.view(np.uint8).reshape(n, 36)
     out[(starts[:, None] + np.arange(36))] = head_u8
 
-    # qname + NUL
+    # qname + NUL (the NUL terminator is the zero-initialized out byte)
     qn_starts = starts + 36
-    qn_rg = Ragged.from_rows(
-        [np.frombuffer(q, np.uint8) for q in batch.qname.astype(bytes)], np.uint8
-    ) if n else Ragged(np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    if n:
+        qn_off = np.zeros(n + 1, np.int64)
+        np.cumsum(qname_len, out=qn_off[1:])
+        qn_rg = Ragged(qmat[qmask], qn_off)
+    else:
+        qn_rg = Ragged(np.zeros(0, np.uint8), np.zeros(1, np.int64))
     _scatter_ragged(out, qn_starts, qn_rg)
 
     # CIGAR (normal-length reads vectorized)
@@ -589,20 +602,23 @@ def format_bam_records(hdr: Header, batch: ReadBatch) -> bytes:
 
     # SEQ nibbles
     seq_starts = cigar_starts + 4 * ncig_out
-    nib = _CHAR_TO_NIBBLE[batch.seq.data]
     seq_off = batch.seq.offsets
     packed_len = (l_seq + 1) >> 1
     packed_off = np.zeros(n + 1, np.int64)
     np.cumsum(packed_len, out=packed_off[1:])
-    packed = np.zeros(int(packed_off[-1]), np.uint8)
-    # indices of the hi/lo nibble source for every packed byte
-    pb_row = np.repeat(np.arange(n), packed_len)
-    pb_in_row = np.arange(int(packed_off[-1])) - np.repeat(packed_off[:-1], packed_len)
-    hi_src = seq_off[:-1][pb_row] + 2 * pb_in_row
-    lo_src = hi_src + 1
-    lo_valid = (2 * pb_in_row + 1) < l_seq[pb_row]
-    packed = (nib[hi_src] << 4) | np.where(lo_valid, nib[np.minimum(lo_src, len(nib) - 1)], 0)
-    _scatter_ragged(out, seq_starts, Ragged(packed.astype(np.uint8), packed_off))
+    packed = native.pack_nibbles(batch.seq.data, seq_off, _CHAR_TO_NIBBLE,
+                                 packed_off)
+    if packed is None:
+        nib = _CHAR_TO_NIBBLE[batch.seq.data]
+        # indices of the hi/lo nibble source for every packed byte
+        pb_row = np.repeat(np.arange(n), packed_len)
+        pb_in_row = np.arange(int(packed_off[-1])) - np.repeat(packed_off[:-1], packed_len)
+        hi_src = seq_off[:-1][pb_row] + 2 * pb_in_row
+        lo_src = hi_src + 1
+        lo_valid = (2 * pb_in_row + 1) < l_seq[pb_row]
+        packed = ((nib[hi_src] << 4) | np.where(
+            lo_valid, nib[np.minimum(lo_src, len(nib) - 1)], 0)).astype(np.uint8)
+    _scatter_ragged(out, seq_starts, Ragged(packed, packed_off))
 
     # QUAL
     qual_starts = seq_starts + packed_len

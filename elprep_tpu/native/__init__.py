@@ -215,6 +215,29 @@ def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
     return out
 
 
+def pack_nibbles(data: np.ndarray, offsets: np.ndarray, table: np.ndarray,
+                 out_offsets: np.ndarray) -> "np.ndarray | None":
+    """Pack ASCII base rows into BAM 4-bit nibbles (hi nibble first).
+    Returns the packed flat buffer, or None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_nibbles_u8"):
+        return None
+    if lib.pack_nibbles_u8.argtypes is None:
+        lib.pack_nibbles_u8.restype = None
+        lib.pack_nibbles_u8.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int]
+    n = len(offsets) - 1
+    data = np.ascontiguousarray(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    table = np.ascontiguousarray(table, np.uint8)
+    out_offsets = np.ascontiguousarray(out_offsets, np.int64)
+    out = np.zeros(int(out_offsets[-1]), np.uint8)
+    lib.pack_nibbles_u8(data.ctypes.data, offsets.ctypes.data,
+                        table.ctypes.data, out_offsets.ctypes.data, n,
+                        out.ctypes.data, _DEFAULT_THREADS[0])
+    return out
+
+
 def sam_tags_to_bam(flat: np.ndarray, offsets: np.ndarray):
     """Batch-convert canonical tag text rows to BAM binary blocks.
     Returns (bin_flat, bin_offsets, fallback_row_indices) or None."""

@@ -388,6 +388,38 @@ void ragged_to_padded(const uint8_t* data, const int64_t* offsets,
   for (auto& th : threads) th.join();
 }
 
+// Parallel BAM SEQ nibble packing: row i of (data + offsets) holds ASCII
+// bases; emit (len+1)/2 packed bytes at out + out_offsets[i], high nibble
+// first, odd trailing low nibble zero (reference: sam/bam-files.go nibble
+// table writeback).
+void pack_nibbles_u8(const uint8_t* data, const int64_t* offsets,
+                     const uint8_t* table, const int64_t* out_offsets,
+                     int64_t n_rows, uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        const uint8_t* src = data + offsets[i];
+        int64_t len = offsets[i + 1] - offsets[i];
+        uint8_t* dst = out + out_offsets[i];
+        int64_t j = 0;
+        for (; j + 1 < len; j += 2)
+          dst[j >> 1] = (uint8_t)((table[src[j]] << 4) | table[src[j + 1]]);
+        if (j < len) dst[j >> 1] = (uint8_t)(table[src[j]] << 4);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
 
 extern "C" {

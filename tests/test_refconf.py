@@ -200,6 +200,56 @@ def test_merge_run_matches_merge_variant(seed):
             assert va.genotypes[0].data == vb.genotypes[0].data
 
 
+@pytest.mark.parametrize("seed", [6, 7])
+def test_concat_ref_runs_equals_sequential_merge(seed):
+    """merge_run(concat(adjacent runs)) == sequential merge_run per run —
+    the driver's run-buffer batching must not change the banding."""
+    rng = np.random.RandomState(seed)
+    ref = rng.choice(_BASES, 1200).tobytes()
+    reads = _mk_reads(rng, ref, 60)
+    params = make_hc_params("GVCF")
+    region = AssemblyRegion(contig="c1", reference=ref, reads=list(reads),
+                            start=100, end=900, extension=100,
+                            contig_length=len(ref))
+    runs = refconf.calculate_ref_confidence(params, [], region, list(reads),
+                                            None, True, as_runs=True)
+    runs = [r for r in runs if isinstance(r, refconf.RefRun)]
+    assert runs and all(
+        runs[k + 1].pos0 == runs[k].pos0 + len(runs[k])
+        for k in range(len(runs) - 1))
+    # re-split each run into random adjacent pieces to stress the concat
+    pieces = []
+    for r in runs:
+        i = 0
+        while i < len(r):
+            j = min(len(r), i + int(rng.randint(1, 80)))
+            pieces.append(refconf.RefRun(r.pos0 + i, r.dp[i:j], r.ad_ref[i:j],
+                                         r.ad_nonref[i:j], r.pls[i:j],
+                                         r.gq[i:j]))
+            i = j
+
+    def combine(svs, batch):
+        comb = refconf.VariantCombiner(params, lambda c: ref)
+        out = comb.set_contig([], "c1")
+        if batch:
+            out = comb.merge_run(out, refconf.concat_ref_runs(svs))
+        else:
+            for sv in svs:
+                out = comb.merge_run(out, sv)
+        fin = comb.finalize()
+        if fin is not None:
+            out.append(fin)
+        return refconf.expand_variants(out)
+
+    a = combine(pieces, batch=False)
+    b = combine(pieces, batch=True)
+    assert len(a) == len(b) and len(a) > 3
+    for va, vb in zip(a, b):
+        assert (va.chrom, va.pos, va.ref, va.alt) == (vb.chrom, vb.pos, vb.ref, vb.alt)
+        assert va.info.get("END") == vb.info.get("END")
+        assert va.genotypes[0].data == vb.genotypes[0].data
+
+
 def test_vectorized_refconf_expansion_matches_oracle():
     """Vectorized _expand_refconf_elements == per-op loop oracle on
     randomized cigars (reference: ref-confidence.go:266-361)."""
