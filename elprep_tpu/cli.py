@@ -563,23 +563,16 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             ref_cache[contig] = np.asarray(seq).tobytes().translate(_norm)
         return ref_cache[contig]
 
-    # columnar batch -> per-contig ClipReads (coordinate order preserved)
+    # columnar batch -> per-contig columnar blocks (coordinate order
+    # preserved; ClipReads materialize in the HC workers, not here)
+    from .hc.readblock import ContigReadBlock
+
     batch = data.batch
-    names_pool = np.array(batch.names, dtype=bytes) if batch.names else np.array([b""], dtype=bytes)
-    reads_by_contig: Dict[str, List[ClipRead]] = {}
-    qnames = batch.qname.astype(bytes)
-    for i in range(len(batch)):
-        rname = names_pool[batch.rname_id[i]].decode()
-        reads_by_contig.setdefault(rname, []).append(ClipRead(
-            flag=int(batch.flag[i]), pos=int(batch.pos[i]),
-            pnext=int(batch.pnext[i]), tlen=int(batch.tlen[i]),
-            mapq=int(batch.mapq[i]),
-            cigar=list(zip(batch.cigar_len.row(i).tolist(),
-                           batch.cigar_op.row(i).tobytes().decode())),
-            seq=batch.seq.row(i).tobytes(), qual=batch.qual.row(i).tobytes(),
-            rname=names_pool[batch.rname_id[i]],
-            rnext=names_pool[batch.rnext_id[i]], qname=qnames[i], row=i,
-        ))
+    reads_by_contig: Dict[str, ContigReadBlock] = {}
+    for rid in np.unique(batch.rname_id) if len(batch) else []:
+        nm = batch.names[rid] if 0 <= rid < len(batch.names) else b""
+        reads_by_contig[nm.decode()] = ContigReadBlock.from_batch(
+            batch, np.flatnonzero(batch.rname_id == rid), nm)
 
     bed_spans = None
     if bed_regions is not None:

@@ -49,6 +49,7 @@ from .genotyping import (
     make_event_map,
     realign_reads_to_best_haplotype,
 )
+from .readblock import ContigReadBlock, aln_slice_block, downsample_block
 from .refconf import (
     RefRun,
     SingleVariant,
@@ -610,7 +611,18 @@ def call_variants(
         out_variants = flush_runs(out_variants)
         deletions: List[Tuple[int, int]] = []
         contig_length = sam_header.sq_ln(sq)
-        contig_reads = downsample(reads_by_contig.get(contig, []), params)
+        contig_src = reads_by_contig.get(contig, [])
+        block: Optional[ContigReadBlock] = None
+        if isinstance(contig_src, ContigReadBlock):
+            block = downsample_block(contig_src, params)
+            if pool is None:
+                # serial path consumes ClipReads directly
+                contig_reads = block.materialize()
+                block = None
+            else:
+                contig_reads = None
+        else:
+            contig_reads = downsample(contig_src, params)
         reference = get_reference(contig)
         if pool is not None:
             pool.set_contig(params, reference)
@@ -620,18 +632,31 @@ def call_variants(
                 continue
         else:
             spans = [(0, contig_length)]
-        max_ref_len = max_reference_length(contig_reads)
-        contig_positions = np.fromiter((r.pos for r in contig_reads), np.int64,
-                                       len(contig_reads))
+        if block is not None:
+            max_ref_len = block.max_reference_length()
+            contig_positions = block.pos
+        else:
+            max_ref_len = max_reference_length(contig_reads)
+            contig_positions = np.fromiter((r.pos for r in contig_reads),
+                                           np.int64, len(contig_reads))
         for start, stop in spans:
             padded_lo = max(0, start - params.padding)
             padded_hi = min(contig_length, stop + params.padding)
-            region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi, max_ref_len,
-                                        positions=contig_positions) \
-                if bed_regions is not None else (contig_reads, 0)
-            region_positions = (np.fromiter((r.pos for r in region_reads), np.int64,
-                                            len(region_reads))
-                                if bed_regions is not None else contig_positions)
+            if block is not None:
+                region_block = (aln_slice_block(block, padded_lo, padded_hi,
+                                                max_ref_len)
+                                if bed_regions is not None else block)
+                region_reads = None
+                region_positions = region_block.pos
+            else:
+                region_block = None
+                region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi,
+                                            max_ref_len,
+                                            positions=contig_positions) \
+                    if bed_regions is not None else (contig_reads, 0)
+                region_positions = (np.fromiter(
+                    (r.pos for r in region_reads), np.int64, len(region_reads))
+                    if bed_regions is not None else contig_positions)
             # activity over [start+1, stop+1) in 1-based space, chunked
             # to bound the flat pileup expansion (the reference uses
             # 512-position chunks, haplotypecaller.go:826-852)
@@ -645,8 +670,9 @@ def call_variants(
                 # band-pass smear below runs on the stitched span)
                 from .parallel import ACT_CHUNK
 
-                pool.distribute_span(region_reads, region_positions,
-                                     max_ref_len, params=params)
+                pool.distribute_span(
+                    region_block if region_block is not None else region_reads,
+                    region_positions, max_ref_len, params=params)
                 bounds = [(cs, min(cs + ACT_CHUNK, stop))
                           for cs in range(start, stop, ACT_CHUNK)]
                 results = pool.map_activity(bounds)

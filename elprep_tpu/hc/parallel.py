@@ -107,7 +107,13 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 set_randomized_qd(getattr(params, "randomized_qd", False))
                 continue
             if kind == "reads_block":
-                _, block_reads, max_ref_len = msg
+                _, payload, max_ref_len = msg
+                if hasattr(payload, "materialize"):
+                    # columnar ContigReadBlock: arrays crossed the pipe,
+                    # ClipReads materialize here (once per span)
+                    block_reads = payload.materialize()
+                else:
+                    block_reads = payload
                 block_positions = np.fromiter((r.pos for r in block_reads),
                                               np.int64, len(block_reads))
                 continue
@@ -257,12 +263,22 @@ class HCWorkerPool:
         ONCE. Activity chunks and regions route to the block owning
         their start position and slice reads locally — the read data
         crosses the pipes once per span instead of once per task."""
+        is_block = hasattr(reads, "materialize")
+
+        def ship(w: int, j: int, k: int) -> None:
+            if is_block:
+                self.req_qs[w].put(("reads_block", reads.slice_rows(j, k),
+                                    max_ref_len))
+            else:
+                self.req_qs[w].put(("reads_block", list(reads[j:k]),
+                                    max_ref_len))
+
         n = len(reads)
         if n == 0 or self.n == 1:
             self._block_bounds = []
-            self.req_qs[0].put(("reads_block", list(reads), max_ref_len))
-            for q in self.req_qs[1:]:
-                q.put(("reads_block", [], max_ref_len))
+            ship(0, 0, n)
+            for w in range(1, self.n):
+                self.req_qs[w].put(("reads_block", [], max_ref_len))
             return
         bounds = sorted({int(positions[(w * n) // self.n])
                          for w in range(1, self.n)})
@@ -288,7 +304,7 @@ class HCWorkerPool:
                                                            side="left"))
             k = n if hi_b is None else int(np.searchsorted(positions, hi_b + mr,
                                                            side="right"))
-            self.req_qs[w].put(("reads_block", list(reads[j:k]), max_ref_len))
+            ship(w, j, k)
 
     def owner_of(self, start_pos: int) -> int:
         if not self._block_bounds:

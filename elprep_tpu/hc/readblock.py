@@ -1,0 +1,175 @@
+"""Columnar per-contig read blocks for the HaplotypeCaller.
+
+The reference hands each callRegion goroutine Go ``Alignment`` pointers
+(filters/haplotypecaller.go:907-944); the Python equivalent — pickling
+millions of ``ClipRead`` objects across the worker-pool pipes — was the
+dominant main-process cost at WGS scale. A ``ContigReadBlock`` keeps one
+contig's reads as numpy columns (fast, near-zero-copy pickling), ships
+slices to the pool workers, and materializes ``ClipRead`` objects only
+where they are consumed.
+
+Column semantics match ``cli._run_haplotypecaller``'s original
+batch->ClipRead loop field for field.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.batch import Ragged
+from ..filters.clipping import ClipRead
+
+_REF_CONSUME_LUT = np.zeros(256, np.int64)
+for _c in b"MDN=X":
+    _REF_CONSUME_LUT[_c] = 1
+
+
+@dataclass
+class ContigReadBlock:
+    """One contig's reads in columnar form, coordinate order."""
+
+    contig: bytes
+    flag: np.ndarray  # int32
+    pos: np.ndarray  # int64
+    pnext: np.ndarray  # int32
+    tlen: np.ndarray  # int32
+    mapq: np.ndarray  # int32
+    cigar_len: Ragged  # int32
+    cigar_op: Ragged  # uint8 ASCII
+    seq: Ragged  # uint8 ASCII
+    qual: Ragged  # uint8 raw Phred
+    qname: np.ndarray  # 'S' bytes array
+    rnext_id: np.ndarray  # int32 into names
+    names: List[bytes]
+    row: np.ndarray  # int64 original batch rows
+
+    def __len__(self) -> int:
+        return len(self.flag)
+
+    @staticmethod
+    def from_batch(batch, idx: np.ndarray, contig: bytes) -> "ContigReadBlock":
+        idx = np.asarray(idx, np.int64)
+        return ContigReadBlock(
+            contig=contig,
+            flag=batch.flag[idx],
+            pos=batch.pos[idx].astype(np.int64),
+            pnext=batch.pnext[idx],
+            tlen=batch.tlen[idx],
+            mapq=batch.mapq[idx],
+            cigar_len=batch.cigar_len.gather(idx),
+            cigar_op=batch.cigar_op.gather(idx),
+            seq=batch.seq.gather(idx),
+            qual=batch.qual.gather(idx),
+            qname=batch.qname[idx],
+            rnext_id=batch.rnext_id[idx],
+            names=list(batch.names),
+            row=idx,
+        )
+
+    def select(self, idx: np.ndarray) -> "ContigReadBlock":
+        idx = np.asarray(idx, np.int64)
+        return ContigReadBlock(
+            contig=self.contig,
+            flag=self.flag[idx],
+            pos=self.pos[idx],
+            pnext=self.pnext[idx],
+            tlen=self.tlen[idx],
+            mapq=self.mapq[idx],
+            cigar_len=self.cigar_len.gather(idx),
+            cigar_op=self.cigar_op.gather(idx),
+            seq=self.seq.gather(idx),
+            qual=self.qual.gather(idx),
+            qname=self.qname[idx],
+            rnext_id=self.rnext_id[idx],
+            names=self.names,
+            row=self.row[idx],
+        )
+
+    def slice_rows(self, j: int, k: int) -> "ContigReadBlock":
+        return self.select(np.arange(j, k, dtype=np.int64))
+
+    def reference_lengths(self) -> np.ndarray:
+        """Per-read reference-consumed length (MDN=X ops)."""
+        cons = _REF_CONSUME_LUT[self.cigar_op.data] * self.cigar_len.data
+        cum = np.concatenate([[0], np.cumsum(cons)])
+        return cum[self.cigar_len.offsets[1:]] - cum[self.cigar_len.offsets[:-1]]
+
+    def ends(self) -> np.ndarray:
+        """read_end per row: pos + reference length - 1."""
+        return self.pos + self.reference_lengths() - 1
+
+    def max_reference_length(self) -> int:
+        if not len(self):
+            return 0
+        return int(self.reference_lengths().max())
+
+    def materialize(self) -> List[ClipRead]:
+        """Build the ClipRead objects (same fields as the original
+        batch->ClipRead loop). Called once per worker block."""
+        n = len(self)
+        out: List[ClipRead] = []
+        pool = self.names if self.names else [b""]
+        rname = self.contig
+        ops_all = self.cigar_op.data.tobytes().decode("latin1")
+        co = self.cigar_op.offsets
+        clens = self.cigar_len
+        seq, qual = self.seq, self.qual
+        flag, pos, pnext = self.flag, self.pos, self.pnext
+        tlen, mapq, qname, rnext_id = self.tlen, self.mapq, self.qname, self.rnext_id
+        row = self.row
+        for i in range(n):
+            out.append(ClipRead(
+                flag=int(flag[i]), pos=int(pos[i]), pnext=int(pnext[i]),
+                tlen=int(tlen[i]), mapq=int(mapq[i]),
+                cigar=list(zip(clens.row(i).tolist(), ops_all[co[i]:co[i + 1]])),
+                seq=seq.row(i).tobytes(), qual=qual.row(i).tobytes(),
+                rname=rname, rnext=pool[rnext_id[i]], qname=qname[i],
+                row=int(row[i]),
+            ))
+        return out
+
+
+def downsample_block(block: ContigReadBlock, params) -> ContigReadBlock:
+    """Columnar equivalent of activity.downsample: same kept rows, same
+    Java-LCG consumption (a draw per read beyond max per start;
+    reference: haploutils.go:241-275)."""
+    maxn = params.max_reads_per_alignment_start
+    n = len(block)
+    if maxn < 1 or n == 0:
+        return block
+    changes = np.flatnonzero(np.diff(block.pos) != 0) + 1
+    starts = np.concatenate([[0], changes, [n]]).astype(np.int64)
+    counts = np.diff(starts)
+    if not (counts > maxn).any():
+        return block  # the per-read loop draws only when a start exceeds maxn
+    keep_parts: List[np.ndarray] = []
+    for gi in range(len(counts)):
+        s, c = int(starts[gi]), int(counts[gi])
+        if c <= maxn:
+            keep_parts.append(np.arange(s, s + c, dtype=np.int64))
+            continue
+        cur = list(range(s, s + maxn))
+        for t in range(maxn, c):
+            slot = params.random.int31n(t + 1)
+            if slot < maxn:
+                cur[slot] = s + t
+        keep_parts.append(np.asarray(cur, np.int64))
+    return block.select(np.concatenate(keep_parts))
+
+
+def aln_slice_block(block: ContigReadBlock, region_start: int, region_end: int,
+                    max_reference_length: int) -> ContigReadBlock:
+    """Columnar aln_slice (haploutils.go:191-209): rows with
+    pos in [region_start - max_ref_len + 1, region_end] whose read_end
+    reaches region_start."""
+    lowest = region_start - max_reference_length + 1
+    j = int(np.searchsorted(block.pos, lowest, side="left"))
+    k = int(np.searchsorted(block.pos, region_end, side="right"))
+    sub = block.slice_rows(j, k)
+    keep = np.flatnonzero(sub.ends() >= region_start)
+    if len(keep) == len(sub):
+        return sub
+    return sub.select(keep)
