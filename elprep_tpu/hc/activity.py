@@ -978,12 +978,32 @@ def for_each_read_pair(reads: List[ClipRead], f: Callable[[ClipRead, ClipRead], 
             m[r2.qname] = r2
 
 
-def finalize_assembly_region(region: AssemblyRegion, params: HCParams) -> None:
-    """(reference: finalizeAssemblyRegion, haplotypecaller.go:410-443)"""
+def finalize_assembly_region(region: AssemblyRegion, params: HCParams,
+                             preclip: "dict | None" = None) -> None:
+    """(reference: finalizeAssemblyRegion, haplotypecaller.go:410-443)
+
+    ``preclip``: optional id(orig) -> pre-clipped template ClipRead map
+    (the region-independent steps — low-qual ends, soft-clip handling,
+    adaptor — computed once per worker block by the native clip engine;
+    see hc/parallel.py). With it, only the region clip runs here."""
     padded_start = region.padded_start()
     padded_end = region.padded_end()
     kept: List[ClipRead] = []
     for orig in region.reads:
+        t = preclip.get(id(orig)) if preclip is not None else None
+        if t is not None:
+            if len(t.seq) == 0 or read_length_from_cigar(t.cigar) == 0:
+                continue
+            # fresh mutable copy: hard_clip_to_region and downstream
+            # genotyping mutate reads per region
+            r = ClipRead(flag=t.flag, pos=t.pos, pnext=t.pnext, tlen=t.tlen,
+                         mapq=t.mapq, cigar=list(t.cigar), seq=t.seq,
+                         qual=t.qual, rname=t.rname, rnext=t.rnext,
+                         qname=t.qname, row=t.row, base_start=t.base_start)
+            hard_clip_to_region(r, padded_start, padded_end)
+            if read_overlaps_region(r, padded_start, padded_end):
+                kept.append(r)
+            continue
         r = ClipRead(flag=orig.flag, pos=orig.pos, pnext=orig.pnext,
                      tlen=orig.tlen, mapq=orig.mapq, cigar=list(orig.cigar),
                      seq=orig.seq, qual=orig.qual, rname=orig.rname,

@@ -275,13 +275,15 @@ class PendingRegion:
         self.hap_is_ref = hap_is_ref
 
 
-def prepare_region(params: HCParams, region: AssemblyRegion
+def prepare_region(params: HCParams, region: AssemblyRegion,
+                   preclip: "dict | None" = None
                    ) -> Tuple[Optional[List[SingleVariant]],
                               Optional[PendingRegion]]:
     """Host stage of call_region up to the PairHMM inputs: finalize,
     assemble, trim. Returns (terminal_variants, None) when the region
     exits through the reference model (deletions flow through
-    unchanged), else (None, pending)."""
+    unchanged), else (None, pending). ``preclip`` forwards to
+    finalize_assembly_region (native per-block pre-clipping)."""
     gvcf = params.confidence_mode != "NONE"
     variants: List[SingleVariant] = []
 
@@ -294,9 +296,9 @@ def prepare_region(params: HCParams, region: AssemblyRegion
     if not region.is_active or not region.reads:
         if params.confidence_mode == "NONE":
             return variants, None
-        finalize_assembly_region(region, params)
+        finalize_assembly_region(region, params, preclip)
         return ref_model_exit(region)
-    finalize_assembly_region(region, params)
+    finalize_assembly_region(region, params, preclip)
 
     haplotypes = assemble_reads(
         region.reference_bases(), region.padded_start(),

@@ -88,6 +88,7 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
     # the worker's contiguous read block for the current span (reads are
     # shipped ONCE per span; activity chunks and regions slice locally)
     block_reads: list = []
+    preclip = None
     block_positions = None
     max_ref_len = 0
     # rid -> (pickled original region, pending, vals, keep)
@@ -110,10 +111,16 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 _, payload, max_ref_len = msg
                 if hasattr(payload, "materialize"):
                     # columnar ContigReadBlock: arrays crossed the pipe,
-                    # ClipReads materialize here (once per span)
+                    # ClipReads materialize here (once per span), and the
+                    # region-independent finalize clipping runs natively
+                    # over the whole block in the same pass
+                    from .readblock import preclip_templates
+
                     block_reads = payload.materialize()
+                    preclip = preclip_templates(payload, block_reads, params)
                 else:
                     block_reads = payload
+                    preclip = None
                 block_positions = np.fromiter((r.pos for r in block_reads),
                                               np.int64, len(block_reads))
                 continue
@@ -163,7 +170,8 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                         block_reads, region.padded_start(),
                         region.padded_end(), max_ref_len,
                         positions=block_positions)
-                    terminal, pending = prepare_region(params, region)
+                    terminal, pending = prepare_region(params, region,
+                                                       preclip)
                     if pending is None:
                         out.append((rid, "term", terminal))
                     else:
@@ -194,7 +202,7 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 region.reads, _ = _aln_slice(
                     block_reads, region.padded_start(), region.padded_end(),
                     max_ref_len, positions=block_positions)
-                _terminal, pending = prepare_region(params, region)
+                _terminal, pending = prepare_region(params, region, preclip)
                 assert pending is not None, "redo of a terminal region"
                 variants, outgoing = genotype_region(params, pending, ent[2],
                                                      ent[3], list(incoming))

@@ -14,6 +14,7 @@ batch->ClipRead loop field for field.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -130,6 +131,55 @@ class ContigReadBlock:
                 row=int(row[i]),
             ))
         return out
+
+
+def preclip_templates(block: ContigReadBlock, block_reads, params):
+    """Run the region-independent finalize clipping steps (low-qual ends,
+    soft-clip handling, adaptor; haplotypecaller.go:410-443) ONCE over
+    the whole block via the native clip engine. Returns
+    {id(block_read): template ClipRead} for finalize_assembly_region's
+    ``preclip`` argument, or None when the native lib is unavailable
+    (callers then fall back to the per-region Python chain)."""
+    from .. import native
+
+    n = len(block)
+    if n == 0:
+        return {}
+    if not native.available() or os.environ.get("ELPREP_TPU_NO_NATIVE_CLIP"):
+        return None
+    modes = native.CLIP_LOWQ_ENDS | native.CLIP_ADAPTOR_IF_MAPPED
+    modes |= (native.CLIP_SOFT_OR_REVERT if params.use_soft_clipped_bases
+              else native.CLIP_SOFTCLIP)
+    star = np.array([nm in (b"", b"*") for nm in block.names] or [True],
+                    np.uint8)
+    rnext_star = star[block.rnext_id]
+    rname_star = np.full(n, 1 if block.contig in (b"", b"*") else 0, np.uint8)
+    got = native.clip_reads(
+        block.flag, block.pos, block.pnext, block.tlen, block.mapq,
+        (block.cigar_len.data, block.cigar_op.data, block.cigar_len.offsets),
+        block.qual.data, block.qual.offsets, rname_star, rnext_star,
+        modes, lowq=params.min_base_qual - 1)
+    if got is None:
+        return None
+    ops_s = got["ops"].tobytes().decode("latin1")
+    lens = got["lens"]
+    cig_base, n_ops = got["cig_base"], got["n_ops"]
+    flag, pos, mapq = got["flag"], got["pos"], got["mapq"]
+    bstart, blen = got["bstart"], got["blen"]
+    out = {}
+    for i, orig in enumerate(block_reads):
+        b = int(cig_base[i])
+        m = int(n_ops[i])
+        bs, bl = int(bstart[i]), int(blen[i])
+        t = ClipRead(
+            flag=int(flag[i]), pos=int(pos[i]), pnext=orig.pnext,
+            tlen=orig.tlen, mapq=int(mapq[i]),
+            cigar=list(zip(lens[b:b + m].tolist(), ops_s[b:b + m])),
+            seq=orig.seq[bs:bs + bl], qual=orig.qual[bs:bs + bl],
+            rname=orig.rname, rnext=orig.rnext, qname=orig.qname,
+            row=orig.row, base_start=orig.base_start + bs)
+        out[id(orig)] = t
+    return out
 
 
 def downsample_block(block: ContigReadBlock, params) -> ContigReadBlock:

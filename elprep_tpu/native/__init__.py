@@ -18,7 +18,8 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "elprep_native.cpp"),
-         os.path.join(_DIR, "assembly_native.cpp")]
+         os.path.join(_DIR, "assembly_native.cpp"),
+         os.path.join(_DIR, "clipping_native.cpp")]
 _LIB = os.path.join(_DIR, "libelprep_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -213,6 +214,74 @@ def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
     lib.ragged_to_padded(data.ctypes.data, offsets.ctypes.data, n, width,
                          data.dtype.itemsize, out.ctypes.data, _DEFAULT_THREADS[0])
     return out
+
+
+# mode bits for clip_reads (mirror clipping_native.cpp)
+CLIP_LOWQ_ENDS = 1
+CLIP_SOFT_OR_REVERT = 2
+CLIP_SOFTCLIP = 4
+CLIP_ADAPTOR = 8
+CLIP_ADAPTOR_IF_MAPPED = 16
+CLIP_TO_REGION = 32
+
+
+def clip_reads(flag, pos, pnext, tlen, mapq, cig_len: "Ragged-like tuple",
+               qual_data, qual_offsets, rname_star, rnext_star, modes: int,
+               lowq: int = 0, region_start: int = 0, region_end: int = 0):
+    """Batched native clipping chain (oracle: filters/clipping.py, itself
+    a port of the reference filters/utils.go:81-627).
+
+    ``cig_len`` is (lens int32 flat, ops u8 flat, offsets int64).
+    Returns dict with mutated flag/pos/mapq copies, new ragged cigars
+    (n_ops, lens, ops at stride cig_off[i]+8*i), base_start/base_len
+    windows — or None without the native lib. Raises ValueError when a
+    reference coordinate maps to no read base (parity with the oracle).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "clip_reads_columnar"):
+        return None
+    if lib.clip_reads_columnar.argtypes is None:
+        lib.clip_reads_columnar.restype = ctypes.c_longlong
+        lib.clip_reads_columnar.argtypes = (
+            [ctypes.c_longlong] + [ctypes.c_void_p] * 12
+            + [ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+               ctypes.c_longlong] + [ctypes.c_void_p] * 6 + [ctypes.c_int])
+    lens_in, ops_in, cig_off = cig_len
+    n = len(flag)
+    flag = np.ascontiguousarray(flag, np.int32).copy()
+    pos = np.ascontiguousarray(pos, np.int64).copy()
+    pnext = np.ascontiguousarray(pnext, np.int64)
+    tlen = np.ascontiguousarray(tlen, np.int64)
+    mapq = np.ascontiguousarray(mapq, np.int32).copy()
+    cig_off = np.ascontiguousarray(cig_off, np.int64)
+    lens_in = np.ascontiguousarray(lens_in, np.int32)
+    ops_in = np.ascontiguousarray(ops_in, np.uint8)
+    qual_data = np.ascontiguousarray(qual_data, np.uint8)
+    qual_offsets = np.ascontiguousarray(qual_offsets, np.int64)
+    rname_star = np.ascontiguousarray(rname_star, np.uint8)
+    rnext_star = np.ascontiguousarray(rnext_star, np.uint8)
+    cap = int(cig_off[-1]) + 8 * n
+    out_n_ops = np.zeros(n, np.int32)
+    out_lens = np.zeros(cap, np.int32)
+    out_ops = np.zeros(cap, np.uint8)
+    out_bstart = np.zeros(n, np.int64)
+    out_blen = np.zeros(n, np.int64)
+    out_err = np.zeros(n, np.uint8)
+    n_err = lib.clip_reads_columnar(
+        n, flag.ctypes.data, pos.ctypes.data, pnext.ctypes.data,
+        tlen.ctypes.data, mapq.ctypes.data, cig_off.ctypes.data,
+        lens_in.ctypes.data, ops_in.ctypes.data, qual_data.ctypes.data,
+        qual_offsets.ctypes.data, rname_star.ctypes.data,
+        rnext_star.ctypes.data, modes, lowq, region_start, region_end,
+        out_n_ops.ctypes.data, out_lens.ctypes.data, out_ops.ctypes.data,
+        out_bstart.ctypes.data, out_blen.ctypes.data, out_err.ctypes.data,
+        _DEFAULT_THREADS[0])
+    if n_err:
+        raise ValueError(
+            "reference coordinate matches a non-existing base in read")
+    return dict(flag=flag, pos=pos, mapq=mapq, n_ops=out_n_ops,
+                lens=out_lens, ops=out_ops, cig_base=cig_off[:-1] + 8 * np.arange(n, dtype=np.int64),
+                bstart=out_bstart, blen=out_blen)
 
 
 def pack_nibbles(data: np.ndarray, offsets: np.ndarray, table: np.ndarray,

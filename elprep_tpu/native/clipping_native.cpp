@@ -1,0 +1,631 @@
+// Native read-clipping engine: columnar port of the per-read clipping
+// chain in elprep_tpu/filters/clipping.py (itself a transliteration of
+// the reference's filters/utils.go:81-627). The Python module remains
+// the oracle; tests/test_clipping_native.py fuzzes both against each
+// other. Semantics must match clipping.py EXACTLY — any change lands in
+// both.
+//
+// The engine never moves sequence bytes: clipping narrows a
+// [base_start, base_start+base_len) window over the original read and
+// rewrites the CIGAR, matching ClipRead.base_start bookkeeping.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int32_t MULTIPLE = 0x1;
+constexpr int32_t UNMAPPED = 0x4;
+constexpr int32_t NEXT_UNMAPPED = 0x8;
+constexpr int32_t REVERSED = 0x10;
+constexpr int32_t NEXT_REVERSED = 0x20;
+
+struct CigOp {
+  int64_t len;
+  char op;
+};
+
+struct Rd {
+  int32_t flag;
+  int64_t pos;
+  int64_t pnext;
+  int64_t tlen;
+  int32_t mapq;
+  std::vector<CigOp> cig;
+  const uint8_t* qual0;  // original qual bytes
+  int64_t bstart;        // window start within the original read
+  int64_t blen;          // window length (== len(seq) == len(qual))
+  bool rname_star;       // rname in ("", "*")
+  bool rnext_star;
+  bool err;
+};
+
+inline bool read_consumes(char op) {
+  return op == 'M' || op == 'I' || op == 'S' || op == '=' || op == 'X';
+}
+inline bool ref_consumes(char op) {
+  return op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X';
+}
+
+int64_t read_length_from_cigar(const std::vector<CigOp>& c) {
+  int64_t s = 0;
+  for (const auto& e : c)
+    if (read_consumes(e.op)) s += e.len;
+  return s;
+}
+
+int64_t reference_length_from_cigar(const std::vector<CigOp>& c) {
+  int64_t s = 0;
+  for (const auto& e : c)
+    if (ref_consumes(e.op)) s += e.len;
+  return s;
+}
+
+inline int64_t read_end(const Rd& r) {
+  return r.pos + reference_length_from_cigar(r.cig) - 1;
+}
+
+inline bool is_strict_unmapped(const Rd& r) {
+  return (r.flag & UNMAPPED) != 0 || r.rname_star || r.pos == 0;
+}
+inline bool is_strict_next_unmapped(const Rd& r) {
+  return (r.flag & NEXT_UNMAPPED) != 0 || r.rnext_star || r.pnext == 0;
+}
+
+// (clipping.py:83-96)
+bool has_well_defined_fragment_size(const Rd& r, int64_t* aln_end_out) {
+  *aln_end_out = -1;
+  if (r.tlen != 0 && (r.flag & MULTIPLE) && !is_strict_unmapped(r) &&
+      !is_strict_next_unmapped(r) &&
+      (((r.flag & REVERSED) != 0) != ((r.flag & NEXT_REVERSED) != 0))) {
+    if (r.flag & REVERSED) {
+      int64_t aln_end = read_end(r);
+      *aln_end_out = aln_end;
+      return aln_end > r.pnext;
+    }
+    return r.pos <= r.pnext + r.tlen;
+  }
+  return false;
+}
+
+// (clipping.py:99-108)
+bool compute_adaptor_boundary(const Rd& r, int64_t* boundary, int64_t* aln_end) {
+  bool well = has_well_defined_fragment_size(r, aln_end);
+  if (well) {
+    if (r.flag & REVERSED)
+      *boundary = r.pnext - 1;
+    else
+      *boundary = r.pos + (r.tlen < 0 ? -r.tlen : r.tlen);
+    return true;
+  }
+  *boundary = -1;
+  *aln_end = -1;
+  return false;
+}
+
+// (clipping.py:111-117)
+bool is_inside_read(const Rd& r, int64_t aln_end, int64_t ref_coord) {
+  if (ref_coord >= r.pos) {
+    if (aln_end < 0) aln_end = read_end(r);
+    return ref_coord <= aln_end;
+  }
+  return false;
+}
+
+// (clipping.py:120-128)
+bool read_starts_with_insertion(const std::vector<CigOp>& c, int64_t* first_len) {
+  for (const auto& e : c) {
+    if (e.op == 'I') {
+      *first_len = e.len;
+      return true;
+    }
+    if (e.op == 'H' || e.op == 'S') continue;
+    *first_len = -1;
+    return false;
+  }
+  *first_len = -1;
+  return false;
+}
+
+// (clipping.py:131-139)
+int64_t soft_start(const Rd& r) {
+  int64_t start = r.pos;
+  for (const auto& e : r.cig) {
+    if (e.op == 'S')
+      start -= e.len;
+    else if (e.op != 'H')
+      break;
+  }
+  return start;
+}
+
+// (clipping.py:142-151)
+int64_t soft_end(const Rd& r) {
+  int64_t end = read_end(r);
+  int64_t se = end;
+  for (auto it = r.cig.rbegin(); it != r.cig.rend(); ++it) {
+    if (it->op == 'S')
+      se += it->len;
+    else if (it->op != 'H')
+      return se;
+  }
+  return end;
+}
+
+// (clipping.py:154-205)
+bool compute_read_coordinate_for_reference_coordinate(
+    const std::vector<CigOp>& cigar, int64_t soft_start_, int64_t ref_index,
+    int64_t* read_bases_out, bool* falls_out) {
+  int64_t goal = ref_index - soft_start_;
+  *read_bases_out = -1;
+  *falls_out = false;
+  if (goal < 0) return false;
+  int64_t read_bases = 0;
+  int64_t ref_bases = 0;
+  bool falls_inside = false;
+  bool ends_just_before = false;
+  bool falls_inside_or_just_before = false;
+  size_t index = 0;
+  size_t n = cigar.size();
+  while (ref_bases != goal && index < n) {
+    int64_t length = cigar[index].len;
+    char op = cigar[index].op;
+    index++;
+    int64_t shift = 0;
+    if (ref_consumes(op) || op == 'S') {
+      if (ref_bases + length < goal)
+        shift = length;
+      else
+        shift = goal - ref_bases;
+      ref_bases += shift;
+    }
+    if (ref_bases != goal) {
+      read_bases += read_consumes(op) ? length : 0;
+    } else {
+      if (shift >= length && index == n) return false;
+      char next_op = 0;
+      bool have_next = false;
+      if (shift < length) {
+        falls_inside = (op == 'D' || op == 'N');
+      } else {
+        int64_t next_len = cigar[index].len;
+        next_op = cigar[index].op;
+        have_next = true;
+        index++;
+        if (next_op == 'I') {
+          read_bases += next_len;
+          if (index == n) return false;
+          next_op = cigar[index].op;
+          index++;
+        }
+        ends_just_before = (next_op == 'D' || next_op == 'N');
+      }
+      falls_inside_or_just_before = ends_just_before || falls_inside;
+      if (!falls_inside_or_just_before) {
+        read_bases += read_consumes(op) ? shift : 0;
+      } else if (ends_just_before) {
+        read_bases += read_consumes(op) ? (shift - 1) : 0;
+      } else if (falls_inside ||
+                 (ends_just_before && have_next &&
+                  (next_op == 'D' || next_op == 'N'))) {
+        read_bases -= 1;
+      }
+    }
+  }
+  if (ref_bases != goal) return false;
+  *read_bases_out = read_bases;
+  *falls_out = falls_inside_or_just_before;
+  return true;
+}
+
+constexpr int LEFT = 0;
+constexpr int RIGHT = 1;
+
+// (clipping.py:212-227)
+bool get_read_coordinate_for_reference_coordinate(
+    const std::vector<CigOp>& cigar, int64_t soft_start_, int64_t ref_index,
+    int tail, int64_t* read_bases_out) {
+  int64_t read_bases;
+  bool falls;
+  bool ok = compute_read_coordinate_for_reference_coordinate(
+      cigar, soft_start_, ref_index, &read_bases, &falls);
+  if (!ok || read_bases == -1) {
+    *read_bases_out = -1;
+    return false;
+  }
+  if (tail == RIGHT && falls) read_bases += 1;
+  if (tail == LEFT && read_bases == 0) {
+    int64_t first_len;
+    if (read_starts_with_insertion(cigar, &first_len)) {
+      int64_t rl = read_length_from_cigar(cigar) - 1;
+      read_bases = first_len < rl ? first_len : rl;
+    }
+  }
+  *read_bases_out = read_bases;
+  return true;
+}
+
+// (clipping.py:230-240)
+int64_t calculate_hard_soft_offset(const std::vector<CigOp>& cigar) {
+  int64_t size = 0;
+  size_t i = 0;
+  while (i < cigar.size() && cigar[i].op == 'H') {
+    size += cigar[i].len;
+    i++;
+  }
+  while (i < cigar.size() && cigar[i].op == 'S') {
+    size += cigar[i].len;
+    i++;
+  }
+  return size;
+}
+
+int64_t calculate_aln_start_shift(const std::vector<CigOp>& cigar,
+                                  const std::vector<CigOp>& clipped) {
+  return calculate_hard_soft_offset(clipped) - calculate_hard_soft_offset(cigar);
+}
+
+// (clipping.py:247-255)
+int64_t hard_clipping_shift(char op, int64_t op_ref_len, int64_t cigar_length) {
+  if (op == 'I') return -cigar_length;
+  if (op == 'D' || op == 'N') return op_ref_len;
+  return 0;
+}
+
+// (clipping.py:258-274)
+std::vector<CigOp> clean_hard_clipped_cigar(std::vector<CigOp> cigar) {
+  int64_t total = 0;
+  size_t index = 0;
+  while (index < cigar.size() &&
+         (cigar[index].op == 'H' || cigar[index].op == 'D' ||
+          cigar[index].op == 'N')) {
+    total += cigar[index].len;
+    index++;
+  }
+  if (index > 0) {
+    std::vector<CigOp> out;
+    out.push_back({total, 'H'});
+    out.insert(out.end(), cigar.begin() + index, cigar.end());
+    cigar = std::move(out);
+  }
+  total = 0;
+  int64_t last = (int64_t)cigar.size() - 1;
+  while (last >= 0 &&
+         (cigar[last].op == 'H' || cigar[last].op == 'D' ||
+          cigar[last].op == 'N')) {
+    total += cigar[last].len;
+    last--;
+  }
+  if (last < (int64_t)cigar.size() - 1) {
+    cigar.resize(last + 1);
+    cigar.push_back({total, 'H'});
+  }
+  return cigar;
+}
+
+// (clipping.py:277-327)
+std::vector<CigOp> hard_clip_cigar(const Rd& r, int64_t start, int64_t stop) {
+  const std::vector<CigOp>& cigar = r.cig;
+  int64_t index = 0;
+  int64_t total_hard_clip = stop - start + 1;
+  int64_t shift = 0;
+  std::vector<CigOp> new_cigar;
+  if (start == 0) {
+    size_t k = 0;
+    while (k < cigar.size() && cigar[k].op == 'H') {
+      total_hard_clip += cigar[k].len;
+      k++;
+    }
+    while (index <= stop && k < cigar.size()) {
+      int64_t length = cigar[k].len;
+      char op = cigar[k].op;
+      k++;
+      int64_t consumed = read_consumes(op) ? length : 0;
+      if (index + consumed == stop + 1) {
+        shift += hard_clipping_shift(op, length, length);
+        new_cigar.push_back({total_hard_clip + shift, 'H'});
+      } else if (index + consumed > stop + 1) {
+        int64_t length_after = length - (stop - index + 1);
+        shift += hard_clipping_shift(op, length, stop - index + 1);
+        new_cigar.push_back({total_hard_clip + shift, 'H'});
+        new_cigar.push_back({length_after, op});
+      }
+      index += consumed;
+      shift += hard_clipping_shift(op, length, consumed);
+    }
+    new_cigar.insert(new_cigar.end(), cigar.begin() + k, cigar.end());
+  } else {
+    size_t k = 0;
+    while (index < start && k < cigar.size()) {
+      int64_t length = cigar[k].len;
+      char op = cigar[k].op;
+      k++;
+      int64_t consumed = read_consumes(op) ? length : 0;
+      if (index + consumed < start) {
+        new_cigar.push_back({length, op});
+      } else {
+        int64_t length_after = start - index;
+        shift += hard_clipping_shift(op, length, length - (start - index));
+        if (op == 'H')
+          total_hard_clip += length_after;
+        else
+          new_cigar.push_back({length_after, op});
+      }
+      index += consumed;
+    }
+    while (k < cigar.size()) {
+      int64_t length = cigar[k].len;
+      char op = cigar[k].op;
+      k++;
+      shift += hard_clipping_shift(op, length, length);
+      if (op == 'H') total_hard_clip += length;
+    }
+    new_cigar.push_back({total_hard_clip + shift, 'H'});
+  }
+  return clean_hard_clipped_cigar(std::move(new_cigar));
+}
+
+// (clipping.py:330-344)
+void hard_clip(Rd& r, int64_t start, int64_t stop) {
+  std::vector<CigOp> clipped = hard_clip_cigar(r, start, stop);
+  int64_t read_length = r.blen;
+  int64_t new_length = read_length - (stop - start + 1);
+  int64_t copy_start = 0;
+  if (start == 0) copy_start = stop + 1;
+  std::vector<CigOp> old = std::move(r.cig);
+  // window slice clamps like Python slicing (never negative length)
+  if (copy_start > read_length) copy_start = read_length;
+  if (new_length < 0) new_length = 0;
+  if (copy_start + new_length > read_length) new_length = read_length - copy_start;
+  r.bstart += copy_start;
+  r.blen = new_length;
+  r.cig = std::move(clipped);
+  if (start == 0) {
+    // evaluate strict-unmapped BEFORE the pos shift, like the oracle
+    if (!((r.flag & UNMAPPED) != 0 || r.rname_star || r.pos == 0))
+      r.pos += calculate_aln_start_shift(old, r.cig);
+  }
+}
+
+// (clipping.py:347-354)
+bool hard_clip_left_tail(Rd& r, int64_t ref_stop) {
+  int64_t stop;
+  if (!get_read_coordinate_for_reference_coordinate(r.cig, soft_start(r),
+                                                    ref_stop, LEFT, &stop)) {
+    r.err = true;
+    return false;
+  }
+  hard_clip(r, 0, stop);
+  return true;
+}
+
+// (clipping.py:357-365)
+bool hard_clip_right_tail(Rd& r, int64_t ref_start) {
+  int64_t start;
+  bool ok = get_read_coordinate_for_reference_coordinate(
+      r.cig, soft_start(r), ref_start, RIGHT, &start);
+  int64_t stop = r.blen - 1;
+  if (!ok) {
+    r.err = true;
+    return false;
+  }
+  hard_clip(r, start, stop);
+  return true;
+}
+
+// (clipping.py:368-375)
+void hard_clip_adaptor_sequence(Rd& r) {
+  int64_t boundary, aln_end;
+  bool ok = compute_adaptor_boundary(r, &boundary, &aln_end);
+  if (ok && is_inside_read(r, aln_end, boundary)) {
+    if (r.flag & REVERSED)
+      hard_clip_left_tail(r, boundary);
+    else
+      hard_clip_right_tail(r, boundary);
+  }
+}
+
+// (clipping.py:378-398)
+void hard_clip_soft_clipped_bases(Rd& r) {
+  int64_t read_index = 0;
+  int64_t cut_left = -1;
+  int64_t cut_right = -1;
+  bool right_tail = false;
+  for (const auto& e : r.cig) {
+    if (e.op == 'S') {
+      if (right_tail)
+        cut_right = read_index;
+      else
+        cut_left = read_index + e.len - 1;
+    } else if (e.op == 'H') {
+    } else {
+      right_tail = true;
+    }
+    read_index += read_consumes(e.op) ? e.len : 0;
+  }
+  if (cut_right >= 0) hard_clip(r, cut_right, r.blen - 1);
+  if (cut_left >= 0) hard_clip(r, 0, cut_left);
+}
+
+// (clipping.py:401-408)
+void empty_read(Rd& r) {
+  r.flag |= UNMAPPED;
+  r.mapq = 0;
+  r.cig.clear();
+  r.blen = 0;
+}
+
+// (clipping.py:411-425)
+void hard_clip_low_qual_ends(Rd& r, int64_t low_qual) {
+  int64_t length = r.blen;
+  int64_t left = 0, right = length - 1;
+  const uint8_t* q = r.qual0 + r.bstart;
+  while (right >= 0 && q[right] <= low_qual) right--;
+  while (left < length && q[left] <= low_qual) left++;
+  if (left > right) {
+    empty_read(r);
+    return;
+  }
+  if (right < length - 1) hard_clip(r, right + 1, length - 1);
+  if (left > 0) hard_clip(r, 0, left - 1);
+}
+
+// (clipping.py:428-450)
+void revert_soft_clipped_bases(Rd& r) {
+  std::vector<CigOp> unclipped;
+  int64_t matches = 0;
+  for (const auto& e : r.cig) {
+    if (e.op == 'S' || e.op == 'M') {
+      matches += e.len;
+    } else {
+      if (matches > 0) {
+        unclipped.push_back({matches, 'M'});
+        matches = 0;
+      }
+      unclipped.push_back(e);
+    }
+  }
+  if (matches > 0) unclipped.push_back({matches, 'M'});
+  int64_t new_start = r.pos + calculate_aln_start_shift(r.cig, unclipped);
+  r.cig = std::move(unclipped);
+  if (new_start <= 0) {
+    r.pos = 1;
+    hard_clip(r, 0, -new_start);
+    if (!is_strict_unmapped(r)) r.pos = 1;
+  } else {
+    r.pos = new_start;
+  }
+}
+
+// (clipping.py:453-468)
+void hard_clip_to_region(Rd& r, int64_t start, int64_t stop) {
+  if (r.blen == 0 || start - 1 == stop + 1) {
+    empty_read(r);
+    return;
+  }
+  int64_t aln_start = r.pos;
+  int64_t aln_stop = read_end(r);
+  if (aln_start <= stop && aln_stop >= start) {
+    if (aln_stop > stop) {
+      if (!hard_clip_right_tail(r, stop + 1)) return;
+      if (aln_start < start && start - 1 > read_end(r)) {
+        empty_read(r);
+        return;
+      }
+    }
+    if (aln_start < start) {
+      if (!hard_clip_left_tail(r, start - 1)) return;
+    }
+  } else {
+    empty_read(r);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Mode bits for clip_reads_columnar.
+enum {
+  CLIP_LOWQ_ENDS = 1,       // hard_clip_low_qual_ends(lowq)
+  CLIP_SOFT_OR_REVERT = 2,  // finalize rule: revert if well-defined else clip
+  CLIP_SOFTCLIP = 4,        // hard_clip_soft_clipped_bases unconditionally
+  CLIP_ADAPTOR = 8,         // hard_clip_adaptor_sequence (gated in BQSR/finalize)
+  CLIP_ADAPTOR_IF_MAPPED = 16,  // finalize gate: only if not strict-unmapped
+  CLIP_TO_REGION = 32,      // hard_clip_to_region(region_start, region_end)
+};
+
+// Batched clipping over columnar reads. Per-row outputs land at
+// out_cig_base[i] = cig_off[i] + 8*i (8 ops of slack per row);
+// out_n_ops[i] gives the actual count. flag/pos/mapq arrays are
+// mutated in place (callers pass copies). Returns the number of rows
+// flagged with a coordinate-mapping error (Python raises in that case,
+// mirroring the oracle's ValueError).
+int64_t clip_reads_columnar(
+    int64_t n, int32_t* flag, int64_t* pos, const int64_t* pnext,
+    const int64_t* tlen, int32_t* mapq, const int64_t* cig_off,
+    const int32_t* cig_len_in, const uint8_t* cig_op_in, const uint8_t* qual,
+    const int64_t* qual_off, const uint8_t* rname_star,
+    const uint8_t* rnext_star, int32_t modes, int64_t lowq,
+    int64_t region_start, int64_t region_end, int32_t* out_n_ops,
+    int32_t* out_cig_len, uint8_t* out_cig_op, int64_t* out_bstart,
+    int64_t* out_blen, uint8_t* out_err, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> errors(0);
+  const int64_t CHUNK = 1024;
+  auto worker = [&]() {
+    Rd r;
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n) return;
+      int64_t i1 = i0 + CHUNK < n ? i0 + CHUNK : n;
+      for (int64_t i = i0; i < i1; i++) {
+        r.flag = flag[i];
+        r.pos = pos[i];
+        r.pnext = pnext[i];
+        r.tlen = tlen[i];
+        r.mapq = mapq[i];
+        r.qual0 = qual + qual_off[i];
+        r.bstart = 0;
+        r.blen = qual_off[i + 1] - qual_off[i];
+        r.rname_star = rname_star[i] != 0;
+        r.rnext_star = rnext_star[i] != 0;
+        r.err = false;
+        int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+        r.cig.clear();
+        for (int64_t c = c0; c < c1; c++)
+          r.cig.push_back({(int64_t)cig_len_in[c], (char)cig_op_in[c]});
+
+        if (modes & CLIP_LOWQ_ENDS) hard_clip_low_qual_ends(r, lowq);
+        if (!r.err && r.blen > 0 && (modes & CLIP_SOFT_OR_REVERT)) {
+          int64_t aln_end;
+          if (has_well_defined_fragment_size(r, &aln_end))
+            revert_soft_clipped_bases(r);
+          else
+            hard_clip_soft_clipped_bases(r);
+        } else if (!r.err && (modes & CLIP_SOFT_OR_REVERT) && r.blen == 0) {
+          // emptied read: the oracle still runs the (no-op) soft-clip
+          // step on the empty cigar; both branches are no-ops here
+        }
+        if (!r.err && (modes & CLIP_SOFTCLIP)) hard_clip_soft_clipped_bases(r);
+        if (!r.err && (modes & CLIP_ADAPTOR)) hard_clip_adaptor_sequence(r);
+        if (!r.err && (modes & CLIP_ADAPTOR_IF_MAPPED) &&
+            !is_strict_unmapped(r))
+          hard_clip_adaptor_sequence(r);
+        if (!r.err && (modes & CLIP_TO_REGION))
+          hard_clip_to_region(r, region_start, region_end);
+
+        int64_t base = c0 + 8 * i;
+        int64_t cap = (c1 - c0) + 8;
+        int64_t m = (int64_t)r.cig.size();
+        if (m > cap) {  // cannot happen (clips add <= 2 ops per call)
+          r.err = true;
+          m = cap;
+        }
+        for (int64_t c = 0; c < m; c++) {
+          out_cig_len[base + c] = (int32_t)r.cig[c].len;
+          out_cig_op[base + c] = (uint8_t)r.cig[c].op;
+        }
+        out_n_ops[i] = (int32_t)m;
+        out_bstart[i] = r.bstart;
+        out_blen[i] = r.blen;
+        out_err[i] = r.err ? 1 : 0;
+        if (r.err) errors.fetch_add(1);
+        flag[i] = r.flag;
+        pos[i] = r.pos;
+        mapq[i] = r.mapq;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return errors.load();
+}
+
+}  // extern "C"
