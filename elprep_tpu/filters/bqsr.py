@@ -14,6 +14,7 @@ else the RG ID (reference: bqsr.go:35-51).
 from __future__ import annotations
 
 import math
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -499,7 +500,13 @@ def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,
     if len(rows) == 0:
         return empty
 
-    # host: clip adaptor + soft clips per eligible read; collect clipped views
+    fast = _prep_recal_native(recal, header, batch, rows, rgmap, cov_index,
+                              rg_vals, empty)
+    if fast is not None:
+        return fast
+
+    # host fallback (oracle): clip adaptor + soft clips per eligible
+    # read; collect clipped views
     clipped: List[clipping.ClipRead] = []
     names = batch.names
     for i in rows:
@@ -574,6 +581,149 @@ def prep_recalibrate_columns(recal: "BaseRecalibrator", header: Header,
                 if not ok or fe > sl - 1:
                     fe = sl - 1
                 skip[k, fs : fe + 1] = True
+
+    return dict(m=m, n_real=n_real, L=L, C=C, base=base, qual=qual, skip=skip,
+                seq_len=seq_len, flag=flag, pos=pos, rg=rg, refoff=refoff,
+                op_class=op_class, op_len=op_len)
+
+
+_REFCONS_LUT = np.zeros(256, np.int64)
+for _c in b"MDN=X":
+    _REFCONS_LUT[_c] = 1
+# ASCII op char -> OP_CLASS id (OP_CLASS itself is a dict)
+_OPCLASS_LUT = np.zeros(256, np.int8)
+for _c in bqsr_ops.CIGAR_OPS:
+    _OPCLASS_LUT[_c] = bqsr_ops.OP_CLASS[_c]
+
+
+def _prep_recal_native(recal, header, batch, rows, rgmap, cov_index, rg_vals,
+                       empty):
+    """Native fast path of prep_recalibrate_columns: the adaptor +
+    soft-clip chain runs batched in C++ (clipping_native.cpp; oracle is
+    the Python loop below) and the padded covariate columns assemble
+    from the columnar outputs. Returns the same dict as the fallback, or
+    None when the native lib is unavailable."""
+    from .. import native
+
+    if not native.available() or os.environ.get("ELPREP_TPU_NO_NATIVE_CLIP"):
+        return None
+    rows = np.asarray(rows, np.int64)
+    sub_cl = batch.cigar_len.gather(rows)
+    sub_co = batch.cigar_op.gather(rows)
+    sub_q = batch.qual.gather(rows)
+    star = np.array([nm in (b"*", b"") for nm in batch.names] or [True],
+                    np.uint8)
+    got = native.clip_reads(
+        batch.flag[rows], batch.pos[rows], batch.pnext[rows],
+        batch.tlen[rows], batch.mapq[rows],
+        (sub_cl.data, sub_co.data, sub_cl.offsets),
+        sub_q.data, sub_q.offsets,
+        star[batch.rname_id[rows]], star[batch.rnext_id[rows]],
+        native.CLIP_ADAPTOR | native.CLIP_SOFTCLIP)
+    if got is None:
+        return None
+    blen_all = got["blen"]
+    kr = np.flatnonzero(blen_all > 0)
+    n_real = len(kr)
+    if n_real == 0:
+        return empty
+    self = recal
+    bl = blen_all[kr]
+    n_ops_k = got["n_ops"][kr].astype(np.int64)
+    m = 1
+    while m < n_real:
+        m *= 2
+    L = ((int(bl.max()) + 31) // 32) * 32
+    C = ((int(n_ops_k.max()) + 7) // 8) * 8
+
+    def _pad_off(off):
+        return np.concatenate([off, np.full(m - n_real, off[-1], np.int64)])
+
+    bs_k = got["bstart"][kr]
+    seq_starts = batch.seq.offsets[rows[kr]] + bs_k
+    base_fr = native.ranged_gather_u8(batch.seq.data, seq_starts,
+                                      seq_starts + bl)
+    qual_starts = batch.qual.offsets[rows[kr]] + bs_k
+    qual_fr = native.ranged_gather_u8(batch.qual.data, qual_starts,
+                                      qual_starts + bl)
+    cb = got["cig_base"][kr]
+    ops_fr = native.ranged_gather_u8(got["ops"], cb, cb + n_ops_k)
+    lens_fr = native.ranged_gather_u8(got["lens"].view(np.uint8), cb * 4,
+                                      (cb + n_ops_k) * 4)
+    if base_fr is None or qual_fr is None or ops_fr is None or lens_fr is None:
+        return None
+    base = native.ragged_to_padded(base_fr[0], _pad_off(base_fr[1]), L, 0,
+                                   np.uint8)
+    qual = native.ragged_to_padded(qual_fr[0], _pad_off(qual_fr[1]), L, 0,
+                                   np.uint8)
+    s_class = bqsr_ops.OP_CLASS[ord("S")]
+    op_class = native.ragged_to_padded(
+        _OPCLASS_LUT[ops_fr[0]], _pad_off(ops_fr[1]), C, s_class, np.int8)
+    op_len_flat = lens_fr[0].view(np.int32)
+    op_len = native.ragged_to_padded(op_len_flat, _pad_off(lens_fr[1] // 4),
+                                     C, 0, np.int32)
+    if base is None or qual is None or op_class is None or op_len is None:
+        return None
+
+    seq_len = np.zeros(m, np.int32)
+    seq_len[:n_real] = bl
+    flag = np.zeros(m, np.int32)
+    flag[:n_real] = got["flag"][kr]
+    pos = np.zeros(m, np.int32)
+    pos[:n_real] = got["pos"][kr]
+    rg = np.zeros(m, np.int32)
+    vals_k = rg_vals[rows[kr]]
+    uq_v, inv_v = np.unique(vals_k, return_inverse=True)
+    rg[:n_real] = np.array([cov_index[rgmap[v]] for v in uq_v],
+                           np.int32)[inv_v]
+    refoff = np.zeros(m, np.int64)
+    rid_k = batch.rname_id[rows[kr]]
+    uq_r, inv_r = np.unique(rid_k, return_inverse=True)
+    refoff[:n_real] = np.array(
+        [self.ref.offsets[batch.names[q].decode()] for q in uq_r],
+        np.int64)[inv_r]
+
+    # known-sites skip slices (reference: bqsr.go:389-414): candidate
+    # rows via a safe overapproximation of [soft_start, soft_end], exact
+    # Python logic for the (rare) overlapping reads
+    skip = np.zeros((m, L), bool)
+    refcons = _REFCONS_LUT[ops_fr[0]] * op_len_flat
+    rc_cum = np.concatenate([[0], np.cumsum(refcons)])
+    reflen = rc_cum[ops_fr[1][1:]] - rc_cum[ops_fr[1][:-1]]
+    pos_k = got["pos"][kr]
+    lo = pos_k - bl - 1
+    hi = pos_k + reflen + bl + 1
+    ops_s = ops_fr[0].tobytes().decode("latin1")
+    for q in uq_r:
+        nm = batch.names[q].decode()
+        ksites = self.known.get(nm)
+        if ksites is None or not len(ksites):
+            continue
+        sel = np.flatnonzero(rid_k == q)
+        cand_lo = np.searchsorted(ksites[:, 1], lo[sel], side="left")
+        cand_hi = np.searchsorted(ksites[:, 0], hi[sel], side="right")
+        for k in sel[np.flatnonzero(cand_lo < cand_hi)]:
+            f0 = int(ops_fr[1][k])
+            mo = int(n_ops_k[k])
+            r = clipping.ClipRead(
+                flag=int(flag[k]), pos=int(pos_k[k]), pnext=0, tlen=0,
+                mapq=0,
+                cigar=list(zip(op_len_flat[f0:f0 + mo].tolist(),
+                               ops_s[f0:f0 + mo])),
+                seq=b"", qual=b"")
+            sl = int(bl[k])
+            ss = clipping.soft_start(r)
+            se = clipping.soft_end(r)
+            for s_start, s_end in iv.intersect(ksites, ss, se):
+                fs, ok = clipping.get_read_coordinate_for_reference_coordinate(
+                    r.cigar, ss, int(s_start), clipping.LEFT)
+                if not ok or fs < 0:
+                    fs = 0
+                fe, ok = clipping.get_read_coordinate_for_reference_coordinate(
+                    r.cigar, ss, int(s_end), clipping.LEFT)
+                if not ok or fe > sl - 1:
+                    fe = sl - 1
+                skip[k, fs:fe + 1] = True
 
     return dict(m=m, n_real=n_real, L=L, C=C, base=base, qual=qual, skip=skip,
                 seq_len=seq_len, flag=flag, pos=pos, rg=rg, refoff=refoff,

@@ -183,3 +183,26 @@ def test_intermediate_roundtrip(setup, tmp_path):
     assert loaded.rg_names == tables.rg_names
     np.testing.assert_array_equal(loaded.qs_obs, tables.qs_obs)
     np.testing.assert_array_equal(loaded.cyc_mism, tables.cyc_mism)
+
+
+def test_prep_native_matches_python_fallback(setup, monkeypatch):
+    """_prep_recal_native output dict == the per-read Python fallback
+    (same padded covariate columns, clipped flags/positions, known-sites
+    skip slices)."""
+    from elprep_tpu.filters.bqsr import (
+        BaseRecalibrator,
+        prep_recalibrate_columns,
+    )
+
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    fast = prep_recalibrate_columns(recal, hdr, batch, None, MAX_CYCLE)
+    monkeypatch.setenv("ELPREP_TPU_NO_NATIVE_CLIP", "1")
+    slow = prep_recalibrate_columns(recal, hdr, batch, None, MAX_CYCLE)
+    assert fast["m"] == slow["m"] and fast["n_real"] == slow["n_real"]
+    assert fast["n_real"] > 100 and fast["skip"].any()
+    for key in ("L", "C"):
+        assert fast[key] == slow[key], key
+    for key in ("base", "qual", "skip", "seq_len", "flag", "pos", "rg",
+                "refoff", "op_class", "op_len"):
+        assert np.array_equal(fast[key], slow[key]), key
