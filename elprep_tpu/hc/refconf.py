@@ -1023,6 +1023,36 @@ def concat_ref_runs(runs: "List[RefRun]") -> "RefRun":
     )
 
 
+def gq_log10(g: np.ndarray) -> np.ndarray:
+    """Vectorized GQ in log10 space over [N,3] genotype likelihoods
+    (ref-confidence.go gq helper semantics)."""
+    qual = g[:, 0] - np.maximum(g[:, 1], g[:, 2])
+    mx = np.max(g, axis=1, keepdims=True)
+    norm = 10.0 ** (g - mx)
+    total = np.sum(norm, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alt_val = np.log10(1 - norm[:, 0] / total)
+    return np.where(qual < 0, alt_val, -qual)
+
+
+_IND_TABLES: list = []
+
+
+def _indel_gq_log10_table() -> np.ndarray:
+    if not _IND_TABLES:
+        gq_t = gq_log10(INDEL_PLS)
+        adjust = np.max(INDEL_PLS, axis=1, keepdims=True)
+        pls_t = np.floor(np.minimum(-10 * (INDEL_PLS - adjust),
+                                    np.iinfo(np.int32).max) + 0.5).astype(np.int64)
+        _IND_TABLES.extend([gq_t, pls_t])
+    return _IND_TABLES[0]
+
+
+def _indel_pls_table() -> np.ndarray:
+    _indel_gq_log10_table()
+    return _IND_TABLES[1]
+
+
 def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
                              region: AssemblyRegion, reads: List[ClipRead],
                              calls: Optional[List[Variant]],
@@ -1049,11 +1079,15 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
         b = min(vc.end(), high - 1) - low
         if b >= a:
             call_at[a : b + 1] = k  # later calls have larger pos: max-pos wins
-    exact_sub = np.full(n_pos, -1, np.int64)
-    for p in range(n_pos):
-        k = call_at[p]
-        if k >= 0 and (calls[k].pos - low) == p:
-            exact_sub[p] = k
+    if calls:
+        call_pos = np.fromiter((c.pos for c in calls), np.int64, len(calls))
+        exact_sub = np.where(
+            (call_at >= 0)
+            & (call_pos[np.maximum(call_at, 0)] - low
+               == np.arange(n_pos, dtype=np.int64)),
+            call_at, -1)
+    else:
+        exact_sub = np.full(n_pos, -1, np.int64)
 
     dp_arr = np.zeros(n_pos, np.int64)
     ref_depth = np.zeros(n_pos, np.int64)
@@ -1094,7 +1128,10 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
             sel_pos = upos_idx[um]
             # ordered segment sums (rows pre-sorted by (refpos, read order))
             if len(sel_pos):
-                uvals, starts = np.unique(sel_pos, return_index=True)
+                # sel_pos is sorted: diff-based uniques beat np.unique
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(sel_pos)) + 1])
+                uvals = sel_pos[starts]
                 gl0[uvals] = np.add.reduceat(t0[um], starts)
                 gl1[uvals] = np.add.reduceat(t1[um], starts)
                 gl2[uvals] = np.add.reduceat(t2[um], starts)
@@ -1135,27 +1172,21 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
                     np.bincount(cand_pos[informative], minlength=n_pos), 
                     MAX_INDEL_INFORMATIVE_READS)
 
-    # assemble per-position outputs
+    # assemble per-position outputs; the indel model depends only on
+    # n_inf (<= 40), so its gq/PL values come from precomputed tables
     gls3 = np.stack([gl0, np.minimum(gl0, gl1), np.minimum(gl0, gl2)], axis=1)
-    indel_gls = INDEL_PLS[n_inf]
-    # gq log10 for both models, vectorized
-    def gq_log10(g):
-        qual = g[:, 0] - np.maximum(g[:, 1], g[:, 2])
-        mx = np.max(g, axis=1, keepdims=True)
-        norm = 10.0 ** (g - mx)
-        total = np.sum(norm, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            alt_val = np.log10(1 - norm[:, 0] / total)
-        return np.where(qual < 0, alt_val, -qual)
-
     gq_snp = gq_log10(gls3)
-    gq_ind = gq_log10(indel_gls)
+    gq_ind = _indel_gq_log10_table()[n_inf]
     use_indel = gq_ind > gq_snp
-    least = np.where(use_indel[:, None], indel_gls, gls3)
-    adjust = np.max(least, axis=1, keepdims=True)
-    pls = np.floor(np.minimum(-10 * (least - adjust), np.iinfo(np.int32).max) + 0.5).astype(np.int64)
-    pls_sorted = np.sort(pls, axis=1)
-    gq = np.minimum(pls_sorted[:, 1] - pls_sorted[:, 0], 99)
+    adjust = np.max(gls3, axis=1, keepdims=True)
+    pls_snp = np.floor(np.minimum(-10 * (gls3 - adjust),
+                                  np.iinfo(np.int32).max) + 0.5).astype(np.int64)
+    pls = np.where(use_indel[:, None], _indel_pls_table()[n_inf], pls_snp)
+    # 3-column second-smallest minus smallest without a full sort
+    m0 = np.min(pls, axis=1)
+    m2 = np.max(pls, axis=1)
+    m1 = pls[:, 0] + pls[:, 1] + pls[:, 2] - m0 - m2
+    gq = np.minimum(m1 - m0, 99)
 
     dp_arr = ref_depth + nonref_depth
     if as_runs:
