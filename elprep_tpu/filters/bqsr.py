@@ -378,46 +378,77 @@ class BaseRecalibrator:
         n = len(batch)
         if n == 0:
             return tables
+        nrg = len(cov_names)
+        ncyc = 2 * max_cycle + 1
         if pool is not None and n > 4096:
             from types import SimpleNamespace
 
             lite = SimpleNamespace(
                 ref=SimpleNamespace(offsets=self.ref.offsets), known=self.known)
-            preps = [p for p in pool.map_bqsr_prep(lite, header, batch, max_cycle)
-                     if p["m"] > 0]
+            # workers run prep AND the table build on their own chunk and
+            # return only the (tiny) partial tables — the int scatter-adds
+            # commute, so summing partials equals the whole-batch build
+            partials = pool.map_bqsr_tables(lite, header, batch, max_cycle,
+                                            self.ref.classes)
         else:
             p = prep_recalibrate_columns(self, header, batch, None, max_cycle)
             preps = [p] if p["m"] > 0 else []
-        if not preps:
-            return tables
-        # the device table build runs over FIXED-SIZE row slices: one
-        # compiled program reused across slices, bounded device buffers
-        # at WGS scale, and identical tables (scatter-adds commute)
-        nrg = len(cov_names)
-        ncyc = 2 * max_cycle + 1
+            partials = [accumulate_table_partials(preps, self.ref.classes,
+                                                  max_cycle, nrg)]
         max_abs_cycle = 0
-        for sl in _iter_prep_slices(preps, max_rows=1 << 17):
-            out = bqsr_ops.recalibrate_tables(
-                jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
-                jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
-                jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
-                jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
-                jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
-                jnp.asarray(self.ref.classes),
-                max_cycle=max_cycle, n_rg=nrg,
-            )
-            qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, mac = map(
-                np.asarray, out)
-            max_abs_cycle = max(max_abs_cycle, int(mac))
-            tables.qs_obs += qs_obs.reshape(nrg, NQUAL)
-            tables.qs_mism += qs_mism.reshape(nrg, NQUAL)
-            tables.cyc_obs += cyc_obs.reshape(nrg, NQUAL, ncyc)
-            tables.cyc_mism += cyc_mism.reshape(nrg, NQUAL, ncyc)
-            tables.ctx_obs += ctx_obs.reshape(nrg, NQUAL, NCTX)
-            tables.ctx_mism += ctx_mism.reshape(nrg, NQUAL, NCTX)
+        for part in partials:
+            if part is None:
+                continue
+            acc, mac = part
+            if acc is None:
+                max_abs_cycle = max(max_abs_cycle, mac)
+                continue
+            max_abs_cycle = max(max_abs_cycle, mac)
+            tables.qs_obs += acc[0].reshape(nrg, NQUAL)
+            tables.qs_mism += acc[1].reshape(nrg, NQUAL)
+            tables.cyc_obs += acc[2].reshape(nrg, NQUAL, ncyc)
+            tables.cyc_mism += acc[3].reshape(nrg, NQUAL, ncyc)
+            tables.ctx_obs += acc[4].reshape(nrg, NQUAL, NCTX)
+            tables.ctx_mism += acc[5].reshape(nrg, NQUAL, NCTX)
         if max_abs_cycle > max_cycle:
             raise ValueError("cycle value exceeds maximum cycle value")
         return tables
+
+
+def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
+                              max_cycle: int, n_rg: int,
+                              max_rows: int = 1 << 17):
+    """Run the device table build over FIXED-SIZE row slices of ``preps``
+    and sum the results: one compiled program reused across slices,
+    bounded device buffers at WGS scale, identical tables (scatter-adds
+    commute). Returns ``(six_flat_int32_arrays_or_None, max_abs_cycle)``.
+    Runs on whatever platform jax is configured for — the HC worker pool
+    calls this on CPU inside the worker processes so only the tiny table
+    partials cross the result pipes."""
+    import jax.numpy as jnp
+
+    acc = None
+    max_abs_cycle = 0
+    for sl in _iter_prep_slices(preps, max_rows=max_rows):
+        out = bqsr_ops.recalibrate_tables(
+            jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
+            jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
+            jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
+            jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
+            jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
+            jnp.asarray(ref_classes),
+            max_cycle=max_cycle, n_rg=n_rg,
+        )
+        arrs = [np.asarray(a) for a in out[:6]]
+        max_abs_cycle = max(max_abs_cycle, int(out[6]))
+        if acc is None:
+            # np.asarray of a CPU jax.Array is a READ-ONLY zero-copy
+            # view — the accumulator must own writable storage
+            acc = [a.copy() for a in arrs]
+        else:
+            for i in range(6):
+                acc[i] += arrs[i]
+    return acc, max_abs_cycle
 
 
 def _iter_prep_slices(preps: List[dict], max_rows: int):

@@ -73,11 +73,27 @@ def _worker_main(wid: int, req_q, res_q) -> None:
     _worker_loop(wid, req_q, res_q)
 
 
+def _attach_shm_array(name: str, shape, dtype):
+    """Attach a numpy view over a posix shared-memory segment created by
+    the main process. Spawned workers share the parent's resource
+    tracker process, so the attach-side register is a no-op on the
+    already-tracked name and the creator's unlink removes it exactly
+    once — do NOT unregister here (a second removal makes the tracker
+    print a KeyError)."""
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(name=name)
+    return shm, np.ndarray(shape, dtype=dtype, buffer=shm.buf)
+
+
 def _worker_loop(wid: int, req_q, res_q) -> None:
     try:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        from ..cli import _setup_jax_cache
+
+        _setup_jax_cache()
     except Exception:
         pass
     from .driver import genotype_region, prepare_region
@@ -85,6 +101,7 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
     params = None
     reference: bytes = b""
     bqsr_ctx = None
+    bqsr_shm, bqsr_classes = None, None
     # the worker's contiguous read block for the current span (reads are
     # shipped ONCE per span; activity chunks and regions slice locally)
     block_reads: list = []
@@ -139,17 +156,29 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 continue
             if kind == "bqsr_ctx":
                 # broadcast once per recalibrate call: known sites can be
-                # dbSNP-scale, so they must not ride along with every chunk
-                _, bqsr_ctx = msg
+                # dbSNP-scale, so they must not ride along with every
+                # chunk, and the flattened reference class codes arrive
+                # via shared memory (one copy for the whole process tree)
+                _, bqsr_ctx, classes_ref = msg
+                bqsr_classes = None  # drop the old view before its shm closes
+                if classes_ref[0] == "shm":
+                    bqsr_shm, bqsr_classes = _attach_shm_array(*classes_ref[1:])
+                else:
+                    bqsr_shm, bqsr_classes = None, classes_ref[1]
                 continue
             if kind == "bqsr_prep":
                 _, tid, sub_batch = msg
-                from ..filters.bqsr import prep_recalibrate_columns
+                from ..filters.bqsr import (accumulate_table_partials,
+                                            prep_recalibrate_columns,
+                                            rg_covariate_map)
 
                 recal_lite, hdr, max_cycle = bqsr_ctx
                 p = prep_recalibrate_columns(recal_lite, hdr, sub_batch, None,
                                              max_cycle)
-                res_q.put(("bqsr_prep_done", tid, p))
+                n_rg = len(set(rg_covariate_map(hdr).values()))
+                part = accumulate_table_partials(
+                    [p] if p["m"] > 0 else [], bqsr_classes, max_cycle, n_rg)
+                res_q.put(("bqsr_tables_done", tid, part))
                 continue
             if kind == "flush":
                 store.clear()
@@ -335,31 +364,59 @@ class HCWorkerPool:
             got += 1
         return out
 
-    def map_bqsr_prep(self, recal_lite, header, batch, max_cycle: int):
-        """Chunk the batch over the workers for the BQSR host prep
-        (eligibility + adaptor/soft-clip hard clipping + dense covariate
-        columns). Returns the per-chunk prep dicts in chunk order —
-        table scatter-adds are commutative, so chunked prep feeds the
-        same device reduction as whole-batch prep."""
-        n = len(batch)
-        for q in self.req_qs:
-            q.put(("bqsr_ctx", (recal_lite, header, max_cycle)))
-        chunk = max(1, (n + self.n - 1) // self.n)
-        tids = 0
-        for w, lo in enumerate(range(0, n, chunk)):
-            import numpy as _np
+    def map_bqsr_tables(self, recal_lite, header, batch, max_cycle: int,
+                        ref_classes):
+        """Chunk the batch over the workers for the BQSR table build:
+        each worker runs the host prep (eligibility + adaptor/soft-clip
+        hard clipping + covariate columns) AND the jitted table build on
+        its chunk, returning only the partial tables (a few hundred KB)
+        — per-read columns never cross the result pipes. The reference
+        class codes ship once via posix shared memory. Scatter-adds
+        commute, so summed partials equal the whole-batch build."""
+        shm = None
+        try:
+            from multiprocessing import shared_memory
 
-            sub = batch.select(_np.arange(lo, min(lo + chunk, n)))
-            self.req_qs[w % self.n].put(("bqsr_prep", tids, sub))
-            tids += 1
-        out = [None] * tids
-        got = 0
-        while got < tids:
-            msg = self._recv()
-            assert msg[0] == "bqsr_prep_done", msg[0]
-            out[msg[1]] = msg[2]
-            got += 1
-        return out
+            arr = np.ascontiguousarray(ref_classes)
+            shm = shared_memory.SharedMemory(create=True,
+                                             size=max(1, arr.nbytes))
+            np.ndarray(arr.shape, dtype=arr.dtype, buffer=shm.buf)[...] = arr
+            classes_ref = ("shm", shm.name, arr.shape, arr.dtype)
+        except Exception:
+            if shm is not None:
+                shm.close()
+                shm.unlink()
+                shm = None
+            classes_ref = ("inline", ref_classes)
+        try:
+            n = len(batch)
+            chunk = max(1, (n + self.n - 1) // self.n)
+            n_chunks = (n + chunk - 1) // chunk
+            # ctx goes ONLY to workers that receive a chunk: each such
+            # worker attaches the shm before replying, and the main
+            # process unlinks only after every reply — so no worker can
+            # attach after the unlink (an idle worker might dequeue its
+            # ctx arbitrarily late)
+            for w in range(min(n_chunks, self.n)):
+                self.req_qs[w].put(("bqsr_ctx", (recal_lite, header, max_cycle),
+                                    classes_ref))
+            tids = 0
+            for w, lo in enumerate(range(0, n, chunk)):
+                sub = batch.select(np.arange(lo, min(lo + chunk, n)))
+                self.req_qs[w % self.n].put(("bqsr_prep", tids, sub))
+                tids += 1
+            out = [None] * tids
+            got = 0
+            while got < tids:
+                msg = self._recv()
+                assert msg[0] == "bqsr_tables_done", msg[0]
+                out[msg[1]] = msg[2]
+                got += 1
+            return out
+        finally:
+            if shm is not None:
+                shm.close()
+                shm.unlink()
 
     def process_regions(self, params, regions, deletions, use_device_pairhmm):
         """Yield (region, variants, deletions) in region order.

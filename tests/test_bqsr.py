@@ -206,3 +206,49 @@ def test_prep_native_matches_python_fallback(setup, monkeypatch):
     for key in ("base", "qual", "skip", "seq_len", "flag", "pos", "rg",
                 "refoff", "op_class", "op_len"):
         assert np.array_equal(fast[key], slow[key]), key
+
+
+def test_pooled_recalibrate_matches_serial(setup):
+    """The worker-pool table build (workers prep their chunk, run the
+    jitted table build on CPU, and return only partial tables through
+    the result pipes) must produce exactly the serial tables — the
+    scatter-adds are commutative int sums."""
+    from elprep_tpu.hc.parallel import get_pool
+
+    genome, ref, sites, hdr, _batch, known = setup
+    reads = reads_from_genome(5000, CONTIGS, genome, seed=11, rg_ids=RG_IDS)
+    header_lines = make_header_lines(CONTIGS, rgs=RGS)
+    sam = ("\n".join(header_lines + reads) + "\n").encode()
+    hdr2, big = parse_sam(sam)
+    add_refid(hdr2)(big)
+
+    recal = BaseRecalibrator([sites], ref)
+    serial = recal.recalibrate(hdr2, big, MAX_CYCLE)
+    pool = get_pool(2)
+    if pool is None:
+        pytest.skip("worker pool unavailable")
+    pooled = recal.recalibrate(hdr2, big, MAX_CYCLE, pool=pool)
+    assert pooled.rg_names == serial.rg_names
+    for k in ("qs_obs", "qs_mism", "cyc_obs", "cyc_mism", "ctx_obs",
+              "ctx_mism"):
+        np.testing.assert_array_equal(getattr(pooled, k), getattr(serial, k),
+                                      err_msg=k)
+
+
+def test_accumulate_partials_multi_slice(setup):
+    """Forcing multiple fixed-size slices (the WGS-scale path) must sum
+    to the single-slice tables — regression for the read-only jax view
+    reaching the accumulator's +=."""
+    from elprep_tpu.filters.bqsr import (accumulate_table_partials,
+                                         prep_recalibrate_columns)
+
+    genome, ref, sites, hdr, batch, known = setup
+    recal = BaseRecalibrator([sites], ref)
+    p = prep_recalibrate_columns(recal, hdr, batch, None, MAX_CYCLE)
+    assert p["n_real"] > 128
+    one, mac1 = accumulate_table_partials([p], ref.classes, MAX_CYCLE, 3)
+    many, mac2 = accumulate_table_partials([p], ref.classes, MAX_CYCLE, 3,
+                                           max_rows=128)
+    assert mac1 == mac2
+    for a, b in zip(one, many):
+        np.testing.assert_array_equal(a, b)
