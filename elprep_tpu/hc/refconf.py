@@ -957,6 +957,18 @@ class RefBlockBatch:
     def format_lines(self) -> str:
         """Vectorized text form — byte-identical to formatting each
         expanded Variant through io.vcf.format_variant's fast path."""
+        return self.format_bytes().decode("latin-1")
+
+    def format_bytes(self) -> bytes:
+        """Text form as bytes; the hot path is the native one-pass
+        formatter (gvcf_format_blocks in elprep_native.cpp)."""
+        from .. import native
+
+        fast = native.gvcf_format_blocks(
+            self.chrom.encode(), self.ref_base, self.pos, self.end,
+            self.dp, self.gq, self.min_dp, self.pls)
+        if fast is not None:
+            return fast
         c = self.chrom
         rb = self.ref_base.tobytes().decode("latin-1")
         return "".join(
@@ -964,7 +976,8 @@ class RefBlockBatch:
             % (c, p, rb[k], e, d, q, m, p0, p1, p2)
             for k, (p, e, d, q, m, (p0, p1, p2)) in enumerate(
                 zip(self.pos.tolist(), self.end.tolist(), self.dp.tolist(),
-                    self.gq.tolist(), self.min_dp.tolist(), self.pls.tolist())))
+                    self.gq.tolist(), self.min_dp.tolist(),
+                    self.pls.tolist()))).encode("latin-1")
 
 
 def expand_variants(variants) -> List[Variant]:

@@ -315,13 +315,26 @@ def format_header(hdr: VcfHeader) -> str:
     return "\n".join(lines) + "\n"
 
 
+def iter_variant_bytes(variants):
+    """Yield VCF text bytes for a writer-ready variants list. Columnar
+    batches of GVCF reference blocks (hc.refconf.RefBlockBatch) format
+    themselves in one native pass (format_bytes); runs of plain Variant
+    records between batches join+encode as one chunk."""
+    parts: List[str] = []
+    for v in variants:
+        if hasattr(v, "format_bytes"):
+            if parts:
+                yield "".join(parts).encode()
+                parts = []
+            yield v.format_bytes()
+        else:
+            parts.append(format_variant(v))
+    if parts:
+        yield "".join(parts).encode()
+
+
 def format_vcf(hdr: VcfHeader, variants: List[Variant]) -> bytes:
-    # entries may be columnar batches of GVCF reference blocks
-    # (hc.refconf.RefBlockBatch) that format themselves vectorized
-    body = format_header(hdr) + "".join(
-        v.format_lines() if hasattr(v, "format_lines") else format_variant(v)
-        for v in variants)
-    return body.encode()
+    return format_header(hdr).encode() + b"".join(iter_variant_bytes(variants))
 
 
 # ---------------------------------------------------------------------------
@@ -576,9 +589,8 @@ class StreamingVcfWriter:
             self.f.write(data)
 
     def write_variants(self, variants) -> None:
-        self._write("".join(
-            v.format_lines() if hasattr(v, "format_lines") else format_variant(v)
-            for v in variants).encode())
+        for chunk in iter_variant_bytes(variants):
+            self._write(chunk)
 
     def close(self) -> None:
         if self._bgzf is not None:

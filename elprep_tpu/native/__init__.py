@@ -71,6 +71,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_longlong,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.gvcf_format_blocks.restype = ctypes.c_longlong
+    lib.gvcf_format_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ctypes.c_void_p, ctypes.c_longlong]
     lib.assembly_try.restype = ctypes.c_longlong
     lib.assembly_try.argtypes = [
         ctypes.c_char_p, ctypes.c_longlong,          # ref
@@ -439,6 +445,31 @@ def sam_format_alignments(qname, flag, rname_id, pos, mapq,
                          i64(ends).ctypes.data, final_off.ctypes.data,
                          n, final.ctypes.data, _DEFAULT_THREADS[0])
     return final
+
+
+def gvcf_format_blocks(chrom: bytes, ref_base, pos, end, dp, gq, min_dp,
+                       pls) -> "Optional[bytes]":
+    """Format a columnar batch of GVCF reference-block records to VCF
+    text bytes (identical to the per-record Python %-format). Returns
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(pos)
+    if n == 0:
+        return b""
+    i64 = lambda a: np.ascontiguousarray(a, np.int64)
+    pos, end, dp, gq, min_dp, pls = map(i64, (pos, end, dp, gq, min_dp, pls))
+    rb = np.ascontiguousarray(ref_base, np.uint8)
+    cap = n * (len(chrom) + 7 * 20 + 64) + 64
+    out = np.empty(cap, np.uint8)
+    written = lib.gvcf_format_blocks(
+        chrom, len(chrom), rb.ctypes.data, pos.ctypes.data, end.ctypes.data,
+        dp.ctypes.data, gq.ctypes.data, min_dp.ctypes.data, pls.ctypes.data,
+        n, out.ctypes.data, cap)
+    if written < 0:
+        raise ValueError("gvcf_format_blocks: capacity underestimated")
+    return out[:written].tobytes()
 
 
 def refconf_informative(read_bases: bytes, read_quals: bytes, read_start: int,

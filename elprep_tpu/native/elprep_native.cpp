@@ -954,3 +954,66 @@ double x86_log10(double x) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GVCF reference-block formatter
+//
+// Emits the fixed-shape reference-block records the GVCF writer
+// produces for banded ref confidence (reference record shape:
+// variant-combiner.go:183-212):
+//   CHROM\tPOS\t.\tREF\t<NON_REF>\t.\t.\tEND=end\tGT:DP:GQ:MIN_DP:PL\t0/0:dp:gq:min_dp:p0,p1,p2\n
+// Formatting millions of these through per-record Python %-interpolation
+// dominates the HC write path; this emits the identical bytes in one
+// pass.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char* put_i64(char* p, long long v) {
+  if (v < 0) { *p++ = '-'; v = -v; }
+  char tmp[20];
+  int n = 0;
+  do { tmp[n++] = (char)('0' + (v % 10)); v /= 10; } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns bytes written, or -1 if cap is too small.
+long long gvcf_format_blocks(const char* chrom, long long chrom_len,
+                             const unsigned char* ref_base,
+                             const long long* pos, const long long* end,
+                             const long long* dp, const long long* gq,
+                             const long long* min_dp, const long long* pls,
+                             long long n, char* out, long long cap) {
+  static const char kMid[] = "\t.\t";
+  static const char kAlt[] = "\t<NON_REF>\t.\t.\tEND=";
+  static const char kFmt[] = "\tGT:DP:GQ:MIN_DP:PL\t0/0:";
+  char* p = out;
+  char* lim = out + cap;
+  // worst case per row: chrom + 7*20 digits + fixed text (~50)
+  const long long row_bound = chrom_len + 7 * 20 + 64;
+  for (long long k = 0; k < n; k++) {
+    if (lim - p < row_bound) return -1;
+    memcpy(p, chrom, chrom_len); p += chrom_len;
+    *p++ = '\t';
+    p = put_i64(p, pos[k]);
+    memcpy(p, kMid, 3); p += 3;
+    *p++ = (char)ref_base[k];
+    memcpy(p, kAlt, sizeof(kAlt) - 1); p += sizeof(kAlt) - 1;
+    p = put_i64(p, end[k]);
+    memcpy(p, kFmt, sizeof(kFmt) - 1); p += sizeof(kFmt) - 1;
+    p = put_i64(p, dp[k]); *p++ = ':';
+    p = put_i64(p, gq[k]); *p++ = ':';
+    p = put_i64(p, min_dp[k]); *p++ = ':';
+    p = put_i64(p, pls[3 * k]); *p++ = ',';
+    p = put_i64(p, pls[3 * k + 1]); *p++ = ',';
+    p = put_i64(p, pls[3 * k + 2]); *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"

@@ -300,3 +300,41 @@ def test_jacobian_index_nonfinite():
     idx = tables.jacobian_index(diff)
     assert idx.dtype == np.int64
     assert (idx >= 0).all() and (idx < len(tables.JACOBIAN_LOG_TABLE)).all()
+
+
+def test_native_gvcf_formatter_matches_python_fallback():
+    """gvcf_format_blocks (elprep_native.cpp) must emit exactly the
+    bytes of RefBlockBatch's Python %-format fallback, including
+    extreme field widths and an empty batch."""
+    from elprep_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        n = [0, 1, rng.randint(2, 60)][min(trial, 2) if trial < 3
+                                       else 2]
+        chrom = ["1", "chrUn_KI270752v1", "chrM"][trial % 3]
+        b = refconf.RefBlockBatch.__new__(refconf.RefBlockBatch)
+        b.chrom = chrom
+        b.ref_base = rng.randint(65, 90, n).astype(np.uint8)
+        b.pos = rng.choice([1, 9, 10, 99999999, 2**31 - 1],
+                           n).astype(np.int64)
+        b.end = rng.choice([1, 248956422, 2**31 - 1], n).astype(np.int64)
+        b.dp = rng.randint(0, 100000, n).astype(np.int64)
+        b.gq = rng.randint(0, 100, n).astype(np.int64)
+        b.min_dp = rng.randint(0, 100000, n).astype(np.int64)
+        b.pls = rng.randint(0, 10**7, (n, 3)).astype(np.int64)
+        fast = native.gvcf_format_blocks(
+            chrom.encode(), b.ref_base, b.pos, b.end, b.dp, b.gq,
+            b.min_dp, b.pls)
+        rb = b.ref_base.tobytes().decode("latin-1")
+        slow = "".join(
+            "%s\t%d\t.\t%s\t<NON_REF>\t.\t.\tEND=%d"
+            "\tGT:DP:GQ:MIN_DP:PL\t0/0:%d:%d:%d:%d,%d,%d\n"
+            % (chrom, p, rb[k], e, d, q, m, p0, p1, p2)
+            for k, (p, e, d, q, m, (p0, p1, p2)) in enumerate(
+                zip(b.pos.tolist(), b.end.tolist(), b.dp.tolist(),
+                    b.gq.tolist(), b.min_dp.tolist(),
+                    b.pls.tolist()))).encode("latin-1")
+        assert fast == slow
