@@ -56,6 +56,7 @@ from .refconf import (
     VariantCombiner,
     calculate_ref_confidence,
     concat_ref_runs,
+    native_ref_model_for_no_variation,
     reference_model_for_no_variation,
     reference_variant_to_full,
 )
@@ -276,14 +277,21 @@ class PendingRegion:
 
 
 def prepare_region(params: HCParams, region: AssemblyRegion,
-                   preclip: "dict | None" = None
+                   preclip: "dict | None" = None,
+                   span_cols: "dict | None" = None,
+                   span_rows: "np.ndarray | None" = None,
+                   span_reference: bytes = b"",
                    ) -> Tuple[Optional[List[SingleVariant]],
                               Optional[PendingRegion]]:
     """Host stage of call_region up to the PairHMM inputs: finalize,
     assemble, trim. Returns (terminal_variants, None) when the region
     exits through the reference model (deletions flow through
     unchanged), else (None, pending). ``preclip`` forwards to
-    finalize_assembly_region (native per-block pre-clipping)."""
+    finalize_assembly_region (native per-block pre-clipping).
+    ``span_cols``/``span_rows``/``span_reference`` (the worker block's
+    columnar post-preclip arrays plus this region's candidate row
+    indices) enable the native one-call ref model on no-variation
+    regions (native.refconf_region; hc/refconf.py is the oracle)."""
     gvcf = params.confidence_mode != "NONE"
     variants: List[SingleVariant] = []
 
@@ -296,6 +304,12 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
     if not region.is_active or not region.reads:
         if params.confidence_mode == "NONE":
             return variants, None
+        if span_cols is not None and span_rows is not None:
+            got = native_ref_model_for_no_variation(
+                params, variants, region, span_cols, span_rows,
+                span_reference)
+            if got is not None:
+                return got, None
         finalize_assembly_region(region, params, preclip)
         return ref_model_exit(region)
     finalize_assembly_region(region, params, preclip)

@@ -106,8 +106,20 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
     # shipped ONCE per span; activity chunks and regions slice locally)
     block_reads: list = []
     preclip = None
+    span_cols = None
     block_positions = None
+    block_ends = None
     max_ref_len = 0
+
+    def _slice_rows(region_start: int, region_end: int) -> np.ndarray:
+        """Vectorized aln_slice (haploutils.go:191-209): row indices of
+        block reads overlapping the region — identical selection to
+        activity.aln_slice, with the per-read read_end precomputed once
+        per span instead of per region."""
+        lowest = region_start - max_ref_len + 1
+        j = int(np.searchsorted(block_positions, lowest, side="left"))
+        k = int(np.searchsorted(block_positions, region_end, side="right"))
+        return j + np.flatnonzero(block_ends[j:k] >= region_start)
     # rid -> (pickled original region, pending, vals, keep)
     store: Dict[int, list] = {}
 
@@ -131,13 +143,20 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     # ClipReads materialize here (once per span), and the
                     # region-independent finalize clipping runs natively
                     # over the whole block in the same pass
-                    from .readblock import preclip_templates
+                    from .readblock import preclip_block
 
                     block_reads = payload.materialize()
-                    preclip = preclip_templates(payload, block_reads, params)
+                    preclip, span_cols = preclip_block(payload, block_reads,
+                                                       params)
+                    block_ends = payload.ends()
                 else:
                     block_reads = payload
-                    preclip = None
+                    preclip, span_cols = None, None
+                    from .activity import read_end as _read_end
+
+                    block_ends = np.fromiter(
+                        (_read_end(r) for r in block_reads), np.int64,
+                        len(block_reads))
                 block_positions = np.fromiter((r.pos for r in block_reads),
                                               np.int64, len(block_reads))
                 continue
@@ -145,11 +164,10 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 # slice the chunk's reads from the local block with the
                 # exact arguments the serial driver uses
                 _, tid, cs, ce = msg
-                from .activity import aln_slice, compute_activity
+                from .activity import compute_activity
 
-                reads, _ = aln_slice(block_reads, cs + 1 - max_ref_len,
-                                     ce + 1, max_ref_len,
-                                     positions=block_positions)
+                reads = [block_reads[i]
+                         for i in _slice_rows(cs + 1 - max_ref_len, ce + 1)]
                 ia, hm = compute_activity(reads, reference, cs + 1, ce + 1,
                                           params)
                 res_q.put(("act_done", tid, ia, hm))
@@ -185,8 +203,6 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 continue
             if kind == "prep":
                 _, task_id, items = msg
-                from .activity import aln_slice as _aln_slice
-
                 out = []
                 for rid, region in items:
                     # snapshot BEFORE attaching the contig reference or
@@ -195,12 +211,12 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     # copied into the per-region snapshot)
                     raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
                     region.reference = reference
-                    region.reads, _ = _aln_slice(
-                        block_reads, region.padded_start(),
-                        region.padded_end(), max_ref_len,
-                        positions=block_positions)
-                    terminal, pending = prepare_region(params, region,
-                                                       preclip)
+                    rows = _slice_rows(region.padded_start(),
+                                       region.padded_end())
+                    region.reads = [block_reads[i] for i in rows]
+                    terminal, pending = prepare_region(
+                        params, region, preclip, span_cols=span_cols,
+                        span_rows=rows, span_reference=reference)
                     if pending is None:
                         out.append((rid, "term", terminal))
                     else:
@@ -223,15 +239,14 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 # true incoming deletions; prepare is deterministic so
                 # the stored PairHMM values still apply
                 _, rid, incoming = msg
-                from .activity import aln_slice as _aln_slice
-
                 ent = store[rid]
                 region = pickle.loads(ent[0])
                 region.reference = reference
-                region.reads, _ = _aln_slice(
-                    block_reads, region.padded_start(), region.padded_end(),
-                    max_ref_len, positions=block_positions)
-                _terminal, pending = prepare_region(params, region, preclip)
+                rows = _slice_rows(region.padded_start(), region.padded_end())
+                region.reads = [block_reads[i] for i in rows]
+                _terminal, pending = prepare_region(
+                    params, region, preclip, span_cols=span_cols,
+                    span_rows=rows, span_reference=reference)
                 assert pending is not None, "redo of a terminal region"
                 variants, outgoing = genotype_region(params, pending, ent[2],
                                                      ent[3], list(incoming))

@@ -134,19 +134,28 @@ class ContigReadBlock:
 
 
 def preclip_templates(block: ContigReadBlock, block_reads, params):
+    """Back-compat wrapper over :func:`preclip_block` (templates only)."""
+    templates, _cols = preclip_block(block, block_reads, params)
+    return templates
+
+
+def preclip_block(block: ContigReadBlock, block_reads, params):
     """Run the region-independent finalize clipping steps (low-qual ends,
     soft-clip handling, adaptor; haplotypecaller.go:410-443) ONCE over
     the whole block via the native clip engine. Returns
-    {id(block_read): template ClipRead} for finalize_assembly_region's
-    ``preclip`` argument, or None when the native lib is unavailable
-    (callers then fall back to the per-region Python chain)."""
+    ``(templates, cols)``: {id(block_read): template ClipRead} for
+    finalize_assembly_region's ``preclip`` argument, plus the columnar
+    post-clip arrays consumed by the native refconf region engine
+    (native.refconf_region). Both are None when the native lib is
+    unavailable (callers then fall back to the per-region Python
+    chain)."""
     from .. import native
 
     n = len(block)
     if n == 0:
-        return {}
+        return {}, None
     if not native.available() or os.environ.get("ELPREP_TPU_NO_NATIVE_CLIP"):
-        return None
+        return None, None
     modes = native.CLIP_LOWQ_ENDS | native.CLIP_ADAPTOR_IF_MAPPED
     modes |= (native.CLIP_SOFT_OR_REVERT if params.use_soft_clipped_bases
               else native.CLIP_SOFTCLIP)
@@ -160,7 +169,26 @@ def preclip_templates(block: ContigReadBlock, block_reads, params):
         block.qual.data, block.qual.offsets, rname_star, rnext_star,
         modes, lowq=params.min_base_qual - 1)
     if got is None:
-        return None
+        return None, None
+    # columnar context for the native refconf region engine: the
+    # post-preclip read columns plus block-level lookups computed once
+    names = block.names if block.names else [b""]
+    name_bad = np.array([nm != b"=" and nm != block.contig for nm in names],
+                        np.uint8)
+    bad_mate = (((block.flag & 0x1) != 0) & ((block.flag & 0x8) == 0)
+                & (name_bad[block.rnext_id] != 0)).astype(np.uint8)
+    qrank = np.unique(block.qname, return_inverse=True)[1].astype(np.int32)
+    cols = dict(
+        flag=got["flag"], pos=got["pos"], mapq=got["mapq"],
+        n_ops=got["n_ops"], cig_base=np.ascontiguousarray(got["cig_base"]),
+        lens=got["lens"], ops=got["ops"],
+        bstart=got["bstart"], blen=got["blen"],
+        pnext=np.ascontiguousarray(block.pnext, np.int32),
+        tlen=np.ascontiguousarray(block.tlen, np.int32),
+        qrank=qrank, bad_mate=bad_mate,
+        seq_data=block.seq.data, seq_off=block.seq.offsets,
+        qual_data=block.qual.data, qual_off=block.qual.offsets,
+    )
     ops_s = got["ops"].tobytes().decode("latin1")
     lens = got["lens"]
     cig_base, n_ops = got["cig_base"], got["n_ops"]
@@ -179,7 +207,7 @@ def preclip_templates(block: ContigReadBlock, block_reads, params):
             rname=orig.rname, rnext=orig.rnext, qname=orig.qname,
             row=orig.row, base_start=orig.base_start + bs)
         out[id(orig)] = t
-    return out
+    return out, cols
 
 
 def downsample_block(block: ContigReadBlock, params) -> ContigReadBlock:

@@ -9,6 +9,7 @@ combiner with GQ bands, median DP and min PLs (variant-combiner.go:141-263).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -17,7 +18,14 @@ import numpy as np
 from ..io.vcf import Genotype, Variant
 from ..filters.clipping import ClipRead, compute_adaptor_boundary
 from . import tables
-from .activity import AssemblyRegion, HCParams, filter_non_passing_reads, read_end
+from .activity import (
+    READ_LENGTH_FILTER_THRESHOLD,
+    READ_QUALITY_FILTER_THRESHOLD,
+    AssemblyRegion,
+    HCParams,
+    filter_non_passing_reads,
+    read_end,
+)
 from .genotyping import (
     LOG10_ONE,
     LOG10_PLOIDY,
@@ -497,6 +505,71 @@ def reference_model_for_no_variation(params: HCParams, variants: List[SingleVari
     return calculate_ref_confidence(params, variants, region, region.reads, None,
                                     gvcf_mode,
                                     as_runs=params.confidence_mode == "GVCF")
+
+
+_NATIVE_RC_CTX: list = []
+
+
+def _native_rc_tables() -> tuple:
+    """(params_i, tables_d) singletons for native.refconf_region."""
+    if not _NATIVE_RC_CTX:
+        params_i = dict(min_read_len=READ_LENGTH_FILTER_THRESHOLD,
+                        min_mapq=READ_QUALITY_FILTER_THRESHOLD,
+                        max_informative=MAX_INDEL_INFORMATIVE_READS,
+                        max_qual=tables.MAX_QUAL, max_indel=0)
+        tables_d = dict(
+            qual2prob=np.ascontiguousarray(tables.QUAL_TO_PROB_LOG10,
+                                           np.float64),
+            jac=np.ascontiguousarray(tables.JACOBIAN_LOG_TABLE, np.float64),
+            jac_step=float(tables.JACOBIAN_LOG_STEP),
+            jac_max_tol=float(tables.JACOBIAN_LOG_MAX_TOLERANCE),
+            log10_ploidy=float(LOG10_PLOIDY),
+            log10_one_third=float(LOG10_ONE_THIRD),
+            indel_gq=np.ascontiguousarray(_indel_gq_log10_table(), np.float64),
+            indel_pls=np.ascontiguousarray(_indel_pls_table(), np.int64),
+            base_mask=np.ascontiguousarray(BASE_TO_MASK, np.int64),
+        )
+        _NATIVE_RC_CTX.extend([params_i, tables_d])
+    return _NATIVE_RC_CTX[0], _NATIVE_RC_CTX[1]
+
+
+def native_ref_model_for_no_variation(params: HCParams,
+                                      variants: List[SingleVariant],
+                                      region: AssemblyRegion,
+                                      span_cols: dict, rows: np.ndarray,
+                                      reference: bytes):
+    """Native one-call replacement for finalize_assembly_region +
+    reference_model_for_no_variation on a no-variation region whose
+    candidate reads are the block rows ``rows``. Returns the extended
+    ``variants`` list, or None to fall back to the Python path (which is
+    the oracle; tests fuzz both for bit equality)."""
+    if os.environ.get("ELPREP_TPU_NO_NATIVE_REFCONF"):
+        return None
+    from .. import native
+
+    low, high = region.start, region.end + 1
+    if high - low <= 0 or high <= 1:
+        return variants  # oracle early-out: no blocks at all
+    params_i, tables_d = _native_rc_tables()
+    params_i = dict(params_i,
+                    max_indel=params.indel_size_to_eliminate_in_ref_model)
+    got = native.refconf_region(rows, span_cols, region.padded_start(),
+                                region.padded_end(), low, high, reference,
+                                params_i, tables_d)
+    if got is None:
+        return None
+    ad_ref, ad_nonref, pls, gq = got
+    dp = ad_ref + ad_nonref
+    if params.confidence_mode == "GVCF":
+        variants.append(RefRun(low, dp, ad_ref, ad_nonref, pls, gq))
+        return variants
+    for p in range(high - low):
+        variants.append(SingleVariant(
+            location=low + p, dp=int(dp[p]),
+            ad=(int(ad_ref[p]), int(ad_nonref[p])),
+            pls=(int(pls[p, 0]), int(pls[p, 1]), int(pls[p, 2])),
+            gq=int(gq[p])))
+    return variants
 
 
 # ---------------------------------------------------------------------------

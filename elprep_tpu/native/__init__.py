@@ -496,6 +496,59 @@ def refconf_informative(read_bases: bytes, read_quals: bytes, read_start: int,
     return out[:read_length].astype(bool)
 
 
+def refconf_region(rows, cols: dict, padded_start: int, padded_end: int,
+                   low: int, high: int, ref: bytes, params_i: dict,
+                   tables_d: dict):
+    """Whole no-variation-region GVCF reference model in one native call
+    (oracle: hc/refconf.py reference_model_for_no_variation). ``cols``
+    holds the per-block columnar arrays (see hc/readblock.preclip_block);
+    ``params_i`` the integer params; ``tables_d`` the float tables.
+    Returns (ad_ref, ad_nonref, pls[n,3], gq) int64 arrays, or None when
+    the native lib is unavailable or the oracle path would raise."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "refconf_region_columnar"):
+        return None
+    if lib.refconf_region_columnar.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        D = ctypes.c_double
+        lib.refconf_region_columnar.restype = L
+        lib.refconf_region_columnar.argtypes = (
+            [L, P] + [P] * 17 + [L, L, L, L] + [ctypes.c_char_p, L]
+            + [L] * 5 + [P, P, L, D, D, D, D, P, P, P] + [P] * 4)
+    rows = np.ascontiguousarray(rows, np.int64)
+    n_pos = high - low
+    ad_ref = np.zeros(n_pos, np.int64)
+    ad_nonref = np.zeros(n_pos, np.int64)
+    pls = np.zeros(n_pos * 3, np.int64)
+    gq = np.zeros(n_pos, np.int64)
+    rc = lib.refconf_region_columnar(
+        len(rows), rows.ctypes.data,
+        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
+        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
+        cols["mapq"].ctypes.data, cols["qrank"].ctypes.data,
+        cols["bad_mate"].ctypes.data, cols["n_ops"].ctypes.data,
+        cols["cig_base"].ctypes.data, cols["lens"].ctypes.data,
+        cols["ops"].ctypes.data, cols["seq_data"].ctypes.data,
+        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
+        cols["qual_off"].ctypes.data, cols["bstart"].ctypes.data,
+        cols["blen"].ctypes.data,
+        padded_start, padded_end, low, high, ref, len(ref),
+        params_i["max_indel"], params_i["min_read_len"],
+        params_i["min_mapq"], params_i["max_informative"],
+        params_i["max_qual"],
+        tables_d["qual2prob"].ctypes.data, tables_d["jac"].ctypes.data,
+        len(tables_d["jac"]), tables_d["jac_step"], tables_d["jac_max_tol"],
+        tables_d["log10_ploidy"], tables_d["log10_one_third"],
+        tables_d["indel_gq"].ctypes.data, tables_d["indel_pls"].ctypes.data,
+        tables_d["base_mask"].ctypes.data,
+        ad_ref.ctypes.data, ad_nonref.ctypes.data, pls.ctypes.data,
+        gq.ctypes.data)
+    if rc != 0:
+        return None
+    return ad_ref, ad_nonref, pls.reshape(n_pos, 3), gq
+
+
 def x86_log10(x: float):
     """Java-parity x87 log10 (reference: pedantic.go:29-52), or None."""
     lib = get_lib()

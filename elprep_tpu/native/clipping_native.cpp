@@ -629,3 +629,396 @@ int64_t clip_reads_columnar(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native GVCF reference-confidence region engine.
+//
+// One call runs the whole no-variation region path for a region's reads:
+// finalize_assembly_region's region clip + coordinate sort + overlapping
+// mate reconciliation (haplotypecaller.go:410-443, haploutils.go:368-430),
+// filterNonPassingReads (haploutils.go:437-455), and calculateRefConfidence
+// (ref-confidence.go:266-361) — producing the per-position DP/AD/PL/GQ
+// columns that hc/refconf.py turns into RefRun GVCF blocks.
+//
+// hc/refconf.py's calculate_ref_confidence remains the ORACLE
+// (tests/test_refconf_native.py fuzzes both against each other;
+// ELPREP_TPU_NO_NATIVE_REFCONF=1 forces the Python engine). Float
+// accumulation order matches the oracle's np.add.reduceat exactly:
+// per-position contributions add in coordinate-sorted read order.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <cmath>
+#include <unordered_map>
+
+extern "C" void refconf_informative(
+    const uint8_t* read_bases, int64_t rb_len, const uint8_t* read_quals,
+    int64_t read_start, const uint8_t* ref, int64_t ref_index,
+    int64_t padded_end, int64_t read_length, int64_t max_indel,
+    const int64_t* base_mask, uint8_t* out);
+
+namespace {
+
+struct RcRead {
+  Rd rd;
+  const uint8_t* seq0;  // original read seq bytes (window = rd.bstart/blen)
+  int32_t qrank;
+  uint8_t bad_mate;
+  std::vector<uint8_t> local_qual;  // window-relative copy when pair-cleaned
+  bool has_local = false;
+
+  const uint8_t* seq() const { return seq0 + rd.bstart; }
+  const uint8_t* qual() const {
+    return has_local ? local_qual.data() : rd.qual0 + rd.bstart;
+  }
+  uint8_t* mut_qual() {
+    if (!has_local) {
+      local_qual.assign(rd.qual0 + rd.bstart, rd.qual0 + rd.bstart + rd.blen);
+      has_local = true;
+    }
+    return local_qual.data();
+  }
+};
+
+// (activity.py:934-963)
+bool rc_clean_overlapping_pair(RcRead* a, RcRead* b) {
+  RcRead* r1 = a;
+  RcRead* r2 = b;
+  int64_t s1 = soft_start(r1->rd);
+  int64_t s2 = soft_start(r2->rd);
+  if (s1 >= s2) std::swap(r1, r2);
+  if (read_end(r1->rd) < r2->rd.pos) return true;
+  int64_t read_bases;
+  bool falls;
+  compute_read_coordinate_for_reference_coordinate(
+      r1->rd.cig, soft_start(r1->rd), r2->rd.pos, &read_bases, &falls);
+  if (read_bases == -1) return false;  // oracle raises ValueError
+  if (falls) read_bases += 1;
+  int64_t n_overlap = r1->rd.blen - read_bases;
+  if (r2->rd.blen < n_overlap) n_overlap = r2->rd.blen;
+  if (n_overlap > 0) {
+    const uint8_t* s1b = r1->seq();
+    const uint8_t* s2b = r2->seq();
+    uint8_t* q1 = r1->mut_qual();
+    uint8_t* q2 = r2->mut_qual();
+    const uint8_t HALF_PCR = 20;  // HALF_PCR_SNV_ERROR_QUAL
+    for (int64_t i2 = 0; i2 < n_overlap; i2++) {
+      int64_t i1 = read_bases + i2;
+      if (s1b[i1] == s2b[i2]) {
+        if (q1[i1] > HALF_PCR) q1[i1] = HALF_PCR;
+        if (q2[i2] > HALF_PCR) q2[i2] = HALF_PCR;
+      } else {
+        q1[i1] = 0;
+        q2[i2] = 0;
+      }
+    }
+  }
+  return true;
+}
+
+// refconf.py:287-303 (_bases_and_quals_one_to_one)
+void rc_one_to_one(const RcRead& r, std::vector<uint8_t>& ob,
+                   std::vector<uint8_t>& oq) {
+  bool has_indel = false;
+  for (const auto& e : r.rd.cig)
+    if (e.op == 'I' || e.op == 'D') { has_indel = true; break; }
+  if (!has_indel) {
+    ob.assign(r.seq(), r.seq() + r.rd.blen);
+    oq.assign(r.qual(), r.qual() + r.rd.blen);
+    return;
+  }
+  ob.clear();
+  oq.clear();
+  int64_t pos = 0;
+  for (const auto& e : r.rd.cig) {
+    if (read_consumes(e.op)) {
+      int64_t end = pos + e.len;
+      if (ref_consumes(e.op)) {
+        ob.insert(ob.end(), r.seq() + pos, r.seq() + end);
+        oq.insert(oq.end(), r.qual() + pos, r.qual() + end);
+      }
+      pos = end;
+    } else if (ref_consumes(e.op)) {
+      ob.insert(ob.end(), (size_t)e.len, (uint8_t)'-');
+      oq.insert(oq.end(), (size_t)e.len, (uint8_t)0);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 when the oracle path would raise (caller
+// falls back to the Python engine, which raises identically).
+// Outputs are length n_pos = high - low (ad_ref, ad_nonref, gq) and
+// n_pos*3 (pls, row-major).
+int64_t refconf_region_columnar(
+    int64_t n_sel, const int64_t* rows,
+    // post-preclip per-row columns over the whole block
+    const int32_t* flag, const int64_t* pos, const int32_t* pnext,
+    const int32_t* tlen, const int32_t* mapq, const int32_t* qrank,
+    const uint8_t* bad_mate,
+    const int32_t* cig_n_ops, const int64_t* cig_base,
+    const int32_t* cig_len, const uint8_t* cig_op,
+    const uint8_t* seq_data, const int64_t* seq_off,
+    const uint8_t* qual_data, const int64_t* qual_off,
+    const int64_t* bstart, const int64_t* blen,
+    // region
+    int64_t padded_start, int64_t padded_end, int64_t low, int64_t high,
+    const uint8_t* ref, int64_t ref_len,
+    // params
+    int64_t max_indel, int64_t min_read_len, int64_t min_mapq,
+    int64_t max_informative, int64_t max_qual,
+    // tables
+    const double* qual2prob, const double* jac_table, int64_t jac_n,
+    double jac_step, double jac_max_tol, double log10_ploidy,
+    double log10_one_third, const double* indel_gq, const int64_t* indel_pls,
+    const int64_t* base_mask,
+    // outputs
+    int64_t* out_ad_ref, int64_t* out_ad_nonref, int64_t* out_pls,
+    int64_t* out_gq) {
+  const int64_t n_pos = high - low;
+  if (n_pos <= 0) return 0;
+
+  // 1. finalize: region clip over preclipped templates
+  std::vector<RcRead> reads;
+  reads.reserve((size_t)n_sel);
+  for (int64_t s = 0; s < n_sel; s++) {
+    int64_t i = rows[s];
+    RcRead rr;
+    Rd& r = rr.rd;
+    r.flag = flag[i];
+    r.pos = pos[i];
+    r.pnext = pnext[i];
+    r.tlen = tlen[i];
+    r.mapq = mapq[i];
+    r.qual0 = qual_data + qual_off[i];
+    r.bstart = bstart[i];
+    r.blen = blen[i];
+    r.rname_star = false;
+    r.rnext_star = false;
+    r.err = false;
+    int64_t b = cig_base[i];
+    int64_t m = cig_n_ops[i];
+    r.cig.clear();
+    for (int64_t c = 0; c < m; c++)
+      r.cig.push_back({(int64_t)cig_len[b + c], (char)cig_op[b + c]});
+    // finalize's preclip-template skip (activity.py:995-996)
+    if (r.blen == 0 || read_length_from_cigar(r.cig) == 0) continue;
+    hard_clip_to_region(r, padded_start, padded_end);
+    if (r.err) return -1;
+    // read_overlaps_region (activity.py:254-260)
+    if (r.blen == 0) continue;
+    int64_t e = read_end(r);
+    if (r.pos > e || r.pos > padded_end || e < padded_start) continue;
+    rr.seq0 = seq_data + seq_off[i];
+    rr.qrank = qrank[i];
+    rr.bad_mate = bad_mate[i];
+    reads.push_back(std::move(rr));
+  }
+
+  // 2. coordinate sort (activity.py:1031-1042)
+  std::stable_sort(reads.begin(), reads.end(),
+                   [](const RcRead& a, const RcRead& b) {
+    if (a.rd.pos != b.rd.pos) return a.rd.pos < b.rd.pos;
+    bool ra = (a.rd.flag & REVERSED) != 0, rb = (b.rd.flag & REVERSED) != 0;
+    if (ra != rb) return rb;
+    if (a.qrank != b.qrank) return a.qrank < b.qrank;
+    if (a.rd.flag != b.rd.flag) return a.rd.flag < b.rd.flag;
+    if (a.rd.mapq != b.rd.mapq) return a.rd.mapq < b.rd.mapq;
+    if (a.rd.pnext != b.rd.pnext) return a.rd.pnext < b.rd.pnext;
+    return a.rd.tlen < b.rd.tlen;
+  });
+
+  // 3. overlapping-mate reconciliation (activity.py:966-978)
+  {
+    std::unordered_map<int32_t, size_t> pending;
+    for (size_t k = 0; k < reads.size(); k++) {
+      Rd& r2 = reads[k].rd;
+      if (!(r2.flag & MULTIPLE) || (r2.flag & NEXT_UNMAPPED) ||
+          r2.pnext == 0 || r2.pnext > read_end(r2))
+        continue;
+      auto it = pending.find(reads[k].qrank);
+      if (it != pending.end()) {
+        size_t j = it->second;
+        pending.erase(it);
+        if (!rc_clean_overlapping_pair(&reads[j], &reads[k])) return -1;
+      } else {
+        pending[reads[k].qrank] = k;
+      }
+    }
+  }
+
+  // 4. filterNonPassingReads (activity.py:1045-1059)
+  {
+    size_t w = 0;
+    for (size_t k = 0; k < reads.size(); k++) {
+      const RcRead& r = reads[k];
+      if (r.rd.blen < min_read_len || r.rd.mapq < min_mapq || r.bad_mate)
+        continue;
+      if (w != k) reads[w] = std::move(reads[k]);
+      w++;
+    }
+    reads.resize(w);
+  }
+
+  // 5. calculateRefConfidence core (refconf.py:1069-1204)
+  std::vector<double> gl0((size_t)n_pos, 0.0), gl1((size_t)n_pos, 0.0),
+      gl2((size_t)n_pos, 0.0);
+  std::vector<int64_t> cnt((size_t)n_pos, 0), ad_ref((size_t)n_pos, 0),
+      ad_nonref((size_t)n_pos, 0), n_inf((size_t)n_pos, 0);
+  std::vector<uint8_t> bits;       // per-read informative bitset
+  std::vector<uint8_t> oob, ooq;   // one-to-one scratch
+
+  for (const RcRead& rr : reads) {
+    const Rd& r = rr.rd;
+    if (r.pos >= high) break;  // reads sorted; expansion stops here
+    // adaptor keep rule (refconf.py:747-755)
+    int keep_mode = 0;
+    int64_t bound = 0;
+    if (r.tlen <= 100) {
+      int64_t boundary, aln_end;
+      if (compute_adaptor_boundary(r, &boundary, &aln_end)) {
+        keep_mode = (r.flag & REVERSED) ? 1 : 2;
+        bound = boundary;
+      }
+    }
+    const uint8_t* seq = rr.seq();
+    const uint8_t* qual = rr.qual();
+    const int64_t bl = r.blen;
+    bool bits_ready = false;
+    int64_t base_index = 0, loc = r.pos, refs_cum = 0;
+    const size_t n_ops = r.cig.size();
+    for (size_t ci = 0; ci < n_ops; ci++) {
+      int64_t length = r.cig[ci].len;
+      char op = r.cig[ci].op;
+      if (op == 'H' || op == 'P') continue;
+      if (op == 'I') { base_index += length; continue; }
+      if (op == 'S') { base_index += length; refs_cum += length; continue; }
+      int64_t s_ = loc > low ? loc : low;
+      int64_t e_ = loc + length < high ? loc + length : high;
+      bool next_di = ci + 1 < n_ops &&
+                     (r.cig[ci + 1].op == 'D' || r.cig[ci + 1].op == 'I');
+      bool is_match = op == 'M' || op == '=' || op == 'X';
+      bool is_del = op == 'D';
+      for (int64_t p = s_; p < e_; p++) {
+        int64_t off = p - loc;
+        // adaptor filter
+        if (keep_mode == 1 ? !(p > bound) : (keep_mode == 2 && !(p < bound)))
+          continue;
+        int64_t bi = is_match ? base_index + off
+                              : (base_index > 0 ? base_index - 1 : 0);
+        int64_t bic = bi < 0 ? 0 : (bi >= bl ? (bl > 0 ? bl - 1 : 0) : bi);
+        int64_t base = bl ? (int64_t)seq[bic] : 0;
+        int64_t q = bl ? (int64_t)qual[bic] : 0;
+        int64_t qual_eff = is_del ? 30 : q;
+        int64_t upos = p - low;
+        // usable gate (refconf.py:1120)
+        if (is_del || qual_eff > 6) {
+          int64_t rp1 = p - 1;
+          if (rp1 < 0) rp1 = 0;
+          if (rp1 >= ref_len) rp1 = ref_len - 1;
+          int64_t ref_base = ref[rp1];
+          bool is_alt = base != ref_base || is_del;
+          int64_t qc = qual_eff < 0 ? 0 : (qual_eff > max_qual ? max_qual
+                                                               : qual_eff);
+          double ref_lik = qual2prob[qc];
+          double nonref_lik = (double)qual_eff / -10.0 + log10_one_third;
+          double rl = is_alt ? nonref_lik : ref_lik;
+          double nl = is_alt ? ref_lik : nonref_lik;
+          double t0 = rl + log10_ploidy;
+          double big = rl > nl ? rl : nl;
+          double small = rl < nl ? rl : nl;
+          double diff = big - small;
+          double t1;
+          if (std::isinf(small) || diff >= jac_max_tol) {
+            t1 = big;
+          } else {
+            double idx_f = std::rint(diff / jac_step);
+            if (!std::isfinite(idx_f)) idx_f = 0.0;
+            int64_t jidx = (int64_t)idx_f;
+            if (jidx > jac_n - 1) jidx = jac_n - 1;
+            t1 = big + jac_table[jidx];
+          }
+          double t2 = nl + log10_ploidy;
+          gl0[upos] += t0;
+          gl1[upos] += t1;
+          gl2[upos] += t2;
+          cnt[upos] += 1;
+          if (is_alt) ad_nonref[upos] += 1; else ad_ref[upos] += 1;
+        }
+        // indel-informative candidates (refconf.py:1159-1186)
+        bool cand = !is_del && !(next_di && off == length - 1);
+        if (cand) {
+          int64_t refs_off = refs_cum + off;
+          if (!bits_ready) {
+            // first candidate defines the per-read bitset (cache quirk)
+            bits.assign((size_t)(bl > 1 ? bl : 1), 0);
+            rc_one_to_one(rr, oob, ooq);
+            refconf_informative(oob.data(), (int64_t)oob.size(), ooq.data(),
+                                refs_off, ref, p - 1, padded_end, bl,
+                                max_indel, base_mask, bits.data());
+            bits_ready = true;
+          }
+          if (refs_off < (int64_t)bits.size() && bits[(size_t)refs_off])
+            n_inf[upos] += 1;
+        }
+      }
+      loc += length;
+      refs_cum += length;
+      if (is_match) base_index += length;
+    }
+  }
+
+  // 6. per-position PL/GQ assembly (refconf.py:1188-1204)
+  for (int64_t p = 0; p < n_pos; p++) {
+    double denom = (double)cnt[p] * log10_ploidy;
+    double g0 = gl0[p] - denom;
+    double g1 = gl1[p] - denom;
+    double g2 = gl2[p] - denom;
+    if (g1 > g0) g1 = g0;
+    if (g2 > g0) g2 = g0;
+    // gq_log10 (refconf.py:1039-1048)
+    double qual = g0 - (g1 > g2 ? g1 : g2);
+    double mx = g0 > g1 ? (g0 > g2 ? g0 : g2) : (g1 > g2 ? g1 : g2);
+    double nrm0 = std::pow(10.0, g0 - mx);
+    double nrm1 = std::pow(10.0, g1 - mx);
+    double nrm2 = std::pow(10.0, g2 - mx);
+    double total = nrm0 + nrm1 + nrm2;
+    double gq_snp = qual < 0.0 ? std::log10(1.0 - nrm0 / total) : -qual;
+    int64_t ninf = n_inf[p] < max_informative ? n_inf[p] : max_informative;
+    double gq_ind = indel_gq[ninf];
+    bool use_indel = gq_ind > gq_snp;
+    int64_t pls[3];
+    if (use_indel) {
+      pls[0] = indel_pls[ninf * 3 + 0];
+      pls[1] = indel_pls[ninf * 3 + 1];
+      pls[2] = indel_pls[ninf * 3 + 2];
+    } else {
+      double adjust = mx;
+      const double g[3] = {g0, g1, g2};
+      for (int k = 0; k < 3; k++) {
+        double v = -10.0 * (g[k] - adjust);
+        if (v > 2147483647.0) v = 2147483647.0;
+        pls[k] = (int64_t)std::floor(v + 0.5);
+      }
+    }
+    int64_t m0 = pls[0] < pls[1] ? (pls[0] < pls[2] ? pls[0] : pls[2])
+                                 : (pls[1] < pls[2] ? pls[1] : pls[2]);
+    int64_t m2 = pls[0] > pls[1] ? (pls[0] > pls[2] ? pls[0] : pls[2])
+                                 : (pls[1] > pls[2] ? pls[1] : pls[2]);
+    int64_t m1 = pls[0] + pls[1] + pls[2] - m0 - m2;
+    int64_t gq = m1 - m0;
+    if (gq > 99) gq = 99;
+    out_ad_ref[p] = ad_ref[p];
+    out_ad_nonref[p] = ad_nonref[p];
+    out_pls[p * 3 + 0] = pls[0];
+    out_pls[p * 3 + 1] = pls[1];
+    out_pls[p * 3 + 2] = pls[2];
+    out_gq[p] = gq;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,143 @@
+"""Native GVCF reference-confidence region engine vs the Python oracle.
+
+native.refconf_region (clipping_native.cpp refconf_region_columnar) runs
+finalize + pair reconciliation + filterNonPassingReads +
+calculateRefConfidence in one C++ call; hc/refconf.py remains the
+oracle. Outputs are integers derived from float64 intermediates, so the
+comparison is exact equality.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from elprep_tpu import native
+from elprep_tpu.hc.activity import (
+    AssemblyRegion,
+    finalize_assembly_region,
+    make_hc_params,
+)
+from elprep_tpu.hc.driver import prepare_region
+from elprep_tpu.hc.readblock import ContigReadBlock, preclip_block
+from elprep_tpu.hc.refconf import (
+    RefRun,
+    native_ref_model_for_no_variation,
+    reference_model_for_no_variation,
+)
+from elprep_tpu.io import sam as samio
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")
+
+
+def _mk_block(seed, n=400, contig="chr1", length=30_000):
+    from samgen import make_genome, make_header_lines, reads_from_genome
+
+    contigs = [(contig, length)]
+    genome = make_genome(contigs, seed=seed)
+    lines = make_header_lines(contigs) + reads_from_genome(
+        n, contigs, genome, seed=seed)
+    text = ("\n".join(lines) + "\n").encode()
+    hdr, batch = samio.parse_sam(text)
+    batch = batch.select(np.lexsort((batch.pos, batch.rname_id)))
+    rid = [i for i, nm in enumerate(batch.names) if nm == contig.encode()][0]
+    block = ContigReadBlock.from_batch(
+        batch, np.flatnonzero(batch.rname_id == rid), contig.encode())
+    return genome[contig], block
+
+
+def _slice_rows(block, positions, ends, mrl, lo, hi):
+    j = int(np.searchsorted(positions, lo - mrl + 1, side="left"))
+    k = int(np.searchsorted(positions, hi, side="right"))
+    return j + np.flatnonzero(ends[j:k] >= lo)
+
+
+def _python_ref_model(params, region, reads, preclip):
+    finalize_assembly_region(region, params, preclip)
+    return reference_model_for_no_variation(
+        params, [], region, params.confidence_mode != "NONE")
+
+
+def _flatten(variants):
+    """RefRuns / SingleVariants -> comparable per-position tuples."""
+    out = []
+    for v in variants:
+        if isinstance(v, RefRun):
+            for i in range(len(v)):
+                out.append((v.pos0 + i, int(v.dp[i]), int(v.ad_ref[i]),
+                            int(v.ad_nonref[i]), tuple(int(x) for x in v.pls[i]),
+                            int(v.gq[i])))
+        else:
+            out.append((v.location, v.dp, v.ad[0], v.ad[1],
+                        tuple(int(x) for x in v.pls), int(v.gq)))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["GVCF", "BP_RESOLUTION"])
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_native_matches_python_fuzz(mode, seed):
+    import random
+
+    reference, block = _mk_block(seed)
+    params = make_hc_params(mode)
+    block_reads = block.materialize()
+    preclip, cols = preclip_block(block, block_reads, params)
+    assert cols is not None
+    positions = block.pos
+    ends = block.ends()
+    mrl = block.max_reference_length()
+    rng = random.Random(seed)
+    n_checked = 0
+    for _ in range(60):
+        start = rng.randrange(1, 29_000)
+        end = min(start + rng.randrange(1, 400), 29_999)
+        region = AssemblyRegion(
+            contig="chr1", reference=reference, start=start, end=end,
+            extension=100, contig_length=30_000, is_active=False)
+        rows = _slice_rows(block, positions, ends, mrl,
+                           region.padded_start(), region.padded_end())
+        got = native_ref_model_for_no_variation(
+            params, [], copy.deepcopy(region), cols, rows, reference)
+        assert got is not None
+        region.reads = [block_reads[i] for i in rows]
+        want = _python_ref_model(params, region, region.reads, preclip)
+        assert _flatten(got) == _flatten(want)
+        n_checked += 1
+    assert n_checked == 60
+
+
+def test_env_gate_forces_python(monkeypatch):
+    monkeypatch.setenv("ELPREP_TPU_NO_NATIVE_REFCONF", "1")
+    reference, block = _mk_block(5)
+    params = make_hc_params("GVCF")
+    region = AssemblyRegion(contig="chr1", reference=reference, start=100,
+                            end=200, extension=100, contig_length=30_000,
+                            is_active=False)
+    assert native_ref_model_for_no_variation(
+        params, [], region, {}, np.zeros(0, np.int64), reference) is None
+
+
+def test_prepare_region_native_path_matches(monkeypatch):
+    """prepare_region with span_cols takes the native exit and returns
+    the same variants as the Python path."""
+    reference, block = _mk_block(17)
+    params = make_hc_params("GVCF")
+    block_reads = block.materialize()
+    preclip, cols = preclip_block(block, block_reads, params)
+    positions, ends, mrl = block.pos, block.ends(), block.max_reference_length()
+    region = AssemblyRegion(contig="chr1", reference=reference, start=2_000,
+                            end=2_300, extension=100, contig_length=30_000,
+                            is_active=False)
+    rows = _slice_rows(block, positions, ends, mrl, region.padded_start(),
+                       region.padded_end())
+    r_native = copy.deepcopy(region)
+    r_native.reads = [block_reads[i] for i in rows]
+    got, pend = prepare_region(params, r_native, preclip, span_cols=cols,
+                               span_rows=rows, span_reference=reference)
+    assert pend is None
+    r_py = copy.deepcopy(region)
+    r_py.reads = [block_reads[i] for i in rows]
+    want, pend2 = prepare_region(params, r_py, preclip)
+    assert pend2 is None
+    assert _flatten(got) == _flatten(want)
