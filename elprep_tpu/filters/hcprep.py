@@ -87,8 +87,10 @@ def haplotype_call_aln(header: Header) -> BatchFilter:
     sq_len = {sq["SN"].encode(): header.sq_ln(sq) for sq in header.sq}
 
     def bf(batch: ReadBatch) -> Optional[np.ndarray]:
+        import os
+
         from ..core.batch import TagsColumn
-        from ..ops import readstats
+        from .. import native
 
         n = len(batch)
         if n == 0:
@@ -103,28 +105,68 @@ def haplotype_call_aln(header: Header) -> BatchFilter:
         seq_lens = batch.seq.lengths
         qual_lens = batch.qual.lengths
         unmapped = ((batch.flag & UNMAPPED) != 0) | (rnames == b"*") | (rnames == b"") | (batch.pos == 0)
-        for i in range(n):
-            if not keep[i]:
-                continue
-            cigar = list(zip(batch.cigar_len.row(i).tolist(),
-                             batch.cigar_op.row(i).tobytes().decode()))
-            ref_len = sum(ln for ln, op in cigar if op in "MDN=X")
-            read_len = sum(ln for ln, op in cigar if op in "MIS=X")
-            ln_limit = sq_len.get(rnames[i])
-            keep[i] = (
-                ref_len != 0
-                and not unmapped[i]
-                and batch.pos[i] > 0
-                and ln_limit is not None and batch.pos[i] <= ln_limit
-                and seq_lens[i] == read_len
-                and batch.mapq[i] >= 20
-                and batch.mapq[i] != 255
-                and rg_vals[i] != b""
-                and seq_lens[i] == qual_lens[i]
-                and seq_lens[i] > 0
-                and _is_good_cigar(cigar)
-                and not any(op == "N" for _, op in cigar)
+
+        good = (None if os.environ.get("ELPREP_TPU_NO_NATIVE_GOODCIG")
+                else native.good_cigar_mask(batch.cigar_len, batch.cigar_op))
+        if good is not None:
+            # columnar fast path: per-row CIGAR sums via op-class LUTs,
+            # grammar check in the native kernel (oracle: the loop below)
+            off = batch.cigar_len.offsets
+            lens64 = batch.cigar_len.data.astype(np.int64)
+            ops = batch.cigar_op.data
+            ref_lut = np.zeros(256, np.int64)
+            for c in b"MDN=X":
+                ref_lut[c] = 1
+            read_lut = np.zeros(256, np.int64)
+            for c in b"MIS=X":
+                read_lut[c] = 1
+            rc = np.concatenate([[0], np.cumsum(ref_lut[ops] * lens64)])
+            ref_len = rc[off[1:]] - rc[off[:-1]]
+            dc = np.concatenate([[0], np.cumsum(read_lut[ops] * lens64)])
+            read_len = dc[off[1:]] - dc[off[:-1]]
+            nn = np.concatenate([[0], np.cumsum((ops == ord("N")).astype(np.int64))])
+            has_n = (nn[off[1:]] - nn[off[:-1]]) > 0
+            limit_by_rid = np.array(
+                [sq_len.get(nm, -1) if sq_len.get(nm) is not None else -1
+                 for nm in names_pool], np.int64)
+            limits = limit_by_rid[batch.rname_id]
+            keep &= (
+                (ref_len != 0)
+                & ~unmapped
+                & (batch.pos > 0)
+                & (limits >= 0) & (batch.pos <= limits)
+                & (seq_lens == read_len)
+                & (batch.mapq >= 20)
+                & (batch.mapq != 255)
+                & (rg_vals != b"")
+                & (seq_lens == qual_lens)
+                & (seq_lens > 0)
+                & good
+                & ~has_n
             )
+        else:
+            for i in range(n):
+                if not keep[i]:
+                    continue
+                cigar = list(zip(batch.cigar_len.row(i).tolist(),
+                                 batch.cigar_op.row(i).tobytes().decode()))
+                ref_len = sum(ln for ln, op in cigar if op in "MDN=X")
+                read_len = sum(ln for ln, op in cigar if op in "MIS=X")
+                ln_limit = sq_len.get(rnames[i])
+                keep[i] = (
+                    ref_len != 0
+                    and not unmapped[i]
+                    and batch.pos[i] > 0
+                    and ln_limit is not None and batch.pos[i] <= ln_limit
+                    and seq_lens[i] == read_len
+                    and batch.mapq[i] >= 20
+                    and batch.mapq[i] != 255
+                    and rg_vals[i] != b""
+                    and seq_lens[i] == qual_lens[i]
+                    and seq_lens[i] > 0
+                    and _is_good_cigar(cigar)
+                    and not any(op == "N" for _, op in cigar)
+                )
         # drop TAGS (keep RG for downstream sample logic? the reference
         # nils TAGS after checking RG; the HC driver no longer needs them)
         batch.tags = TagsColumn.empty(n)

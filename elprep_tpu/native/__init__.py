@@ -496,6 +496,26 @@ def refconf_informative(read_bases: bytes, read_quals: bytes, read_start: int,
     return out[:read_length].astype(bool)
 
 
+def good_cigar_mask(cigar_len, cigar_op):
+    """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
+    Returns a bool[n] mask, or None without the native lib. The Python
+    loop in filters/hcprep.py is the oracle."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "good_cigar_mask"):
+        return None
+    if lib.good_cigar_mask.argtypes is None:
+        lib.good_cigar_mask.restype = None
+        lib.good_cigar_mask.argtypes = [ctypes.c_longlong] + [ctypes.c_void_p] * 4
+    off = np.ascontiguousarray(cigar_len.offsets, np.int64)
+    lens = np.ascontiguousarray(cigar_len.data, np.int32)
+    ops = np.ascontiguousarray(cigar_op.data, np.uint8)
+    n = len(off) - 1
+    out = np.zeros(n, np.uint8)
+    lib.good_cigar_mask(n, off.ctypes.data, lens.ctypes.data, ops.ctypes.data,
+                        out.ctypes.data)
+    return out.astype(bool)
+
+
 def refconf_region(rows, cols: dict, padded_start: int, padded_end: int,
                    low: int, high: int, ref: bytes, params_i: dict,
                    tables_d: dict):

@@ -1022,3 +1022,99 @@ int64_t refconf_region_columnar(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched isGoodCigar (reference: haploutils.go:36-113; oracle:
+// filters/hcprep.py _is_good_cigar — the Python loop remains the oracle,
+// exercised via ELPREP_TPU_NO_NATIVE_GOODCIG in tests).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void good_cigar_mask(int64_t n, const int64_t* off, const int32_t* lens,
+                     const uint8_t* ops, uint8_t* out) {
+  auto in = [](char op, const char* set) {
+    for (const char* p = set; *p; p++)
+      if (*p == op) return true;
+    return false;
+  };
+  for (int64_t i = 0; i < n; i++) {
+    int64_t a = off[i], b = off[i + 1];
+    int64_t m = b - a;
+    out[i] = 0;
+    if (m == 0) continue;
+    bool zero = false;
+    for (int64_t c = a; c < b; c++)
+      if (lens[c] == 0) { zero = true; break; }
+    if (zero) continue;
+    auto op_at = [&](int64_t k) { return (char)ops[a + k]; };
+    int64_t index = 0;
+    char op = op_at(index);
+    if (op == 'H') {
+      index++;
+      if (index == m) continue;
+      if (op_at(index) == 'S') {
+        index++;
+        if (index == m) continue;
+      }
+    } else if (op == 'S' || op == 'P') {
+      index++;
+      if (index == m) continue;
+    }
+    op = op_at(index);
+    bool bad = false;
+    if (in(op, "M=XN")) {
+      index++;
+    } else if (op == 'I') {
+      index++;
+      if (index < m && in(op_at(index), "IDSH")) continue;
+    } else {
+      continue;
+    }
+    bool ret = false, good = false;
+    while (index < m) {
+      op = op_at(index);
+      if (in(op, "M=XN")) {
+        index++;
+      } else if (op == 'I' || op == 'D') {
+        index++;
+        if (index < m) {
+          if (in(op_at(index), "IDSH")) { bad = true; break; }
+        } else if (op == 'D') {
+          bad = true;
+          break;
+        }
+      } else if (op == 'P') {
+        index++;
+        if (index < m) {
+          if (in(op_at(index), "PSH")) { bad = true; break; }
+        } else {
+          bad = true;
+          break;
+        }
+      } else if (op == 'S') {
+        index++;
+        if (index < m) {
+          if (op_at(index) != 'H') { bad = true; break; }
+          index++;
+          if (index != m) { bad = true; break; }
+        }
+        // trailing S ok
+      } else if (op == 'H') {
+        ret = true;
+        good = index + 1 == m;
+        break;
+      } else {
+        bad = true;
+        break;
+      }
+    }
+    if (ret) {
+      out[i] = good ? 1 : 0;
+    } else {
+      out[i] = bad ? 0 : 1;
+    }
+  }
+}
+
+}  // extern "C"
