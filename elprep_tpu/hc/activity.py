@@ -734,6 +734,66 @@ def compute_activity(reads: List[ClipRead], reference: bytes, low: int, high: in
     return is_active, hq_mean
 
 
+_NATIVE_ACT_TABLES: list = []
+
+
+def native_compute_activity(cols: dict, rows: np.ndarray, reference: bytes,
+                            low: int, high: int, params: HCParams):
+    """Native compute_activity over the ORIGINAL columnar block
+    (oracle: compute_activity above; bit-identical, fuzz-tested).
+    Returns (is_active, hq_mean) or None to fall back to Python."""
+    import os
+
+    if os.environ.get("ELPREP_TPU_NO_NATIVE_ACTIVITY"):
+        return None
+    from .. import native
+
+    if not _NATIVE_ACT_TABLES:
+        _NATIVE_ACT_TABLES.append(dict(
+            qual2prob=np.ascontiguousarray(tables.QUAL_TO_PROB_LOG10,
+                                           np.float64),
+            jac=np.ascontiguousarray(tables.JACOBIAN_LOG_TABLE, np.float64),
+            jac_step=float(tables.JACOBIAN_LOG_STEP),
+            jac_max_tol=float(tables.JACOBIAN_LOG_MAX_TOLERANCE),
+            log10_ploidy=float(LOG10_PLOIDY),
+            log10_one_third=float(LOG10_ONE_THIRD),
+        ))
+    p0, p1, p2 = params.log10_priors
+    params_i = dict(
+        min_base_qual=int(params.min_base_qual),
+        hq_sc_threshold=HIGH_QUALITY_SOFT_CLIP_THRESHOLD,
+        max_qual=tables.MAX_QUAL,
+        p0=float(p0), p1=float(p1), p2=float(p2),
+        acgt0_prior=float(params.log10_acgt0_prior),
+        stdconf_min10=float(params.standard_confidence_for_activity_by_min10),
+    )
+    return native.activity_region(rows, cols, low, high, reference, params_i,
+                                  _NATIVE_ACT_TABLES[0])
+
+
+def make_activity_cols(block) -> dict:
+    """Columnar inputs for native_compute_activity from an (original,
+    pre-clip) ContigReadBlock."""
+    names = block.names if block.names else [b""]
+    star = np.array([nm in (b"", b"*") for nm in names], np.uint8)
+    return dict(
+        flag=np.ascontiguousarray(block.flag, np.int32),
+        pos=np.ascontiguousarray(block.pos, np.int64),
+        pnext=np.ascontiguousarray(block.pnext, np.int32),
+        tlen=np.ascontiguousarray(block.tlen, np.int32),
+        cig_off=np.ascontiguousarray(block.cigar_len.offsets, np.int64),
+        cig_len=np.ascontiguousarray(block.cigar_len.data, np.int32),
+        cig_op=np.ascontiguousarray(block.cigar_op.data, np.uint8),
+        seq_data=np.ascontiguousarray(block.seq.data, np.uint8),
+        seq_off=np.ascontiguousarray(block.seq.offsets, np.int64),
+        qual_data=np.ascontiguousarray(block.qual.data, np.uint8),
+        qual_off=np.ascontiguousarray(block.qual.offsets, np.int64),
+        rname_star=np.full(len(block),
+                           1 if block.contig in (b"", b"*") else 0, np.uint8),
+        rnext_star=star[block.rnext_id].astype(np.uint8),
+    )
+
+
 # ---------------------------------------------------------------------------
 # State smearing + region decomposition (haplotypecaller.go:286-378)
 # ---------------------------------------------------------------------------

@@ -107,6 +107,8 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
     block_reads: list = []
     preclip = None
     span_cols = None
+    span_block = None
+    act_cols = None  # lazy make_activity_cols(span_block) for native activity
     block_positions = None
     block_ends = None
     max_ref_len = 0
@@ -149,9 +151,11 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     preclip, span_cols = preclip_block(payload, block_reads,
                                                        params)
                     block_ends = payload.ends()
+                    span_block, act_cols = payload, None
                 else:
                     block_reads = payload
                     preclip, span_cols = None, None
+                    span_block, act_cols = None, None
                     from .activity import read_end as _read_end
 
                     block_ends = np.fromiter(
@@ -164,13 +168,23 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 # slice the chunk's reads from the local block with the
                 # exact arguments the serial driver uses
                 _, tid, cs, ce = msg
-                from .activity import compute_activity
+                from .activity import (compute_activity, make_activity_cols,
+                                       native_compute_activity)
 
-                reads = [block_reads[i]
-                         for i in _slice_rows(cs + 1 - max_ref_len, ce + 1)]
-                ia, hm = compute_activity(reads, reference, cs + 1, ce + 1,
-                                          params)
-                res_q.put(("act_done", tid, ia, hm))
+                rows = _slice_rows(cs + 1 - max_ref_len, ce + 1)
+                res = None
+                if span_block is not None:
+                    # native one-call engine over the columnar block
+                    # (bit-identical to compute_activity; fuzz-tested in
+                    # tests/test_activity_native.py)
+                    if act_cols is None:
+                        act_cols = make_activity_cols(span_block)
+                    res = native_compute_activity(act_cols, rows, reference,
+                                                  cs + 1, ce + 1, params)
+                if res is None:
+                    res = compute_activity([block_reads[i] for i in rows],
+                                           reference, cs + 1, ce + 1, params)
+                res_q.put(("act_done", tid, res[0], res[1]))
                 continue
             if kind == "bqsr_ctx":
                 # broadcast once per recalibrate call: known sites can be

@@ -496,6 +496,50 @@ def refconf_informative(read_bases: bytes, read_quals: bytes, read_start: int,
     return out[:read_length].astype(bool)
 
 
+def activity_region(rows, cols: dict, low: int, high: int, ref: bytes,
+                    params_i: dict, tables_d: dict):
+    """Native isActive + hq-soft-clip means over [low, high)
+    (oracle: hc/activity.py compute_activity). ``cols`` holds the
+    ORIGINAL (pre-clip) block columns. Returns (is_active f64[n],
+    hq_mean f64[n]) or None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "activity_region_columnar"):
+        return None
+    if lib.activity_region_columnar.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        D = ctypes.c_double
+        lib.activity_region_columnar.restype = None
+        lib.activity_region_columnar.argtypes = (
+            [L, P] + [P] * 13 + [L, L] + [ctypes.c_char_p, L] + [L] * 3
+            + [P, P, L, D, D, D, D, D, D, D, D, D] + [P, P])
+    rows = np.ascontiguousarray(rows, np.int64)
+    n_pos = high - low
+    if n_pos <= 0:
+        return (np.zeros(0, np.float64), np.zeros(0, np.float64))
+    out_active = np.zeros(n_pos, np.float64)
+    out_hq = np.zeros(n_pos, np.float64)
+    lib.activity_region_columnar(
+        len(rows), rows.ctypes.data,
+        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
+        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
+        cols["cig_off"].ctypes.data, cols["cig_len"].ctypes.data,
+        cols["cig_op"].ctypes.data, cols["seq_data"].ctypes.data,
+        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
+        cols["qual_off"].ctypes.data, cols["rname_star"].ctypes.data,
+        cols["rnext_star"].ctypes.data,
+        low, high, ref, len(ref),
+        params_i["min_base_qual"], params_i["hq_sc_threshold"],
+        params_i["max_qual"],
+        tables_d["qual2prob"].ctypes.data, tables_d["jac"].ctypes.data,
+        len(tables_d["jac"]), tables_d["jac_step"], tables_d["jac_max_tol"],
+        tables_d["log10_ploidy"], tables_d["log10_one_third"],
+        params_i["p0"], params_i["p1"], params_i["p2"],
+        params_i["acgt0_prior"], params_i["stdconf_min10"],
+        out_active.ctypes.data, out_hq.ctypes.data)
+    return out_active, out_hq
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

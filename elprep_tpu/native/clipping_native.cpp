@@ -1118,3 +1118,207 @@ void good_cigar_mask(int64_t n, const int64_t* off, const int32_t* lens,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native activity model: isActive probability + hq-soft-clip mean per
+// position (reference: pileup.go:470-554 with the cursor's element
+// semantics; oracle: hc/activity.py compute_activity + expand_elements,
+// fuzzed in tests/test_activity_native.py; ELPREP_TPU_NO_NATIVE_ACTIVITY
+// forces the Python engine). Per-position float accumulation follows the
+// oracle's ordered reduceat (coordinate read order), so results are
+// bit-identical.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void activity_region_columnar(
+    int64_t n_sel, const int64_t* rows,
+    const int32_t* flag, const int64_t* pos, const int32_t* pnext,
+    const int32_t* tlen,
+    const int64_t* cig_off, const int32_t* cig_len, const uint8_t* cig_op,
+    const uint8_t* seq_data, const int64_t* seq_off,
+    const uint8_t* qual_data, const int64_t* qual_off,
+    const uint8_t* rname_star, const uint8_t* rnext_star,
+    int64_t low, int64_t high, const uint8_t* ref, int64_t ref_len,
+    int64_t min_base_qual, int64_t hq_sc_threshold, int64_t max_qual,
+    const double* qual2prob, const double* jac, int64_t jac_n,
+    double jac_step, double jac_max_tol, double log10_ploidy,
+    double log10_one_third, double p0, double p1, double p2,
+    double acgt0_prior, double stdconf_min10,
+    double* out_active, double* out_hq) {
+  const int64_t n_pos = high - low;
+  if (n_pos <= 0) return;
+  for (int64_t i = 0; i < n_pos; i++) out_active[i] = out_hq[i] = 0.0;
+  std::vector<double> gl0((size_t)n_pos, 0.0), gl1((size_t)n_pos, 0.0),
+      gl2((size_t)n_pos, 0.0), hq_mean((size_t)n_pos, 0.0),
+      hq_cnt((size_t)n_pos, 0.0);
+  std::vector<int64_t> cnt((size_t)n_pos, 0);
+  std::vector<CigOp> cig;
+
+  auto approx2 = [&](double a, double b) {
+    double big = a > b ? a : b;
+    double small = a < b ? a : b;
+    double diff = big - small;
+    if (std::isinf(small) || diff >= jac_max_tol) return big;
+    double idx_f = std::rint(diff / jac_step);
+    if (!std::isfinite(idx_f)) idx_f = 0.0;
+    int64_t j = (int64_t)idx_f;
+    if (j > jac_n - 1) j = jac_n - 1;
+    return big + jac[j];
+  };
+
+  for (int64_t s = 0; s < n_sel; s++) {
+    int64_t i = rows[s];
+    if (pos[i] >= high) break;  // reads in coordinate order
+    int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+    int64_t m = c1 - c0;
+    cig.clear();
+    for (int64_t c = c0; c < c1; c++)
+      cig.push_back({(int64_t)cig_len[c], (char)cig_op[c]});
+    const uint8_t* seq = seq_data + seq_off[i];
+    const uint8_t* qual = qual_data + qual_off[i];
+    const int64_t sl = seq_off[i + 1] - seq_off[i];
+    const int64_t ql = qual_off[i + 1] - qual_off[i];
+
+    // count_high_quality_soft_clips (pileup.go:33-48)
+    int64_t hq = 0;
+    {
+      int64_t ap = 0;
+      for (const auto& e : cig) {
+        if (e.op == 'S') {
+          for (int64_t k = 0; k < e.len; k++)
+            if (qual[ap + k] > hq_sc_threshold) hq++;
+          ap += e.len;
+        } else if (e.op == 'M' || e.op == 'I' || e.op == '=' || e.op == 'X') {
+          ap += e.len;
+        }
+      }
+    }
+    // adaptor keep rule (pileup.go:252-278)
+    int keep_mode = 0;
+    int64_t bound = 0;
+    if (tlen[i] <= 100) {
+      Rd r;
+      r.flag = flag[i];
+      r.pos = pos[i];
+      r.pnext = pnext[i];
+      r.tlen = tlen[i];
+      r.mapq = 0;
+      r.cig = cig;
+      r.qual0 = qual;
+      r.bstart = 0;
+      r.blen = ql;
+      r.rname_star = rname_star[i] != 0;
+      r.rnext_star = rnext_star[i] != 0;
+      r.err = false;
+      int64_t boundary, aln_end;
+      if (compute_adaptor_boundary(r, &boundary, &aln_end)) {
+        keep_mode = (r.flag & REVERSED) ? 1 : 2;
+        bound = boundary;
+      }
+    }
+    // per-op previous/next on-genome (M=XD) op chars
+    std::vector<int64_t> prev_g((size_t)m, 0), next_g((size_t)m, 0);
+    {
+      int64_t g = 0;
+      for (int64_t ci = 0; ci < m; ci++) {
+        prev_g[(size_t)ci] = g;
+        char op = cig[(size_t)ci].op;
+        if (op == 'M' || op == '=' || op == 'X' || op == 'D') g = op;
+      }
+      g = 0;
+      for (int64_t ci = m - 1; ci >= 0; ci--) {
+        next_g[(size_t)ci] = g;
+        char op = cig[(size_t)ci].op;
+        if (op == 'M' || op == '=' || op == 'X' || op == 'D') g = op;
+      }
+    }
+    int64_t base_index = 0, loc = pos[i];
+    for (int64_t ci = 0; ci < m; ci++) {
+      int64_t length = cig[(size_t)ci].len;
+      char op = cig[(size_t)ci].op;
+      if (op == 'H' || op == 'P') continue;
+      if (op == 'I' || op == 'S') { base_index += length; continue; }
+      // ref-consuming M=XDN
+      int64_t s_ = loc > low ? loc : low;
+      int64_t e_ = loc + length < high ? loc + length : high;
+      bool is_match = op == 'M' || op == '=' || op == 'X';
+      bool is_del = op == 'D';
+      bool is_n = op == 'N';
+      int64_t pc = ci > 0 ? (int64_t)(uint8_t)cig[(size_t)(ci - 1)].op : 0;
+      int64_t nc = ci + 1 < m ? (int64_t)(uint8_t)cig[(size_t)(ci + 1)].op : 0;
+      for (int64_t p = s_; p < e_; p++) {
+        int64_t off = p - loc;
+        if (keep_mode == 1 ? !(p > bound) : (keep_mode == 2 && !(p < bound)))
+          continue;
+        bool first_of_op = off == 0;
+        bool last_of_op = off == length - 1;
+        int64_t bi = is_match ? base_index + off : base_index - 1;
+        int64_t bq = bi < 0 ? 0 : (bi >= ql ? (ql > 0 ? ql - 1 : 0) : bi);
+        int64_t bs = bi < 0 ? 0 : (bi >= sl ? (sl > 0 ? sl - 1 : 0) : bi);
+        int64_t q = ql ? (int64_t)qual[bq] : 0;
+        int64_t base = sl ? (int64_t)seq[bs] : 0;
+        int64_t qual_eff = is_del ? 30 : q;
+        if (!(is_del || qual_eff > min_base_qual)) continue;
+        int64_t prev_char = first_of_op ? pc : (int64_t)(uint8_t)op;
+        int64_t next_char = last_of_op ? nc : (int64_t)(uint8_t)op;
+        int64_t prev_gen = is_n ? prev_g[(size_t)ci]
+                                : (first_of_op ? prev_g[(size_t)ci]
+                                               : (int64_t)(uint8_t)op);
+        int64_t next_gen = is_n ? next_g[(size_t)ci]
+                                : (last_of_op ? next_g[(size_t)ci]
+                                              : (int64_t)(uint8_t)op);
+        bool alt_flags = is_del || prev_char == 'I' || prev_char == 'S' ||
+                         next_char == 'I' || next_char == 'S' ||
+                         prev_gen == 'D' || next_gen == 'D';
+        bool next_to_sc = prev_char == 'S' || next_char == 'S';
+        int64_t rp1 = p - 1;
+        if (rp1 < 0) rp1 = 0;
+        if (rp1 >= ref_len) rp1 = ref_len - 1;
+        bool alt = alt_flags || base != (int64_t)ref[rp1];
+        int64_t qc = qual_eff < 0 ? 0 : (qual_eff > max_qual ? max_qual
+                                                             : qual_eff);
+        double ref_lik = qual2prob[qc];
+        double nonref_lik = (double)qual_eff / -10.0 + log10_one_third;
+        double rl = alt ? nonref_lik : ref_lik;
+        double nl = alt ? ref_lik : nonref_lik;
+        int64_t upos = p - low;
+        gl0[upos] += rl + log10_ploidy;
+        gl1[upos] += approx2(rl, nl);
+        gl2[upos] += nl + log10_ploidy;
+        cnt[upos] += 1;
+        if (alt && next_to_sc) {
+          hq_cnt[upos] += 1.0;
+          hq_mean[upos] += ((double)hq - hq_mean[upos]) / hq_cnt[upos];
+        }
+      }
+      loc += length;
+      if (is_match) base_index += length;
+    }
+  }
+
+  const double INT32MAX = 2147483647.0;
+  for (int64_t p = 0; p < n_pos; p++) {
+    if (!cnt[p]) continue;
+    double denom = (double)cnt[p] * log10_ploidy;
+    double g[3] = {gl0[p] - denom, gl1[p] - denom, gl2[p] - denom};
+    double adjust = g[0] > g[1] ? (g[0] > g[2] ? g[0] : g[2])
+                                : (g[1] > g[2] ? g[1] : g[2]);
+    for (int k = 0; k < 3; k++) {
+      double adjusted = -10.0 * (g[k] - adjust);
+      g[k] = adjusted > INT32MAX ? INT32MAX / -10.0
+                                 : std::floor(adjusted + 0.5) / -10.0;
+    }
+    double post0 = g[0] + p0;
+    bool trigger = (p1 + g[1] > post0) || (p2 + g[2] > post0);
+    double gt0_lik = approx2(g[1], g[2]);
+    double gt0_post = gt0_lik + acgt0_prior;
+    double norm_const = approx2(post0, gt0_post);
+    double norm0 = post0 - norm_const;
+    double prob = norm0 < stdconf_min10 ? 1.0 - std::pow(10.0, norm0) : 0.0;
+    out_active[p] = trigger ? prob : 0.0;
+    out_hq[p] = hq_mean[p];
+  }
+}
+
+}  // extern "C"
