@@ -484,19 +484,45 @@ def filter_command(argv: List[str]) -> int:
     write_output = args.output not in ("/dev/null", "/dev/zero")
     if args.spread_file:
         data = _merge_spread_file(data, args.spread_file, post_sort)
+    pending_write = []
     if write_output:
         def write_phase():
             fmt = args.output_type or ("bam" if args.output.endswith(".bam") else "sam")
             out = run_pipeline(data, filters2, post_sort)
-            samio.write_sam_file(args.output, out.header, out.batch, fmt=fmt)
+            if want_hc:
+                # overlap the file write with variant calling: both
+                # consume `out` read-only, and the formatter/BGZF pools
+                # release the GIL while the HC pool runs in processes
+                import threading
+
+                errs = []
+
+                def _write():
+                    try:
+                        samio.write_sam_file(args.output, out.header,
+                                             out.batch, fmt=fmt)
+                    except BaseException as e:  # re-raised after HC
+                        errs.append(e)
+
+                th = threading.Thread(target=_write, name="output-writer")
+                th.start()
+                pending_write.append((th, errs))
+            else:
+                samio.write_sam_file(args.output, out.header, out.batch, fmt=fmt)
             return out
 
         data = _timed(args.timed, "Write to file.", write_phase, args.profile)
 
-    if want_hc:
-        _timed(args.timed, "Calling variants.",
-               lambda: _run_haplotypecaller(args, data, mapped_fasta, bed_regions,
-                                            command_line, post_sort), args.profile)
+    try:
+        if want_hc:
+            _timed(args.timed, "Calling variants.",
+                   lambda: _run_haplotypecaller(args, data, mapped_fasta, bed_regions,
+                                                command_line, post_sort), args.profile)
+    finally:
+        for th, errs in pending_write:
+            th.join()
+            if errs:
+                raise errs[0]
     return 0
 
 
@@ -687,7 +713,10 @@ def _setup_jax_cache() -> None:
             "ELPREP_TPU_JAX_CACHE",
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even fast-compiling programs: the small sort/dedup/BQSR
+        # helpers (~0.1s compiles) otherwise rebuild in EVERY run and in
+        # every pool worker, costing more wall than they ever save
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

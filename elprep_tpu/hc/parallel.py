@@ -113,6 +113,15 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
     block_ends = None
     max_ref_len = 0
 
+    def _region_reads(block_reads, rows):
+        """Region read list: lazy view when the span is columnar (reads
+        materialize only if the region's path consumes them)."""
+        if span_block is not None:
+            from .readblock import RegionReads
+
+            return RegionReads(block_reads, rows)
+        return [block_reads[i] for i in rows]
+
     def _slice_rows(region_start: int, region_end: int) -> np.ndarray:
         """Vectorized aln_slice (haploutils.go:191-209): row indices of
         block reads overlapping the region — identical selection to
@@ -141,17 +150,21 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
             if kind == "reads_block":
                 _, payload, max_ref_len = msg
                 if hasattr(payload, "materialize"):
-                    # columnar ContigReadBlock: arrays crossed the pipe,
-                    # ClipReads materialize here (once per span), and the
-                    # region-independent finalize clipping runs natively
-                    # over the whole block in the same pass
-                    from .readblock import preclip_block
+                    # columnar ContigReadBlock: arrays crossed the pipe;
+                    # the region-independent finalize clipping runs
+                    # natively over the whole block now, while ClipReads
+                    # and their pre-clip templates materialize lazily per
+                    # row — regions that exit through the native ref
+                    # model never build Python read objects at all
+                    from .readblock import LazyBlockReads, preclip_block_lazy
 
-                    block_reads = payload.materialize()
-                    preclip, span_cols = preclip_block(payload, block_reads,
-                                                       params)
+                    block_reads = LazyBlockReads(payload)
+                    preclip, span_cols = preclip_block_lazy(
+                        payload, block_reads, params)
                     block_ends = payload.ends()
+                    block_positions = payload.pos
                     span_block, act_cols = payload, None
+                    continue
                 else:
                     block_reads = payload
                     preclip, span_cols = None, None
@@ -227,7 +240,7 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     region.reference = reference
                     rows = _slice_rows(region.padded_start(),
                                        region.padded_end())
-                    region.reads = [block_reads[i] for i in rows]
+                    region.reads = _region_reads(block_reads, rows)
                     terminal, pending = prepare_region(
                         params, region, preclip, span_cols=span_cols,
                         span_rows=rows, span_reference=reference)
@@ -257,7 +270,7 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 region = pickle.loads(ent[0])
                 region.reference = reference
                 rows = _slice_rows(region.padded_start(), region.padded_end())
-                region.reads = [block_reads[i] for i in rows]
+                region.reads = _region_reads(block_reads, rows)
                 _terminal, pending = prepare_region(
                     params, region, preclip, span_cols=span_cols,
                     span_rows=rows, span_reference=reference)

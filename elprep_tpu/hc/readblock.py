@@ -133,27 +133,119 @@ class ContigReadBlock:
         return out
 
 
-def preclip_templates(block: ContigReadBlock, block_reads, params):
-    """Back-compat wrapper over :func:`preclip_block` (templates only)."""
-    templates, _cols = preclip_block(block, block_reads, params)
-    return templates
+class LazyBlockReads:
+    """List-like facade over a ContigReadBlock: ClipReads materialize on
+    first access and are cached (field semantics identical to
+    ``materialize()``). HC worker regions that exit through the native
+    ref model never touch their reads, so at typical activity rates most
+    rows never materialize at all."""
+
+    __slots__ = ("block", "_cache", "_pool", "_ops_s", "_id2idx")
+
+    def __init__(self, block: ContigReadBlock):
+        self.block = block
+        self._cache: List = [None] * len(block)
+        self._pool = block.names if block.names else [b""]
+        self._ops_s = block.cigar_op.data.tobytes().decode("latin1")
+        self._id2idx: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._cache)
+
+    def __getitem__(self, i):
+        i = int(i)
+        r = self._cache[i]
+        if r is None:
+            b = self.block
+            co = b.cigar_op.offsets
+            r = ClipRead(
+                flag=int(b.flag[i]), pos=int(b.pos[i]),
+                pnext=int(b.pnext[i]), tlen=int(b.tlen[i]),
+                mapq=int(b.mapq[i]),
+                cigar=list(zip(b.cigar_len.row(i).tolist(),
+                               self._ops_s[co[i]:co[i + 1]])),
+                seq=b.seq.row(i).tobytes(), qual=b.qual.row(i).tobytes(),
+                rname=b.contig, rnext=self._pool[b.rnext_id[i]],
+                qname=b.qname[i], row=int(b.row[i]))
+            self._cache[i] = r
+            self._id2idx[id(r)] = i
+        return r
+
+    def __iter__(self):
+        for i in range(len(self._cache)):
+            yield self[i]
 
 
-def preclip_block(block: ContigReadBlock, block_reads, params):
-    """Run the region-independent finalize clipping steps (low-qual ends,
-    soft-clip handling, adaptor; haplotypecaller.go:410-443) ONCE over
-    the whole block via the native clip engine. Returns
-    ``(templates, cols)``: {id(block_read): template ClipRead} for
-    finalize_assembly_region's ``preclip`` argument, plus the columnar
-    post-clip arrays consumed by the native refconf region engine
-    (native.refconf_region). Both are None when the native lib is
-    unavailable (callers then fall back to the per-region Python
-    chain)."""
+class RegionReads:
+    """A region's candidate reads as a lazy view over (LazyBlockReads,
+    row indices) — materialization happens only if the region's path
+    actually consumes reads (finalize/assembly)."""
+
+    __slots__ = ("_lazy", "_rows")
+
+    def __init__(self, lazy: LazyBlockReads, rows: np.ndarray):
+        self._lazy = lazy
+        self._rows = rows
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def __getitem__(self, k):
+        return self._lazy[self._rows[k]]
+
+    def __iter__(self):
+        for i in self._rows:
+            yield self._lazy[i]
+
+
+class LazyPreclip:
+    """``id(orig) -> pre-clipped template`` mapping built on demand from
+    the native clip-engine columns (same templates as preclip_block's
+    eager loop, constructed only for reads that reach
+    finalize_assembly_region)."""
+
+    __slots__ = ("_lazy", "_got", "_ops_s", "_templates")
+
+    def __init__(self, lazy: LazyBlockReads, got: dict):
+        self._lazy = lazy
+        self._got = got
+        self._ops_s = got["ops"].tobytes().decode("latin1")
+        self._templates: dict = {}
+
+    def get(self, key):
+        i = self._lazy._id2idx.get(key)
+        if i is None:
+            return None
+        t = self._templates.get(i)
+        if t is None:
+            got = self._got
+            orig = self._lazy._cache[i]
+            b = int(got["cig_base"][i])
+            m = int(got["n_ops"][i])
+            bs, bl = int(got["bstart"][i]), int(got["blen"][i])
+            t = ClipRead(
+                flag=int(got["flag"][i]), pos=int(got["pos"][i]),
+                pnext=orig.pnext, tlen=orig.tlen,
+                mapq=int(got["mapq"][i]),
+                cigar=list(zip(got["lens"][b:b + m].tolist(),
+                               self._ops_s[b:b + m])),
+                seq=orig.seq[bs:bs + bl], qual=orig.qual[bs:bs + bl],
+                rname=orig.rname, rnext=orig.rnext, qname=orig.qname,
+                row=orig.row, base_start=orig.base_start + bs)
+            self._templates[i] = t
+        return t
+
+
+def _native_clip_cols(block: ContigReadBlock, params):
+    """Whole-block native clip (low-qual ends, soft-clip handling,
+    adaptor) + the columnar context for the native refconf/activity
+    region engines. Returns (got, cols) or (None, None) without the
+    native lib (or on an empty block)."""
     from .. import native
 
     n = len(block)
     if n == 0:
-        return {}, None
+        return None, None
     if not native.available() or os.environ.get("ELPREP_TPU_NO_NATIVE_CLIP"):
         return None, None
     modes = native.CLIP_LOWQ_ENDS | native.CLIP_ADAPTOR_IF_MAPPED
@@ -189,6 +281,39 @@ def preclip_block(block: ContigReadBlock, block_reads, params):
         seq_data=block.seq.data, seq_off=block.seq.offsets,
         qual_data=block.qual.data, qual_off=block.qual.offsets,
     )
+    return got, cols
+
+
+def preclip_block_lazy(block: ContigReadBlock, lazy: LazyBlockReads, params):
+    """Lazy counterpart of :func:`preclip_block`: the native clip engine
+    still runs ONCE over the whole block (cheap, columnar), but template
+    ClipReads materialize per row on first finalize lookup. Returns
+    (LazyPreclip | None, cols | None)."""
+    got, cols = _native_clip_cols(block, params)
+    if got is None:
+        return None, None
+    return LazyPreclip(lazy, got), cols
+
+
+def preclip_templates(block: ContigReadBlock, block_reads, params):
+    """Back-compat wrapper over :func:`preclip_block` (templates only)."""
+    templates, _cols = preclip_block(block, block_reads, params)
+    return templates
+
+
+def preclip_block(block: ContigReadBlock, block_reads, params):
+    """Run the region-independent finalize clipping steps (low-qual ends,
+    soft-clip handling, adaptor; haplotypecaller.go:410-443) ONCE over
+    the whole block via the native clip engine. Returns
+    ``(templates, cols)``: {id(block_read): template ClipRead} for
+    finalize_assembly_region's ``preclip`` argument, plus the columnar
+    post-clip arrays consumed by the native refconf region engine
+    (native.refconf_region). Both are None when the native lib is
+    unavailable (callers then fall back to the per-region Python
+    chain)."""
+    got, cols = _native_clip_cols(block, params)
+    if got is None:
+        return ({}, None) if len(block) == 0 else (None, None)
     ops_s = got["ops"].tobytes().decode("latin1")
     lens = got["lens"]
     cig_base, n_ops = got["cig_base"], got["n_ops"]
