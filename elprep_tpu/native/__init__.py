@@ -709,3 +709,41 @@ def tune_malloc() -> None:
         libc.mallopt(-4, 0)   # M_MMAP_MAX: no mmap'd allocations
     except Exception:
         pass
+    _install_np_allocator()
+
+
+_NPALLOC_SRC = os.path.join(_DIR, "npalloc.c")
+_NPALLOC_LIB = os.path.join(_DIR, "_npalloc.so")
+
+
+def _install_np_allocator() -> bool:
+    """Route numpy buffers >= 1 MiB through MAP_SHARED anonymous mmap
+    (npalloc.c, PyDataMem_SetHandler). Measured on this VM class:
+    private-anon first touch faults at ~70 MB/s (a fresh 512 MB np.full
+    costs ~7 s) while MAP_SHARED pages fault at ~1.2 GB/s — a 15x
+    first-allocation speedup for the big padded columns. Gated by
+    ELPREP_TPU_NO_NPALLOC; safe no-op when the toolchain is missing."""
+    if os.environ.get("ELPREP_TPU_NO_NPALLOC"):
+        return False
+    try:
+        if (not os.path.exists(_NPALLOC_LIB)
+                or os.path.getmtime(_NPALLOC_SRC)
+                > os.path.getmtime(_NPALLOC_LIB)):
+            import sysconfig
+
+            tmp = _NPALLOC_LIB + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _NPALLOC_SRC,
+                 "-I", sysconfig.get_paths()["include"],
+                 "-I", np.get_include()],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _NPALLOC_LIB)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_npalloc", _NPALLOC_LIB)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.install()
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,146 @@
+/* Custom numpy data allocator for virtualized hosts with pathologically
+ * slow private-anonymous page faults.
+ *
+ * On the target VM, first-touch of private anon memory (malloc/brk)
+ * faults at ~70 MB/s while MAP_SHARED anonymous memory faults at
+ * ~1.2 GB/s (measured; see README "virtualized-host malloc" note).
+ * Large numpy buffers (padded [n, L] columns at WGS scale) therefore
+ * cost seconds per allocation on the default allocator.  This handler
+ * routes allocations >= BIG_THRESHOLD through MAP_SHARED anonymous
+ * mmap and leaves small ones on malloc (where glibc heap reuse,
+ * configured by native.tune_malloc, already makes them cheap).
+ *
+ * Installed via numpy's PyDataMem_SetHandler (numpy >= 1.22); numpy
+ * tracks the owning handler per array, so arrays allocated before
+ * installation free through the default allocator safely.
+ */
+#define NPY_NO_DEPRECATED_API NPY_1_22_API_VERSION
+#define NPY_TARGET_VERSION NPY_1_22_API_VERSION
+#include <Python.h>
+#include <numpy/arrayobject.h>
+
+#include <stdint.h>
+#include <string.h>
+#include <sys/mman.h>
+
+#define BIG_THRESHOLD ((size_t)(1u << 20)) /* 1 MiB */
+#define HDR 64                             /* keeps 64-byte alignment */
+#define MAGIC_MMAP 0x454c4d4d41503031ULL
+#define MAGIC_MALLOC 0x454c4d414c303031ULL
+
+typedef struct {
+  uint64_t magic;
+  size_t total; /* full mapping/malloc size including header */
+} blk_hdr;
+
+static void *blk_alloc(size_t size, int zero) {
+  size_t total = size + HDR;
+  blk_hdr *h;
+  if (size >= BIG_THRESHOLD) {
+    void *p = mmap(NULL, total, PROT_READ | PROT_WRITE,
+                   MAP_SHARED | MAP_ANONYMOUS, -1, 0);
+    if (p != MAP_FAILED) {
+      h = (blk_hdr *)p;
+      h->magic = MAGIC_MMAP;
+      h->total = total;
+      return (char *)p + HDR; /* mmap memory is already zeroed */
+    }
+    /* fall through to malloc on mmap failure */
+  }
+  h = (blk_hdr *)(zero ? calloc(1, total) : malloc(total));
+  if (h == NULL) return NULL;
+  h->magic = MAGIC_MALLOC;
+  h->total = total;
+  return (char *)h + HDR;
+}
+
+static void blk_free(void *ptr) {
+  blk_hdr *h;
+  if (ptr == NULL) return;
+  h = (blk_hdr *)((char *)ptr - HDR);
+  if (h->magic == MAGIC_MMAP) {
+    munmap(h, h->total);
+  } else {
+    free(h);
+  }
+}
+
+static void *np_malloc(void *ctx, size_t size) {
+  (void)ctx;
+  return blk_alloc(size, 0);
+}
+
+static void *np_calloc(void *ctx, size_t nelem, size_t elsize) {
+  size_t size = nelem * elsize;
+  (void)ctx;
+  if (elsize != 0 && size / elsize != nelem) return NULL;
+  return blk_alloc(size, 1);
+}
+
+static void *np_realloc(void *ctx, void *ptr, size_t new_size) {
+  blk_hdr *h;
+  void *np;
+  size_t old_payload;
+  (void)ctx;
+  if (ptr == NULL) return blk_alloc(new_size, 0);
+  h = (blk_hdr *)((char *)ptr - HDR);
+  old_payload = h->total - HDR;
+  if (h->magic == MAGIC_MALLOC && new_size < BIG_THRESHOLD) {
+    blk_hdr *nh = (blk_hdr *)realloc(h, new_size + HDR);
+    if (nh == NULL) return NULL;
+    nh->total = new_size + HDR;
+    return (char *)nh + HDR;
+  }
+  np = blk_alloc(new_size, 0);
+  if (np == NULL) return NULL;
+  memcpy(np, ptr, old_payload < new_size ? old_payload : new_size);
+  blk_free(ptr);
+  return np;
+}
+
+static void np_free(void *ctx, void *ptr, size_t size) {
+  (void)ctx;
+  (void)size;
+  blk_free(ptr);
+}
+
+static PyDataMem_Handler handler = {
+    "elprep_shared_mmap_allocator",
+    1,
+    {
+        NULL,
+        np_malloc,
+        np_calloc,
+        np_realloc,
+        np_free,
+    },
+};
+
+static PyObject *install(PyObject *self, PyObject *args) {
+  PyObject *cap, *old;
+  (void)self;
+  (void)args;
+  cap = PyCapsule_New(&handler, "mem_handler", NULL);
+  if (cap == NULL) return NULL;
+  old = PyDataMem_SetHandler(cap);
+  Py_DECREF(cap);
+  if (old == NULL) return NULL;
+  Py_DECREF(old);
+  Py_RETURN_NONE;
+}
+
+static PyMethodDef methods[] = {
+    {"install", install, METH_NOARGS,
+     "Install the MAP_SHARED-backed numpy data allocator."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_npalloc", NULL, -1, methods,
+    NULL, NULL, NULL, NULL,
+};
+
+PyMODINIT_FUNC PyInit__npalloc(void) {
+  import_array();
+  return PyModule_Create(&moduledef);
+}

@@ -143,17 +143,13 @@ def _per_base_refpos_and_mx(pos, op_class, op_len, L):
     return refpos, is_mx & covered, covered
 
 
-@functools.partial(jax.jit, static_argnames=("max_cycle", "n_rg"))
-def recalibrate_tables(
-    base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len, ref_classes,
-    max_cycle: int, n_rg: int,
-):
-    """Accumulate the three BQSR tables for one batch of clipped reads.
-
-    Returns (qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism,
-    max_abs_cycle) — int32 dense tables (flattened) + the cycle-range
-    check value (reference panics when |cycle| > maxCycle, bqsr.go:364-369).
-    """
+def _covariate_codes(base, qual, seq_len, flag, pos, rg, refoff, skip,
+                     op_class, op_len, ref_classes, max_cycle: int,
+                     n_rg: int):
+    """Shared elementwise prelude of the table build: per-base flat table
+    indices (sentinel = table size for masked elements), the mismatch
+    indicator, and the cycle-range check value. Traced inside both the
+    device-scatter kernel and the host-bincount code path."""
     N, L = base.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
     valid = cols < seq_len[:, None]
@@ -180,20 +176,57 @@ def recalibrate_tables(
     cyc_size = qs_size * ncyc
     ctx_size = qs_size * NCTX
 
-    ones = jnp.ones((N, L), jnp.int32)
-
     qs_idx = jnp.where(mask, rgq, qs_size).reshape(-1)
-    qs_obs = jnp.zeros(qs_size, jnp.int32).at[qs_idx].add(ones.reshape(-1), mode="drop")
-    qs_mism = jnp.zeros(qs_size, jnp.int32).at[qs_idx].add(err.reshape(-1), mode="drop")
-
-    cyc_idx = jnp.where(mask, rgq * ncyc + (cycles + max_cycle), cyc_size).reshape(-1)
-    cyc_obs = jnp.zeros(cyc_size, jnp.int32).at[cyc_idx].add(ones.reshape(-1), mode="drop")
-    cyc_mism = jnp.zeros(cyc_size, jnp.int32).at[cyc_idx].add(err.reshape(-1), mode="drop")
-
+    cyc_idx = jnp.where(mask, rgq * ncyc + (cycles + max_cycle),
+                        cyc_size).reshape(-1)
     cmask = mask & (ctx16 >= 0)
     ctx_idx = jnp.where(cmask, rgq * NCTX + ctx16, ctx_size).reshape(-1)
-    ctx_obs = jnp.zeros(ctx_size, jnp.int32).at[ctx_idx].add(ones.reshape(-1), mode="drop")
-    ctx_mism = jnp.zeros(ctx_size, jnp.int32).at[ctx_idx].add(err.reshape(-1), mode="drop")
+    return (qs_idx, cyc_idx, ctx_idx, err.reshape(-1), max_abs_cycle,
+            qs_size, cyc_size, ctx_size)
+
+
+@functools.partial(jax.jit, static_argnames=("max_cycle", "n_rg"))
+def recalibrate_codes(
+    base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
+    ref_classes, max_cycle: int, n_rg: int,
+):
+    """Elementwise covariate codes only — the caller accumulates with
+    np.bincount on the host. On CPU backends this replaces the XLA
+    scatter-add (scalarized there, ~780 ns/base measured at WGS scale)
+    with a vectorized histogram at ~5 ns/base; tables are identical
+    integer counts either way."""
+    (qs_idx, cyc_idx, ctx_idx, err, max_abs_cycle,
+     _, _, _) = _covariate_codes(base, qual, seq_len, flag, pos, rg, refoff,
+                                 skip, op_class, op_len, ref_classes,
+                                 max_cycle, n_rg)
+    return qs_idx, cyc_idx, ctx_idx, err, max_abs_cycle
+
+
+@functools.partial(jax.jit, static_argnames=("max_cycle", "n_rg"))
+def recalibrate_tables(
+    base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len, ref_classes,
+    max_cycle: int, n_rg: int,
+):
+    """Accumulate the three BQSR tables for one batch of clipped reads.
+
+    Returns (qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism,
+    max_abs_cycle) — int32 dense tables (flattened) + the cycle-range
+    check value (reference panics when |cycle| > maxCycle, bqsr.go:364-369).
+    """
+    (qs_idx, cyc_idx, ctx_idx, err, max_abs_cycle,
+     qs_size, cyc_size, ctx_size) = _covariate_codes(
+        base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
+        ref_classes, max_cycle, n_rg)
+
+    ones = jnp.ones_like(err)
+    qs_obs = jnp.zeros(qs_size, jnp.int32).at[qs_idx].add(ones, mode="drop")
+    qs_mism = jnp.zeros(qs_size, jnp.int32).at[qs_idx].add(err, mode="drop")
+
+    cyc_obs = jnp.zeros(cyc_size, jnp.int32).at[cyc_idx].add(ones, mode="drop")
+    cyc_mism = jnp.zeros(cyc_size, jnp.int32).at[cyc_idx].add(err, mode="drop")
+
+    ctx_obs = jnp.zeros(ctx_size, jnp.int32).at[ctx_idx].add(ones, mode="drop")
+    ctx_mism = jnp.zeros(ctx_size, jnp.int32).at[ctx_idx].add(err, mode="drop")
 
     return qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, max_abs_cycle
 
