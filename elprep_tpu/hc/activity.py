@@ -816,6 +816,21 @@ def band_pass_states(is_active: np.ndarray, hq_mean: np.ndarray,
     n = len(is_active)
     states = np.zeros(n, np.float64)
     src = _band_pass_src(is_active, hq_mean, params)
+    hot = np.flatnonzero(src > 0)
+    if len(hot) * 400 < n:
+        # sparse fast path: activity is rare, so scatter each hot
+        # position's kernel window instead of 101 full-array passes.
+        # Hot positions ascend, so each output still accumulates its
+        # contributions in ascending source order — bitwise the same
+        # sums as the dense path below (zero sources add exact +0.0).
+        for pos in hot:
+            band_start = -filter_size if pos - filter_size >= 0 else -pos
+            band_end = filter_size if pos + filter_size < n else n - 1 - pos
+            states[pos + band_start : pos + band_end + 1] += (
+                src[pos]
+                * kernel[band_start + filter_size : band_end + filter_size + 1]
+            )
+        return states
     for k in range(len(kernel) - 1, -1, -1):
         d = k - filter_size
         w = kernel[k]

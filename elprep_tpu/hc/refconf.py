@@ -745,11 +745,11 @@ class VariantCombiner:
             odd = counts % 2 == 1
             mid_lo = c0 + (counts - 1) // 2
             mid_hi = c0 + counts // 2
-            med = np.where(
-                odd, dps_sorted[mid_lo],
-                np.asarray([_go_round((int(a_) + int(b_)) / 2) for a_, b_ in
-                            zip(dps_sorted[mid_lo], dps_sorted[mid_hi])],
-                           np.int64))
+            # go-style median of an even count: round((a+b)/2) with
+            # half-away-from-zero equals (a+b+1)//2 for the non-negative
+            # integer depths ((a+b)/2 is exact in float64 below 2^52)
+            lo_ = dps_sorted[mid_lo].astype(np.int64)
+            med = np.where(odd, lo_, (lo_ + dps_sorted[mid_hi] + 1) // 2)
             two = np.partition(min_pls_b, 1, axis=1)[:, :2]
             gq_b = np.minimum(two[:, 1] - two[:, 0], 99)
             b_pos = pos_first + cs.astype(np.int64)
