@@ -748,6 +748,8 @@ def _prep_recal_native(recal, header, batch, rows, rgmap, cov_index, rg_vals,
     lo = pos_k - bl - 1
     hi = pos_k + reflen + bl + 1
     ops_s = ops_fr[0].tobytes().decode("latin1")
+    use_native_skip = (not os.environ.get("ELPREP_TPU_NO_NATIVE_SKIP")
+                       and hasattr(native.get_lib() or (), "bqsr_skip_sites"))
     for q in uq_r:
         nm = batch.names[q].decode()
         ksites = self.known.get(nm)
@@ -756,7 +758,12 @@ def _prep_recal_native(recal, header, batch, rows, rgmap, cov_index, rg_vals,
         sel = np.flatnonzero(rid_k == q)
         cand_lo = np.searchsorted(ksites[:, 1], lo[sel], side="left")
         cand_hi = np.searchsorted(ksites[:, 0], hi[sel], side="right")
-        for k in sel[np.flatnonzero(cand_lo < cand_hi)]:
+        cands = sel[np.flatnonzero(cand_lo < cand_hi)]
+        if use_native_skip and native.bqsr_skip_sites(
+                cands, pos_k, ops_fr[1][:-1], n_ops_k, op_len_flat,
+                ops_fr[0], bl, ksites, skip):
+            continue
+        for k in cands:
             f0 = int(ops_fr[1][k])
             mo = int(n_ops_k[k])
             r = clipping.ClipRead(

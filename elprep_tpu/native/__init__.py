@@ -540,6 +540,41 @@ def activity_region(rows, cols: dict, low: int, high: int, ref: bytes,
     return out_active, out_hq
 
 
+def bqsr_skip_sites(cand, pos, cig_base, n_ops, lens, ops, blen, sites,
+                    skip, n_threads: int = 0) -> bool:
+    """Native known-sites skip-mask fill (oracle: the per-read loop in
+    filters/bqsr.py _prep_recal_native). ``skip`` is the row-major
+    [m, L] bool array, written in place for the candidate rows. Returns
+    False without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bqsr_skip_sites"):
+        return False
+    if lib.bqsr_skip_sites.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.bqsr_skip_sites.restype = None
+        lib.bqsr_skip_sites.argtypes = [L, P, P, P, P, P, P, P, P, L, P, L, L]
+    cand = np.ascontiguousarray(cand, np.int64)
+    if len(cand) == 0 or len(sites) == 0:
+        return True
+    pos = np.ascontiguousarray(pos, np.int64)
+    cig_base = np.ascontiguousarray(cig_base, np.int64)
+    n_ops = np.ascontiguousarray(n_ops, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    ops = np.ascontiguousarray(ops, np.uint8)
+    blen = np.ascontiguousarray(blen, np.int64)
+    sites = np.ascontiguousarray(sites, np.int64)
+    n_sites = sites.shape[0] if sites.ndim == 2 else len(sites) // 2
+    assert skip.dtype == np.bool_ and skip.flags.c_contiguous
+    lib.bqsr_skip_sites(
+        len(cand), cand.ctypes.data, pos.ctypes.data, cig_base.ctypes.data,
+        n_ops.ctypes.data, lens.ctypes.data, ops.ctypes.data,
+        blen.ctypes.data, sites.ctypes.data, n_sites,
+        skip.ctypes.data, skip.shape[1],
+        n_threads or _DEFAULT_THREADS[0])
+    return True
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

@@ -1322,3 +1322,89 @@ void activity_region_columnar(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BQSR known-sites skip masks (reference: bqsr.go:389-414; oracle: the
+// per-read Python loop in filters/bqsr.py _prep_recal_native). For each
+// candidate read, intersect its [soft_start, soft_end] with the
+// contig's sorted known-site intervals and mark the covered read
+// coordinates in the row-major skip[m, L] byte mask. Candidate rows are
+// disjoint, so rows parallelize freely.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void bqsr_skip_sites(
+    int64_t n_cand, const int64_t* cand,
+    const int64_t* pos,       // [n_real] post-clip POS
+    const int64_t* cig_base,  // [n_real] op offset into lens/ops
+    const int64_t* n_ops,     // [n_real]
+    const int32_t* lens, const uint8_t* ops,
+    const int64_t* blen,                     // [n_real]
+    const int64_t* sites, int64_t n_sites,   // flat (start,end), sorted
+    uint8_t* skip, int64_t L,                // row-major [m, L]
+    int64_t n_threads) {
+  if (n_cand <= 0 || n_sites <= 0) return;
+  auto run = [&](int64_t c0, int64_t c1) {
+    Rd r{};
+    for (int64_t c = c0; c < c1; c++) {
+      int64_t k = cand[c];
+      int64_t b = cig_base[k], m = n_ops[k];
+      r.pos = pos[k];
+      r.cig.clear();
+      for (int64_t i = 0; i < m; i++)
+        r.cig.push_back({(int64_t)lens[b + i], (char)ops[b + i]});
+      int64_t ss = soft_start(r);
+      int64_t se = soft_end(r);
+      // intervals.intersect: lo = first site with end >= ss,
+      // hi = first site with start > se (intervals.py:69-75)
+      int64_t lo = 0, hi = n_sites;
+      {
+        int64_t a = 0, z = n_sites;
+        while (a < z) {
+          int64_t mid = (a + z) >> 1;
+          if (sites[2 * mid + 1] < ss) a = mid + 1; else z = mid;
+        }
+        lo = a;
+      }
+      {
+        int64_t a = lo, z = n_sites;
+        while (a < z) {
+          int64_t mid = (a + z) >> 1;
+          if (sites[2 * mid] <= se) a = mid + 1; else z = mid;
+        }
+        hi = a;
+      }
+      int64_t sl = blen[k];
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t fs, fe;
+        bool ok = get_read_coordinate_for_reference_coordinate(
+            r.cig, ss, sites[2 * i], LEFT, &fs);
+        if (!ok || fs < 0) fs = 0;
+        ok = get_read_coordinate_for_reference_coordinate(
+            r.cig, ss, sites[2 * i + 1], LEFT, &fe);
+        if (!ok || fe > sl - 1) fe = sl - 1;
+        if (fe >= fs && fs < L) {
+          int64_t e2 = fe < L - 1 ? fe : L - 1;
+          memset(skip + k * L + fs, 1, (size_t)(e2 - fs + 1));
+        }
+      }
+    }
+  };
+  int64_t nt = n_threads > 0 ? n_threads : 1;
+  if (nt > n_cand) nt = n_cand;
+  if (nt <= 1) {
+    run(0, n_cand);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t chunk = (n_cand + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; t++) {
+    int64_t c0 = t * chunk, c1 = c0 + chunk < n_cand ? c0 + chunk : n_cand;
+    if (c0 >= c1) break;
+    ths.emplace_back(run, c0, c1);
+  }
+  for (auto& th : ths) th.join();
+}
+
+}  // extern "C"

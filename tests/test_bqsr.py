@@ -252,3 +252,40 @@ def test_accumulate_partials_multi_slice(setup):
     assert mac1 == mac2
     for a, b in zip(one, many):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_skip_sites_matches_python(tmp_path, monkeypatch):
+    """Fuzz the native known-sites skip engine (bqsr_skip_sites) against
+    the per-read Python loop: dense randomized sites so most reads carry
+    skip slices, messy cigars from the generator."""
+    from elprep_tpu import native
+    from elprep_tpu.filters.bqsr import prep_recalibrate_columns
+
+    if not (native.available()
+            and hasattr(native.get_lib(), "bqsr_skip_sites")):
+        pytest.skip("native skip engine unavailable")
+    genome = make_genome(CONTIGS, seed=11)
+    elf = str(tmp_path / "ref.elfasta")
+    to_elfasta(genome, elf)
+    ref = RefIndex(MappedFasta(elf))
+    header_lines = make_header_lines(CONTIGS, rgs=RGS)
+    reads = reads_from_genome(600, CONTIGS, genome, seed=13, rg_ids=RG_IDS)
+    sam = ("\n".join(header_lines + reads) + "\n").encode()
+    hdr, batch = parse_sam(sam)
+    add_refid(hdr)(batch)
+    rng = np.random.RandomState(7)
+    known = {}
+    for name, ln in CONTIGS:
+        starts = np.sort(rng.randint(1, ln - 30, 400))
+        ends = starts + rng.randint(1, 25, 400)
+        known[name] = iv.flatten(iv.sort_by_start(iv.make(starts, ends)))
+    sites = str(tmp_path / "dense.elsites")
+    iv.to_elsites_file(known, sites)
+    recal = BaseRecalibrator([sites], ref)
+
+    p_native = prep_recalibrate_columns(recal, hdr, batch, None, MAX_CYCLE)
+    monkeypatch.setenv("ELPREP_TPU_NO_NATIVE_SKIP", "1")
+    p_py = prep_recalibrate_columns(recal, hdr, batch, None, MAX_CYCLE)
+    assert p_native["skip"].shape == p_py["skip"].shape
+    assert p_native["skip"].any(), "fixture produced no skip slices"
+    assert np.array_equal(p_native["skip"], p_py["skip"])
