@@ -231,6 +231,27 @@ class TagsColumn:
 
     def has_tag(self, tag: bytes) -> np.ndarray:
         n = len(self)
+        if n > 2048:
+            # vectorized: find the 2-byte tag at a field start (row
+            # start or after a tab) in the flat buffer — same semantics
+            # as the per-read loop below (field[:2] == tag; values
+            # cannot contain tabs in SAM)
+            d = self.raw.data
+            off = self.raw.offsets
+            if len(d) >= 2:
+                cand = np.flatnonzero((d[:-1] == tag[0]) & (d[1:] == tag[1]))
+                if len(cand):
+                    rows = np.searchsorted(off, cand, side="right") - 1
+                    at_start = off[rows] == cand
+                    prev_tab = np.zeros(len(cand), bool)
+                    nz = cand > 0
+                    prev_tab[nz] = d[cand[nz] - 1] == 9
+                    within = cand + 2 <= off[rows + 1]
+                    sel = (at_start | prev_tab) & within
+                    out = np.zeros(n, bool)
+                    out[rows[sel]] = True
+                    return out
+            return np.zeros(n, bool)
         out = np.zeros(n, bool)
         for i in range(n):
             for f in self.fields(i):

@@ -213,11 +213,13 @@ def dedup_columns(batch, header):
         lb = rg_entry.get("LB")
         if lb is not None and lb not in lb_ids:
             lb_ids[lb] = len(lb_ids)
-    libid = np.full(len(batch), -1, np.int32)
-    for i, rg in enumerate(rg_vals):
-        lb = lb_by_rg.get(rg)
-        if lb is not None:
-            libid[i] = lb_ids.setdefault(lb, len(lb_ids))
+    # every mappable LB is pre-seeded from the header above, so the
+    # per-read assignment reduces to a unique-RG lookup table
+    uq, inv = np.unique(rg_vals, return_inverse=True)
+    lut = np.fromiter(
+        (lb_ids.get(lb_by_rg.get(rg), -1) for rg in uq),
+        np.int32, len(uq))
+    libid = lut[inv].astype(np.int32)
 
     op_class, op_len, n_ops = readstats.pad_cigars(batch.cigar_len, batch.cigar_op)
     qual_padded, qual_len = readstats.pad_quals(batch.qual)

@@ -204,3 +204,45 @@ def test_cigar_trailing_digits_rejected():
     data = HDR + b"r001\t0\tchr1\t7\t30\t4M2\t*\t0\t0\tACGT\tIIII\n"
     with pytest.raises(ValueError):
         parse_sam(data)
+
+
+def test_has_tag_vectorized_matches_loop():
+    """has_tag's vectorized path (n > 2048) against the per-read loop."""
+    import numpy as np
+    from samgen import make_header_lines
+
+    lines = make_header_lines([("c1", 100000)])
+    import random
+    rng = random.Random(5)
+    expect = []
+    for i in range(3000):
+        tags = []
+        has = False
+        if rng.random() < 0.4:
+            tags.append("RG:Z:grp1")
+        if rng.random() < 0.3:
+            tags.append("sr:i:1")
+            has = True
+        if rng.random() < 0.2:
+            # field[:2] == tag matches regardless of what follows
+            tags.append("srX:Z:decoy")
+            has = True
+        if rng.random() < 0.2:
+            tags.append("Xs:Z:sr_in_value")  # value mentioning the tag
+        expect.append(has)
+        t = ("\t" + "\t".join(tags)) if tags else ""
+        lines.append(f"r{i}\t0\tc1\t{i+1}\t60\t10M\t*\t0\t0\tACGTACGTAC\tJJJJJJJJJJ{t}")
+    sam = ("\n".join(lines) + "\n").encode()
+    from elprep_tpu.io.sam import parse_sam
+
+    hdr, batch = parse_sam(sam)
+    got = batch.tags.has_tag(b"sr")
+    want = np.zeros(len(batch), bool)
+    for i in range(len(batch)):
+        for f in batch.tags.fields(i):
+            if f[:2] == b"sr":
+                want[i] = True
+                break
+    assert np.array_equal(got, want)
+    # the loop oracle itself matches the generator's intent for sr:i
+    assert np.array_equal(want[: len(expect)], np.array(expect))
