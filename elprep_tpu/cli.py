@@ -490,17 +490,25 @@ def filter_command(argv: List[str]) -> int:
             fmt = args.output_type or ("bam" if args.output.endswith(".bam") else "sam")
             out = run_pipeline(data, filters2, post_sort)
             if want_hc:
-                # overlap the file write with variant calling: both
-                # consume `out` read-only, and the formatter/BGZF pools
-                # release the GIL while the HC pool runs in processes
+                # overlap the file write with variant calling. The
+                # column ARRAYS are immutable by construction, but the
+                # HC prep rebinds attributes on the shared batch (it
+                # drops the tags column to save RAM, hcprep.py
+                # haplotype_call_aln), so the writer serializes its own
+                # shallow snapshot of the column references.
+                import copy
                 import threading
 
+                snap = copy.copy(out.batch)
+                # headers are tiny and HC filters may mutate them in
+                # place (e.g. dropping the @sr user record)
+                snap_hdr = copy.deepcopy(out.header)
                 errs = []
 
                 def _write():
                     try:
-                        samio.write_sam_file(args.output, out.header,
-                                             out.batch, fmt=fmt)
+                        samio.write_sam_file(args.output, snap_hdr,
+                                             snap, fmt=fmt)
                     except BaseException as e:  # re-raised after HC
                         errs.append(e)
 
