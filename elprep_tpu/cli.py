@@ -638,6 +638,16 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             args.haplotypecaller,
             hcdriver.write_vcf_header(params, data.header, sample_box[0],
                                       get_reference))
+        # PairHMM placement follows the same host-vs-accelerator cost
+        # model as the columnar phases: below the crossover
+        # (ELPREP_TPU_DEVICE_MIN_READS) the batched jitted dispatch runs
+        # on the host CPU backend instead of paying accelerator round
+        # trips (the Pallas kernel itself is benchmarked on-chip
+        # separately)
+        from .ops.dispatch import offloads_to_host
+        from .ops.pairhmm import set_pairhmm_host_offload
+
+        set_pairhmm_host_offload(offloads_to_host(len(batch)))
         try:
             vcf_header, variants = hcdriver.call_variants(
                 params, data.header, reads_by_contig, get_reference,

@@ -85,6 +85,7 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
     reference requires the AddREFID filter (sam/sam-types.go:372-378).
     """
     from ..ops import sortkeys
+    from ..ops.dispatch import compute_device
 
     if len(batch) == 0:
         return batch
@@ -105,23 +106,26 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
             raise ValueError("REFID not set (use the add_refid filter to fix this)")
         qrank = sortkeys.qname_ranks(batch.qname)
         # pad to a power of two (dummies sort last and are filtered out)
-        perm = np.asarray(
-            sortkeys.coordinate_sort_perm(
-                _pad(batch.flag, 0x4),
-                _pad(batch.temps["REFID"], np.int32(2 ** 30)),
-                _pad(batch.pos, np.int32(2 ** 30)),
-                _pad(batch.mapq, 0),
-                _pad(batch.temps["NextREFID"], np.int32(2 ** 30)),
-                _pad(batch.pnext, np.int32(2 ** 30)),
-                _pad(batch.tlen, 0),
-                _pad(qrank, np.int32(2 ** 30)),
+        with compute_device(n):
+            perm = np.asarray(
+                sortkeys.coordinate_sort_perm(
+                    _pad(batch.flag, 0x4),
+                    _pad(batch.temps["REFID"], np.int32(2 ** 30)),
+                    _pad(batch.pos, np.int32(2 ** 30)),
+                    _pad(batch.mapq, 0),
+                    _pad(batch.temps["NextREFID"], np.int32(2 ** 30)),
+                    _pad(batch.pnext, np.int32(2 ** 30)),
+                    _pad(batch.tlen, 0),
+                    _pad(qrank, np.int32(2 ** 30)),
+                )
             )
-        )
         perm = perm[perm < n]
         return batch.select(perm)
     if order == SortingOrder.QUERYNAME:
         qrank = sortkeys.qname_ranks(batch.qname)
-        perm = np.asarray(sortkeys.queryname_sort_perm(_pad(qrank, np.int32(2 ** 30))))
+        with compute_device(n):
+            perm = np.asarray(
+                sortkeys.queryname_sort_perm(_pad(qrank, np.int32(2 ** 30))))
         perm = perm[perm < n]
         return batch.select(perm)
     return batch

@@ -425,45 +425,48 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
     Runs on whatever platform jax is configured for — the HC worker pool
     calls this on CPU inside the worker processes so only the tiny table
     partials cross the result pipes."""
-    import jax
     import jax.numpy as jnp
+
+    from ..ops.dispatch import compute_device, routes_to_host
 
     # XLA's scatter-add is scalarized on CPU (~780 ns/base measured at
     # WGS scale); on the CPU backend run only the vectorized elementwise
     # covariate program under jit and histogram the flat codes with
     # np.bincount on the host (~5 ns/base). Integer counts — tables are
-    # identical either way. TPU keeps the on-device scatter.
-    host_hist = jax.default_backend() == "cpu"
+    # identical either way. Large TPU batches keep the on-device scatter.
+    total = sum(p["n_real"] for p in preps)
+    host_hist = routes_to_host(total)
     acc = None
     max_abs_cycle = 0
     for sl in _iter_prep_slices(preps, max_rows=max_rows):
-        args = (
-            jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
-            jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
-            jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
-            jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
-            jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
-            jnp.asarray(ref_classes),
-        )
-        if host_hist:
-            qs_idx, cyc_idx, ctx_idx, err, mac = (
-                np.asarray(a) for a in bqsr_ops.recalibrate_codes(
-                    *args, max_cycle=max_cycle, n_rg=n_rg))
-            max_abs_cycle = max(max_abs_cycle, int(mac))
-            nrg_q = n_rg * NQUAL
-            sizes = (nrg_q, nrg_q * (2 * max_cycle + 1), nrg_q * NCTX)
-            errb = err.astype(bool)
-            arrs = []
-            for idx, size in zip((qs_idx, cyc_idx, ctx_idx), sizes):
-                arrs.append(np.bincount(idx, minlength=size + 1)[:size]
-                            .astype(np.int32))
-                arrs.append(np.bincount(idx[errb], minlength=size + 1)[:size]
-                            .astype(np.int32))
-        else:
-            out = bqsr_ops.recalibrate_tables(
-                *args, max_cycle=max_cycle, n_rg=n_rg)
-            arrs = [np.asarray(a) for a in out[:6]]
-            max_abs_cycle = max(max_abs_cycle, int(out[6]))
+        with compute_device(total):
+            args = (
+                jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
+                jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
+                jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
+                jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
+                jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
+                jnp.asarray(ref_classes),
+            )
+            if host_hist:
+                qs_idx, cyc_idx, ctx_idx, err, mac = (
+                    np.asarray(a) for a in bqsr_ops.recalibrate_codes(
+                        *args, max_cycle=max_cycle, n_rg=n_rg))
+                max_abs_cycle = max(max_abs_cycle, int(mac))
+                nrg_q = n_rg * NQUAL
+                sizes = (nrg_q, nrg_q * (2 * max_cycle + 1), nrg_q * NCTX)
+                errb = err.astype(bool)
+                arrs = []
+                for idx, size in zip((qs_idx, cyc_idx, ctx_idx), sizes):
+                    arrs.append(np.bincount(idx, minlength=size + 1)[:size]
+                                .astype(np.int32))
+                    arrs.append(np.bincount(idx[errb], minlength=size + 1)
+                                [:size].astype(np.int32))
+            else:
+                out = bqsr_ops.recalibrate_tables(
+                    *args, max_cycle=max_cycle, n_rg=n_rg)
+                arrs = [np.asarray(a) for a in out[:6]]
+                max_abs_cycle = max(max_abs_cycle, int(out[6]))
         if acc is None:
             # np.asarray of a CPU jax.Array is a READ-ONLY zero-copy
             # view — the accumulator must own writable storage
@@ -944,17 +947,22 @@ def apply_bqsr_filter(
             flag_p[:n] = batch.flag
             rg_p = np.full(n_pad, -1, rg.dtype)
             rg_p[:n] = rg
-            newq, max_abs_cycle = bqsr_ops.apply_bqsr(
-                jnp.asarray(base_padded), jnp.asarray(qual_padded),
-                jnp.asarray(qual_len.astype(np.int32)), jnp.asarray(flag_p),
-                jnp.asarray(rg_p), jnp.asarray(rg_present),
-                jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
-                jnp.asarray(quant), jnp.asarray(sqq_lut),
-                max_cycle=max_cycle,
-            )
-            if int(max_abs_cycle) > max_cycle:
+            from ..ops.dispatch import compute_device
+
+            with compute_device(n):
+                newq, max_abs_cycle = bqsr_ops.apply_bqsr(
+                    jnp.asarray(base_padded), jnp.asarray(qual_padded),
+                    jnp.asarray(qual_len.astype(np.int32)), jnp.asarray(flag_p),
+                    jnp.asarray(rg_p), jnp.asarray(rg_present),
+                    jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
+                    jnp.asarray(quant), jnp.asarray(sqq_lut),
+                    max_cycle=max_cycle,
+                )
+                newq = np.asarray(newq)
+                max_abs_cycle = int(max_abs_cycle)
+            if max_abs_cycle > max_cycle:
                 raise ValueError("cycle value exceeds maximum cycle value")
-            newq = np.asarray(newq)[:n]
+            newq = newq[:n]
             # write back into the ragged qual buffer
             lens = batch.qual.lengths.astype(np.int64)
             total = int(batch.qual.offsets[-1])

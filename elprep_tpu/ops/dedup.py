@@ -223,9 +223,12 @@ def dedup_columns(batch, header):
 
     op_class, op_len, n_ops = readstats.pad_cigars(batch.cigar_len, batch.cigar_op)
     qual_padded, qual_len = readstats.pad_quals(batch.qual)
-    upos = np.asarray(readstats.unclipped_position(batch.pos, batch.flag, op_class,
-                                                   op_len, n_ops))
-    score = np.asarray(readstats.phred_score(qual_padded, qual_len))
+    from .dispatch import compute_device
+
+    with compute_device(len(batch)):
+        upos = np.asarray(readstats.unclipped_position(
+            batch.pos, batch.flag, op_class, op_len, n_ops))
+        score = np.asarray(readstats.phred_score(qual_padded, qual_len))
     rev = ((batch.flag & REVERSED) >> 4).astype(np.int32)
     return libid, upos, score, rev
 
@@ -256,16 +259,19 @@ def mark_duplicates_batch(batch, header):
         out[:n] = a
         return jnp.asarray(out)
 
-    dup = np.asarray(
-        mark_duplicates(
-            _pad(libid, -1),
-            _pad(refid, np.int32(2 ** 30)),
-            _pad(upos, 0),
-            _pad(rev, 0),
-            _pad(score, 0),
-            _pad(qrank, np.int32(2 ** 30)),
-            _pad(batch.flag, np.int32(0x4)),
-        )
-    )[:n]
+    from .dispatch import compute_device
+
+    with compute_device(n):
+        dup = np.asarray(
+            mark_duplicates(
+                _pad(libid, -1),
+                _pad(refid, np.int32(2 ** 30)),
+                _pad(upos, 0),
+                _pad(rev, 0),
+                _pad(score, 0),
+                _pad(qrank, np.int32(2 ** 30)),
+                _pad(batch.flag, np.int32(0x4)),
+            )
+        )[:n]
     aux = {"libid": libid, "upos": upos, "score": score, "qrank": qrank}
     return dup, aux

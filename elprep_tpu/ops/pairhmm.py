@@ -303,9 +303,19 @@ def _round_up(v: int, m: int) -> int:
 # shards its B axis over the mesh instead of running single-device.
 _MESH: list = [None]
 
+# Host offload (dispatch cost model): when True, the batched pair
+# dispatch runs its jitted lax.scan formulation on the host CPU backend
+# instead of the accelerator — set by the CLI for batches below the
+# dispatch-latency crossover (ops/dispatch.py).
+_HOST_OFFLOAD: list = [False]
+
 
 def set_pairhmm_mesh(mesh) -> None:
     _MESH[0] = mesh
+
+
+def set_pairhmm_host_offload(flag: bool) -> None:
+    _HOST_OFFLOAD[0] = bool(flag)
 
 
 def pairhmm_logl_pairs(
@@ -326,10 +336,32 @@ def pairhmm_logl_pairs(
         return np.zeros(0, np.float64)
 
     mesh = _MESH[0]
+    if _HOST_OFFLOAD[0] and mesh is None and jax.default_backend() != "cpu":
+        # dispatch cost model: run the same jitted program on the host
+        # CPU backend (small batches lose more to accelerator round
+        # trips than the kernel computes)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _pairhmm_logl_pairs_scan(reads, haps, pair_r, pair_h)
     if jax.default_backend() == "tpu" and (mesh is None or mesh.devices.size <= 1):
         from .pairhmm_pallas import pairhmm_pallas_pairs
 
         return pairhmm_pallas_pairs(reads, haps, pair_r, pair_h)
+    return _pairhmm_logl_pairs_scan(reads, haps, pair_r, pair_h)
+
+
+def _pairhmm_logl_pairs_scan(
+    reads: Sequence[Tuple[bytes, np.ndarray, int]],
+    haps: Sequence[bytes],
+    pair_r: np.ndarray,
+    pair_h: np.ndarray,
+) -> np.ndarray:
+    """lax.scan formulation of the batched pair dispatch (all non-Pallas
+    backends; the Pallas TPU kernel lives in pairhmm_pallas.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = len(pair_r)
+    mesh = _MESH[0]
 
     # bucket padded shapes so groups share compiled programs
     lr_pad = _round_up(max(len(reads[r][1]) for r in pair_r), 32)
