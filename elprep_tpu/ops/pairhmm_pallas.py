@@ -62,17 +62,23 @@ def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
     dd1[:] = jnp.where(iota_i == 0, init, 0.0)
     acc2d[:] = jnp.zeros((n_pad, LANE), jnp.float32)
 
-    def shift1(a):
-        rolled = pltpu.roll(a, 1, axis=0)
-        return jnp.where(iota_i == 0, 0.0, rolled)
-
     # destination-row coefficients pre-shifted up once so each recurrence
-    # rolls ONE combined operand: shift1(A * c_up)[i] == A[i-1] * c[i]
-    # (the wrapped last row feeds destination n_pad, which does not exist)
+    # rolls ONE combined operand: roll(A * c_up)[i] == A[i-1] * c[i]
     m2m_up = pltpu.roll(m2m, n_pad - 1, axis=0)  # roll by -1 (cyclic)
     m2i_up = pltpu.roll(m2i, n_pad - 1, axis=0)
+    # The probability arrays carry structural zeros at row 0 and the pad
+    # rows past each pair's read length (sentinel table rows, see
+    # pairhmm_pallas_u8), and i2iv pins its last row to zero and row 0 to
+    # one. Together these make every roll wraparound land as an exact
+    # zero and fold the D[0][j] = init boundary into the recurrence
+    # itself, so the per-diagonal row-0/row-boundary selects of the
+    # earlier kernel revision disappear:
+    #   M[0] = prior[0] * wrap = 0        (prior row 0 is 0)
+    #   I[0] = 0*m2i[0->wrap] + Id1[-1]*i2iv[-1] = 0
+    #   D[0] = Md1[0]*m2i[0] + Dd1[0]*1.0 = init   (M row 0 is always 0)
+    i2iv = jnp.where(iota_i == 0, 1.0,
+                     jnp.where(iota_i == n_pad - 1, 0.0, i2i))
     # diagonal-invariant mask pieces hoisted out of the step loop
-    nz = iota_i != 0
     fin_row = iota_i == rl          # [n_pad, LANE]
     # haplotype diagonal window: instead of re-slicing [n_pad, LANE] at a
     # dynamic row offset every step, keep the window in scratch and shift
@@ -95,15 +101,10 @@ def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
         Md1 = p1m[:]
         Id1 = p1i[:]
         Dd1 = p1d[:]
-        # shift1 is linear, so each recurrence needs ONE sublane roll of
-        # a pre-combined operand instead of one per state vector.
-        # No not-yet-started masks needed: zero-initialized states
-        # propagate zeros through the pure-product recurrences, and
-        # shift1 zeroes the row-0 inflow; the only boundary is
-        # D[0][j] = init for every diagonal.
-        M_cur = prior * shift1(p2m[:] * m2m_up + (p2i[:] + p2d[:]) * i2m)
-        I_cur = shift1(Md1 * m2i_up + Id1 * i2i)
-        D_cur = jnp.where(nz, Md1 * m2i + Dd1 * i2i, init)
+        M_cur = prior * pltpu.roll(
+            p2m[:] * m2m_up + (p2i[:] + p2d[:]) * i2m, 1, axis=0)
+        I_cur = pltpu.roll(Md1 * m2i_up + Id1 * i2iv, 1, axis=0)
+        D_cur = Md1 * m2i + Dd1 * i2iv
         # final-row accumulation: masked add into a 2D accumulator (one
         # sublane reduction AFTER the loop instead of one per diagonal)
         j_final = d - rl  # [1, LANE]
@@ -113,27 +114,39 @@ def _kernel(x_ref, hbp_ref, mp_ref, nmp_ref, m2m_ref, m2i_ref,
         p2i[:] = I_cur
         p2d[:] = D_cur
 
-    def step2(k, _):
-        # two diagonals per loop iteration (Mosaic's fori_loop does not
+    def step4(k, _):
+        # four diagonals per loop iteration (Mosaic's fori_loop does not
         # support unroll>1; the manual unroll both halves per-iteration
         # bookkeeping and makes the ping-pong swap static). Diagonals
         # beyond n_steps contribute nothing to acc (their fin_mask is
-        # empty), so the even padding is safe.
-        d = 2 * k + 1
+        # empty), so the padding to a multiple of four is safe.
+        d = 4 * k + 1
         inner(d, md1, id1, dd1, md2, id2, dd2)
         inner(d + 1, md2, id2, dd2, md1, id1, dd1)
+        inner(d + 2, md1, id1, dd1, md2, id2, dd2)
+        inner(d + 3, md2, id2, dd2, md1, id1, dd1)
         return 0
 
-    jax.lax.fori_loop(0, (n_steps + 1) // 2, step2, 0)
+    # diagonals past this tile's max(rl + hl) cannot contribute (every
+    # pair's fin_mask is empty there), so the loop stops at the tile's
+    # own wavefront extent instead of the padded shape bound
+    lim = jnp.max(rl + hl)
+    jax.lax.fori_loop(0, jnp.minimum((lim + 3) // 4, (n_steps + 3) // 4),
+                      step4, 0)
     acc_ref[:] = jnp.sum(acc2d[:], axis=0, keepdims=True)
 
 
 # f64 arithmetic then ONE f32 cast — bit-identical to the former
-# host-side fills of the f32 kernel inputs
-_MP_TABLE = (1.0 - tables.QUAL_TO_ERROR_PROB).astype(np.float32)
-_NMP_TABLE = (tables.QUAL_TO_ERROR_PROB / 3.0).astype(np.float32)
-_M2M_TABLE = tables.MATCH_TO_MATCH.astype(np.float32)
-_M2I_TABLE = tables.MATCH_TO_INDEL.astype(np.float32)
+# host-side fills of the f32 kernel inputs. Each table carries one extra
+# SENTINEL row of exact zeros: pad rows (row 0 and rows past the read
+# length) index it, giving the kernel structural zeros that replace its
+# per-diagonal boundary selects.
+_MP_TABLE = np.append(1.0 - tables.QUAL_TO_ERROR_PROB, 0.0).astype(np.float32)
+_NMP_TABLE = np.append(tables.QUAL_TO_ERROR_PROB / 3.0, 0.0).astype(np.float32)
+_M2M_TABLE = np.append(tables.MATCH_TO_MATCH, 0.0).astype(np.float32)
+_M2I_TABLE = np.append(tables.MATCH_TO_INDEL, 0.0).astype(np.float32)
+_Q_SENT = np.uint8(len(_MP_TABLE) - 1)
+_R_SENT = np.uint8(len(_M2M_TABLE) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "lh_pad", "pad_off"))
@@ -147,6 +160,13 @@ def pairhmm_pallas_u8(x_u8, hbp_u8, mq_u8, rrl_u8, rl, hl, init,
                   x_u8.astype(jnp.float32))
     hbp = jnp.where(hbp_u8 == np.uint8(ord("N")), N_SENTINEL,
                     hbp_u8.astype(jnp.float32))
+    # pad rows (row 0 and rows past each pair's read length) take the
+    # sentinel table index so their probabilities are exact zeros — the
+    # kernel's select-free boundary handling relies on this
+    row = jax.lax.broadcasted_iota(jnp.int32, mq_u8.shape, 0)
+    pad_row = (row == 0) | (row > rl)
+    mq_u8 = jnp.where(pad_row, _Q_SENT, mq_u8)
+    rrl_u8 = jnp.where(pad_row, _R_SENT, rrl_u8)
     # tables precomputed in f64 then cast once, so every gathered value
     # is bit-identical to the host-filled f32 arrays (qual-0 pad rows:
     # error prob 1.0 -> mp exactly 0, like the zero-padded f32 form;
