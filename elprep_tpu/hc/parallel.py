@@ -231,6 +231,12 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
             if kind == "prep":
                 _, task_id, items = msg
                 out = []
+                # no-variation regions of a columnar span take ONE
+                # batched native call (row selection + ref model in
+                # C++); everything else goes through prepare_region
+                batchable = []
+                rest = []
+                use_batch = span_cols is not None and span_block is not None
                 for rid, region in items:
                     # snapshot BEFORE attaching the contig reference or
                     # the reads (redo re-derives both; regions arrive
@@ -238,6 +244,23 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     # copied into the per-region snapshot)
                     raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
                     region.reference = reference
+                    if (use_batch and not region.is_active
+                            and params.confidence_mode != "NONE"):
+                        batchable.append((rid, region))
+                    else:
+                        rest.append((rid, region, raw))
+                if batchable:
+                    from .refconf import native_ref_models_batch
+
+                    got = native_ref_models_batch(
+                        params, [r for _, r in batchable], block_positions,
+                        block_ends, max_ref_len, span_cols, reference)
+                    for (rid, region), terminal in zip(batchable, got):
+                        if terminal is not None:
+                            out.append((rid, "term", terminal))
+                        else:
+                            rest.append((rid, region, None))
+                for rid, region, raw in rest:
                     rows = _slice_rows(region.padded_start(),
                                        region.padded_end())
                     region.reads = _region_reads(block_reads, rows)
@@ -247,6 +270,15 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     if pending is None:
                         out.append((rid, "term", terminal))
                     else:
+                        if raw is None:
+                            # native-batch fallbacks are inactive regions
+                            # and exit terminally above; snapshot bare
+                            # (no reference/reads) if one ever pends
+                            saved = region.reads
+                            region.reference, region.reads = None, []
+                            raw = pickle.dumps(region,
+                                               pickle.HIGHEST_PROTOCOL)
+                            region.reference, region.reads = reference, saved
                         store[rid] = [raw, pending, None, None]
                         out.append((rid, "pend", pending.reads_in,
                                     pending.hap_bases, pending.hap_is_ref))

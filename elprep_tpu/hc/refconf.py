@@ -572,6 +572,68 @@ def native_ref_model_for_no_variation(params: HCParams,
     return variants
 
 
+def native_ref_models_batch(params: HCParams, regions, positions, ends,
+                            max_ref_len: int, span_cols: dict,
+                            reference: bytes):
+    """Batched native ref model over a prep task's no-variation regions:
+    ONE native call covers row selection + the per-region model
+    (native.refconf_regions_batch; per-region oracle is
+    native_ref_model_for_no_variation / the Python path). Returns a list
+    the same length as ``regions``: each entry is the region's terminal
+    variants list, or None when that region must fall back to the
+    Python path."""
+    n = len(regions)
+    outs: list = [None] * n
+    if os.environ.get("ELPREP_TPU_NO_NATIVE_REFCONF"):
+        return outs
+    from .. import native
+
+    metas = []
+    idxs = []
+    for i, region in enumerate(regions):
+        low, high = region.start, region.end + 1
+        if high - low <= 0 or high <= 1:
+            outs[i] = []  # oracle early-out: no blocks at all
+            continue
+        metas.append((region.padded_start(), region.padded_end(), low, high))
+        idxs.append(i)
+    if not metas:
+        return outs
+    params_i, tables_d = _native_rc_tables()
+    params_i = dict(params_i,
+                    max_indel=params.indel_size_to_eliminate_in_ref_model)
+    metas_a = np.asarray(metas, np.int64)
+    sizes = metas_a[:, 3] - metas_a[:, 2]
+    out_off = np.concatenate([[0], np.cumsum(sizes)])
+    got = native.refconf_regions_batch(metas_a, out_off, positions, ends,
+                                       max_ref_len, span_cols, reference,
+                                       params_i, tables_d)
+    if got is None:
+        return outs
+    rc, ad_ref, ad_nonref, pls, gq = got
+    gvcf = params.confidence_mode == "GVCF"
+    for m, i in enumerate(idxs):
+        if rc[m] != 0:
+            continue  # fall back to the Python path for this region
+        lo_, hi_ = int(out_off[m]), int(out_off[m + 1])
+        low = int(metas_a[m, 2])
+        a_r = ad_ref[lo_:hi_]
+        a_n = ad_nonref[lo_:hi_]
+        dp = a_r + a_n
+        if gvcf:
+            outs[i] = [RefRun(low, dp, a_r, a_n, pls[lo_:hi_], gq[lo_:hi_])]
+        else:
+            outs[i] = [
+                SingleVariant(
+                    location=low + p, dp=int(dp[p]),
+                    ad=(int(a_r[p]), int(a_n[p])),
+                    pls=(int(pls[lo_ + p, 0]), int(pls[lo_ + p, 1]),
+                         int(pls[lo_ + p, 2])),
+                    gq=int(gq[lo_ + p]))
+                for p in range(hi_ - lo_)]
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # GVCF variant combiner (variant-combiner.go:105-263)
 # ---------------------------------------------------------------------------

@@ -648,6 +648,71 @@ def refconf_region(rows, cols: dict, padded_start: int, padded_end: int,
     return ad_ref, ad_nonref, pls.reshape(n_pos, 3), gq
 
 
+def refconf_regions_batch(regions, out_off, positions, ends,
+                          max_ref_len: int, cols: dict, ref: bytes,
+                          params_i: dict, tables_d: dict):
+    """Batched :func:`refconf_region` over many no-variation regions of
+    one worker block: row selection (positions/ends binary search) and
+    the per-region loop run natively. ``regions`` is an int64 [n, 4]
+    array of (padded_start, padded_end, low, high); ``out_off`` the
+    int64 [n] prefix offsets into the concatenated outputs. Returns
+    (rc[n], ad_ref, ad_nonref, pls[total,3], gq) or None without the
+    native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "refconf_regions_batch"):
+        return None
+    if lib.refconf_regions_batch.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        D = ctypes.c_double
+        lib.refconf_regions_batch.restype = None
+        lib.refconf_regions_batch.argtypes = (
+            [L] + [P] * 5 + [P, P, L, L] + [P] * 17
+            + [ctypes.c_char_p, L] + [L] * 5
+            + [P, P, L, D, D, D, D, P, P, P] + [P] * 5)
+    regions = np.ascontiguousarray(regions, np.int64)
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    positions = np.ascontiguousarray(positions, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    n = len(regions)
+    total = int(out_off[-1]) if n else 0
+    rps = np.ascontiguousarray(regions[:, 0])
+    rpe = np.ascontiguousarray(regions[:, 1])
+    rlo = np.ascontiguousarray(regions[:, 2])
+    rhi = np.ascontiguousarray(regions[:, 3])
+    ad_ref = np.zeros(total, np.int64)
+    ad_nonref = np.zeros(total, np.int64)
+    pls = np.zeros(total * 3, np.int64)
+    gq = np.zeros(total, np.int64)
+    rc = np.zeros(n, np.int64)
+    lib.refconf_regions_batch(
+        n, rps.ctypes.data, rpe.ctypes.data, rlo.ctypes.data,
+        rhi.ctypes.data, out_off.ctypes.data,
+        positions.ctypes.data, ends.ctypes.data, len(positions),
+        max_ref_len,
+        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
+        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
+        cols["mapq"].ctypes.data, cols["qrank"].ctypes.data,
+        cols["bad_mate"].ctypes.data, cols["n_ops"].ctypes.data,
+        cols["cig_base"].ctypes.data, cols["lens"].ctypes.data,
+        cols["ops"].ctypes.data, cols["seq_data"].ctypes.data,
+        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
+        cols["qual_off"].ctypes.data, cols["bstart"].ctypes.data,
+        cols["blen"].ctypes.data,
+        ref, len(ref),
+        params_i["max_indel"], params_i["min_read_len"],
+        params_i["min_mapq"], params_i["max_informative"],
+        params_i["max_qual"],
+        tables_d["qual2prob"].ctypes.data, tables_d["jac"].ctypes.data,
+        len(tables_d["jac"]), tables_d["jac_step"], tables_d["jac_max_tol"],
+        tables_d["log10_ploidy"], tables_d["log10_one_third"],
+        tables_d["indel_gq"].ctypes.data, tables_d["indel_pls"].ctypes.data,
+        tables_d["base_mask"].ctypes.data,
+        ad_ref.ctypes.data, ad_nonref.ctypes.data, pls.ctypes.data,
+        gq.ctypes.data, rc.ctypes.data)
+    return rc, ad_ref, ad_nonref, pls.reshape(total, 3), gq
+
+
 def x86_log10(x: float):
     """Java-parity x87 log10 (reference: pedantic.go:29-52), or None."""
     lib = get_lib()

@@ -1408,3 +1408,70 @@ void bqsr_skip_sites(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched no-variation reference model: one call per worker prep task
+// instead of one per region. Row selection (hc/parallel._slice_rows:
+// positions/ends binary search + overlap filter) moves in here too, so
+// the per-region Python/ctypes glue disappears. Each region writes its
+// slice of the concatenated outputs at out_off[r]; out_rc[r] is the
+// per-region refconf_region_columnar return code.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void refconf_regions_batch(
+    int64_t n_regions,
+    const int64_t* r_padded_start, const int64_t* r_padded_end,
+    const int64_t* r_low, const int64_t* r_high,
+    const int64_t* out_off,
+    // block row-selection arrays (coordinate order)
+    const int64_t* positions, const int64_t* ends, int64_t n_block,
+    int64_t max_ref_len,
+    // post-preclip per-row columns over the whole block
+    const int32_t* flag, const int64_t* pos, const int32_t* pnext,
+    const int32_t* tlen, const int32_t* mapq, const int32_t* qrank,
+    const uint8_t* bad_mate,
+    const int32_t* cig_n_ops, const int64_t* cig_base,
+    const int32_t* cig_len, const uint8_t* cig_op,
+    const uint8_t* seq_data, const int64_t* seq_off,
+    const uint8_t* qual_data, const int64_t* qual_off,
+    const int64_t* bstart, const int64_t* blen,
+    const uint8_t* ref, int64_t ref_len,
+    int64_t max_indel, int64_t min_read_len, int64_t min_mapq,
+    int64_t max_informative, int64_t max_qual,
+    const double* qual2prob, const double* jac_table, int64_t jac_n,
+    double jac_step, double jac_max_tol, double log10_ploidy,
+    double log10_one_third, const double* indel_gq, const int64_t* indel_pls,
+    const int64_t* base_mask,
+    int64_t* out_ad_ref, int64_t* out_ad_nonref, int64_t* out_pls,
+    int64_t* out_gq, int64_t* out_rc) {
+  std::vector<int64_t> rows;
+  for (int64_t r = 0; r < n_regions; r++) {
+    int64_t ps = r_padded_start[r], pe = r_padded_end[r];
+    // rows overlapping [ps, pe]: pos in [ps - max_ref_len + 1, pe],
+    // filtered on end >= ps (identical to _slice_rows)
+    int64_t lowest = ps - max_ref_len + 1;
+    int64_t j = (int64_t)(std::lower_bound(positions, positions + n_block,
+                                           lowest) - positions);
+    int64_t k = (int64_t)(std::upper_bound(positions, positions + n_block,
+                                           pe) - positions);
+    rows.clear();
+    for (int64_t i = j; i < k; i++)
+      if (ends[i] >= ps) rows.push_back(i);
+    int64_t off = out_off[r];
+    out_rc[r] = refconf_region_columnar(
+        (int64_t)rows.size(), rows.data(),
+        flag, pos, pnext, tlen, mapq, qrank, bad_mate,
+        cig_n_ops, cig_base, cig_len, cig_op,
+        seq_data, seq_off, qual_data, qual_off, bstart, blen,
+        ps, pe, r_low[r], r_high[r], ref, ref_len,
+        max_indel, min_read_len, min_mapq, max_informative, max_qual,
+        qual2prob, jac_table, jac_n, jac_step, jac_max_tol, log10_ploidy,
+        log10_one_third, indel_gq, indel_pls, base_mask,
+        out_ad_ref + off, out_ad_nonref + off, out_pls + 3 * off,
+        out_gq + off);
+  }
+}
+
+}  // extern "C"
