@@ -197,7 +197,14 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 if res is None:
                     res = compute_activity([block_reads[i] for i in rows],
                                            reference, cs + 1, ce + 1, params)
-                res_q.put(("act_done", tid, res[0], res[1]))
+                ia, hm = res
+                # ship sparse: activity is rare, and hq_mean is consumed
+                # only where is_active > 0 (_band_pass_src), so dense
+                # [chunk] f64 pairs (16 B/position — hundreds of MB of
+                # pipe traffic at WGS scale) reduce to the hot entries
+                nz = np.flatnonzero(ia)
+                res_q.put(("act_done", tid, len(ia),
+                           nz.astype(np.int64), ia[nz], hm[nz]))
                 continue
             if kind == "bqsr_ctx":
                 # broadcast once per recalibrate call: known sites can be
@@ -434,7 +441,12 @@ class HCWorkerPool:
         while got < len(chunks):
             msg = self._recv()
             assert msg[0] == "act_done", msg[0]
-            out[msg[1]] = (msg[2], msg[3])
+            _, tid, n, nz, ia_v, hm_v = msg
+            ia = np.zeros(n, np.float64)
+            hm = np.zeros(n, np.float64)
+            ia[nz] = ia_v
+            hm[nz] = hm_v
+            out[tid] = (ia, hm)
             got += 1
         return out
 
