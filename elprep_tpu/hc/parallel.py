@@ -73,6 +73,55 @@ def _worker_main(wid: int, req_q, res_q) -> None:
     _worker_loop(wid, req_q, res_q)
 
 
+def _arrays_to_shm(arrays: dict):
+    """Copy named arrays into ONE posix shared-memory segment. Returns
+    ``((shm_name, metas), shm)`` where ``metas[name] = (offset, shape,
+    dtype_str)`` — the worker-side view constructor input."""
+    from multiprocessing import shared_memory
+
+    total = 0
+    metas = {}
+    bufs = {}
+    for k, a in arrays.items():
+        a = np.ascontiguousarray(a)
+        bufs[k] = a
+        off = (total + 63) & ~63
+        metas[k] = (off, a.shape, a.dtype.str)
+        total = off + a.nbytes
+    shm = shared_memory.SharedMemory(create=True, size=max(1, total))
+    for k, a in bufs.items():
+        off = metas[k][0]
+        np.ndarray(a.shape, a.dtype, buffer=shm.buf, offset=off)[...] = a
+    return (shm.name, metas), shm
+
+
+def _attach_shm_batch(desc, names):
+    """Worker-side ReadBatch over a shared-memory segment written by
+    :func:`_arrays_to_shm` (columns are read-only views; qname is not
+    shipped — the BQSR prep never reads it)."""
+    from multiprocessing import shared_memory
+
+    from ..core.batch import Ragged, ReadBatch, TagsColumn
+
+    shm_name, metas = desc
+    shm = shared_memory.SharedMemory(name=shm_name)
+    arrs = {k: np.ndarray(shape, np.dtype(dt), buffer=shm.buf, offset=off)
+            for k, (off, shape, dt) in metas.items()}
+    n = len(arrs["flag"])
+    batch = ReadBatch(
+        qname=np.empty(n, "S1"),
+        flag=arrs["flag"], rname_id=arrs["rname_id"], pos=arrs["pos"],
+        mapq=arrs["mapq"],
+        cigar_len=Ragged(arrs["cig_len"], arrs["cig_off"]),
+        cigar_op=Ragged(arrs["cig_op"], arrs["cig_off"]),
+        rnext_id=arrs["rnext_id"], pnext=arrs["pnext"], tlen=arrs["tlen"],
+        seq=Ragged(arrs["seq_data"], arrs["seq_off"]),
+        qual=Ragged(arrs["qual_data"], arrs["qual_off"]),
+        tags=TagsColumn(Ragged(arrs["tags_data"], arrs["tags_off"])),
+        names=list(names))
+    return shm, batch
+
+
 def _attach_shm_array(name: str, shape, dtype):
     """Attach a numpy view over a posix shared-memory segment created by
     the main process. Spawned workers share the parent's resource
@@ -226,6 +275,37 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
 
                 recal_lite, hdr, max_cycle = bqsr_ctx
                 p = prep_recalibrate_columns(recal_lite, hdr, sub_batch, None,
+                                             max_cycle)
+                n_rg = len(set(rg_covariate_map(hdr).values()))
+                part = accumulate_table_partials(
+                    [p] if p["m"] > 0 else [], bqsr_classes, max_cycle, n_rg)
+                res_q.put(("bqsr_tables_done", tid, part))
+                continue
+            if kind == "bqsr_task":
+                # the whole-batch columns arrive ONCE via shared memory;
+                # this worker copies out only its own row range (native
+                # gathers), so nothing batch-sized crosses the pipes
+                _, tid, ctx, classes_ref, desc, names, row_range = msg
+                from ..filters.bqsr import (accumulate_table_partials,
+                                            prep_recalibrate_columns,
+                                            rg_covariate_map)
+
+                recal_lite, hdr, max_cycle = ctx
+                bqsr_classes = None
+                if classes_ref[0] == "shm":
+                    bqsr_shm, bqsr_classes = _attach_shm_array(*classes_ref[1:])
+                else:
+                    bqsr_shm, bqsr_classes = None, classes_ref[1]
+                shm2, sbatch = _attach_shm_batch(desc, names)
+                try:
+                    sub = sbatch.select(np.arange(row_range[0], row_range[1]))
+                finally:
+                    del sbatch
+                    try:
+                        shm2.close()
+                    except BufferError:
+                        pass  # a live view pins the mapping; harmless
+                p = prep_recalibrate_columns(recal_lite, hdr, sub, None,
                                              max_cycle)
                 n_rg = len(set(rg_covariate_map(hdr).values()))
                 part = accumulate_table_partials(
@@ -474,23 +554,54 @@ class HCWorkerPool:
                 shm.unlink()
                 shm = None
             classes_ref = ("inline", ref_classes)
+        batch_shm = None
+        desc = None
+        try:
+            from multiprocessing import shared_memory as _sm  # noqa: F401
+
+            desc, batch_shm = _arrays_to_shm(dict(
+                flag=batch.flag, pos=batch.pos, pnext=batch.pnext,
+                tlen=batch.tlen, mapq=batch.mapq,
+                rname_id=batch.rname_id, rnext_id=batch.rnext_id,
+                cig_len=batch.cigar_len.data,
+                cig_off=batch.cigar_len.offsets,
+                cig_op=batch.cigar_op.data,
+                seq_data=batch.seq.data, seq_off=batch.seq.offsets,
+                qual_data=batch.qual.data, qual_off=batch.qual.offsets,
+                tags_data=batch.tags.raw.data,
+                tags_off=batch.tags.raw.offsets,
+            ))
+        except Exception:
+            if batch_shm is not None:
+                batch_shm.close()
+                batch_shm.unlink()
+            desc, batch_shm = None, None
         try:
             n = len(batch)
             chunk = max(1, (n + self.n - 1) // self.n)
             n_chunks = (n + chunk - 1) // chunk
-            # ctx goes ONLY to workers that receive a chunk: each such
-            # worker attaches the shm before replying, and the main
-            # process unlinks only after every reply — so no worker can
-            # attach after the unlink (an idle worker might dequeue its
-            # ctx arbitrarily late)
-            for w in range(min(n_chunks, self.n)):
-                self.req_qs[w].put(("bqsr_ctx", (recal_lite, header, max_cycle),
-                                    classes_ref))
             tids = 0
-            for w, lo in enumerate(range(0, n, chunk)):
-                sub = batch.select(np.arange(lo, min(lo + chunk, n)))
-                self.req_qs[w % self.n].put(("bqsr_prep", tids, sub))
-                tids += 1
+            if desc is not None:
+                # whole-batch columns via ONE shared-memory segment;
+                # workers copy out their own row range. Workers attach
+                # before replying and the unlink below happens only
+                # after every reply, so attach-after-unlink cannot occur.
+                ctx = (recal_lite, header, max_cycle)
+                for w, lo in enumerate(range(0, n, chunk)):
+                    self.req_qs[w % self.n].put(
+                        ("bqsr_task", tids, ctx, classes_ref, desc,
+                         batch.names, (lo, min(lo + chunk, n))))
+                    tids += 1
+            else:
+                # fallback: pickle per-worker sub-batches through the pipes
+                for w in range(min(n_chunks, self.n)):
+                    self.req_qs[w].put(
+                        ("bqsr_ctx", (recal_lite, header, max_cycle),
+                         classes_ref))
+                for w, lo in enumerate(range(0, n, chunk)):
+                    sub = batch.select(np.arange(lo, min(lo + chunk, n)))
+                    self.req_qs[w % self.n].put(("bqsr_prep", tids, sub))
+                    tids += 1
             out = [None] * tids
             got = 0
             while got < tids:
@@ -503,6 +614,9 @@ class HCWorkerPool:
             if shm is not None:
                 shm.close()
                 shm.unlink()
+            if batch_shm is not None:
+                batch_shm.close()
+                batch_shm.unlink()
 
     def process_regions(self, params, regions, deletions, use_device_pairhmm):
         """Yield (region, variants, deletions) in region order.
