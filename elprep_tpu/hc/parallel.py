@@ -39,7 +39,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 # regions per prepare task: small for load balance across skewed costs
-PREP_TASK_SIZE = 4
+PREP_TASK_SIZE = 48
 # activity chunk width in reference positions (the pool path; the serial
 # driver uses larger chunks)
 ACT_CHUNK = 1 << 16
