@@ -527,9 +527,13 @@ def filter_command(argv: List[str]) -> int:
                    lambda: _run_haplotypecaller(args, data, mapped_fasta, bed_regions,
                                                 command_line, post_sort), args.profile)
     finally:
+        import sys as _sys
+
+        in_flight = _sys.exc_info()[0] is not None
         for th, errs in pending_write:
             th.join()
-            if errs:
+            # don't supplant an in-flight HC exception with the writer's
+            if errs and not in_flight:
                 raise errs[0]
     return 0
 

@@ -458,6 +458,11 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
                 errb = err.astype(bool)
                 arrs = []
                 for idx, size in zip((qs_idx, cyc_idx, ctx_idx), sizes):
+                    # mirror the device scatter's mode="drop": cycle
+                    # values beyond max_cycle produce out-of-range (even
+                    # negative) indices; they must drop here too so the
+                    # clean cycle-range ValueError below is what raises
+                    idx = np.where((idx < 0) | (idx > size), size, idx)
                     arrs.append(np.bincount(idx, minlength=size + 1)[:size]
                                 .astype(np.int32))
                     arrs.append(np.bincount(idx[errb], minlength=size + 1)

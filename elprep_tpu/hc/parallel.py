@@ -89,9 +89,14 @@ def _arrays_to_shm(arrays: dict):
         metas[k] = (off, a.shape, a.dtype.str)
         total = off + a.nbytes
     shm = shared_memory.SharedMemory(create=True, size=max(1, total))
-    for k, a in bufs.items():
-        off = metas[k][0]
-        np.ndarray(a.shape, a.dtype, buffer=shm.buf, offset=off)[...] = a
+    try:
+        for k, a in bufs.items():
+            off = metas[k][0]
+            np.ndarray(a.shape, a.dtype, buffer=shm.buf, offset=off)[...] = a
+    except BaseException:
+        shm.close()
+        shm.unlink()
+        raise
     return (shm.name, metas), shm
 
 
@@ -109,7 +114,7 @@ def _attach_shm_batch(desc, names):
             for k, (off, shape, dt) in metas.items()}
     n = len(arrs["flag"])
     batch = ReadBatch(
-        qname=np.empty(n, "S1"),
+        qname=np.zeros(n, "S1"),
         flag=arrs["flag"], rname_id=arrs["rname_id"], pos=arrs["pos"],
         mapq=arrs["mapq"],
         cigar_len=Ragged(arrs["cig_len"], arrs["cig_off"]),
@@ -325,17 +330,20 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 rest = []
                 use_batch = span_cols is not None and span_block is not None
                 for rid, region in items:
+                    if (use_batch and not region.is_active
+                            and params.confidence_mode != "NONE"):
+                        # no snapshot: these exit terminally through the
+                        # native batch (fallbacks re-snapshot lazily)
+                        region.reference = reference
+                        batchable.append((rid, region))
+                        continue
                     # snapshot BEFORE attaching the contig reference or
                     # the reads (redo re-derives both; regions arrive
                     # bare so neither the contig nor the read block is
                     # copied into the per-region snapshot)
                     raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
                     region.reference = reference
-                    if (use_batch and not region.is_active
-                            and params.confidence_mode != "NONE"):
-                        batchable.append((rid, region))
-                    else:
-                        rest.append((rid, region, raw))
+                    rest.append((rid, region, raw))
                 if batchable:
                     from .refconf import native_ref_models_batch
 

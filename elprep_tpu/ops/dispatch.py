@@ -8,13 +8,17 @@ same program faster than the transfer+dispatch round trips alone. This
 module centralizes the decision: batches below ``ELPREP_TPU_DEVICE_MIN_READS``
 (default 4M reads) execute their jitted programs on the host CPU
 backend via ``jax.default_device``; larger batches use the configured
-accelerator. The PairHMM path is exempt — its pair batches amortize
-dispatch and it is the FLOP-dominant kernel.
+accelerator. The batched PairHMM dispatch follows the same crossover
+(ops/pairhmm.set_pairhmm_host_offload, set once per run by the CLI).
 
-The jitted programs are identical either way (same traces, different
-backend executables), so results are bit-identical by construction —
-the integer sort/dedup/table programs have no backend-dependent
-floating-point behavior.
+The integer sort/dedup/table programs are bit-identical across
+backends by construction. The PairHMM f32 likelihoods are the one
+backend-sensitive surface: CPU-default sessions always use the jitted
+lax.scan formulation, while accelerator sessions use the Pallas TPU
+kernel above the crossover — ulp-level f32 differences between those
+kernels are inherent to using the TPU kernel at all (both are held to
+the f64 oracle within 5e-4, tests/test_pairhmm.py), and the crossover
+only moves where that existing boundary sits.
 """
 
 from __future__ import annotations
