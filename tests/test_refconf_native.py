@@ -141,3 +141,49 @@ def test_prepare_region_native_path_matches(monkeypatch):
     want, pend2 = prepare_region(params, r_py, preclip)
     assert pend2 is None
     assert _flatten(got) == _flatten(want)
+
+
+@pytest.mark.parametrize("mode", ["GVCF", "BP_RESOLUTION"])
+def test_batch_matches_per_region(mode):
+    """refconf_regions_batch (one native call, row selection in C++)
+    against the per-region native calls and the Python oracle."""
+    import random
+
+    from elprep_tpu.hc.refconf import native_ref_models_batch
+
+    reference, block = _mk_block(41)
+    params = make_hc_params(mode)
+    block_reads = block.materialize()
+    preclip, cols = preclip_block(block, block_reads, params)
+    assert cols is not None
+    positions, ends, mrl = block.pos, block.ends(), block.max_reference_length()
+    rng = random.Random(41)
+    regions = []
+    for _ in range(40):
+        start = rng.randrange(1, 29_000)
+        end = min(start + rng.randrange(1, 400), 29_999)
+        regions.append(AssemblyRegion(
+            contig="chr1", reference=reference, start=start, end=end,
+            extension=100, contig_length=30_000, is_active=False))
+    # include the early-out shapes (end < start -> high - low <= 0)
+    regions.append(AssemblyRegion(contig="chr1", reference=reference,
+                                  start=500, end=499, extension=100,
+                                  contig_length=30_000, is_active=False))
+    outs = native_ref_models_batch(params, regions, positions, ends, mrl,
+                                   cols, reference)
+    assert len(outs) == len(regions)
+    assert outs[-1] == []  # early-out region
+    n_checked = 0
+    for region, got in zip(regions[:-1], outs[:-1]):
+        assert got is not None
+        rows = _slice_rows(block, positions, ends, mrl,
+                           region.padded_start(), region.padded_end())
+        per_region = native_ref_model_for_no_variation(
+            params, [], copy.deepcopy(region), cols, rows, reference)
+        assert _flatten(got) == _flatten(per_region)
+        r_py = copy.deepcopy(region)
+        r_py.reads = [block_reads[i] for i in rows]
+        want = _python_ref_model(params, r_py, r_py.reads, preclip)
+        assert _flatten(got) == _flatten(want)
+        n_checked += 1
+    assert n_checked == 40
