@@ -58,6 +58,18 @@ def _worker_main(wid: int, req_q, res_q) -> None:
     from .. import native as _native
 
     _native.tune_malloc()
+    # one core per worker: the pool sizes itself to the CPU count, so a
+    # worker's XLA/native thread pools (each defaulting to every core)
+    # would otherwise run n_workers * n_cores threads during the fanned
+    # BQSR table build — measured ~4x slowdown from the thrash. Pinning
+    # also keeps each worker's caches warm.
+    if not os.environ.get("ELPREP_TPU_NO_WORKER_PIN"):
+        try:
+            ncpu = os.cpu_count() or 1
+            os.sched_setaffinity(0, {wid % ncpu})
+            _native.set_default_threads(1)
+        except (AttributeError, OSError):
+            pass
     prof_prefix = os.environ.get("ELPREP_TPU_WORKER_PROFILE")
     if prof_prefix:
         import cProfile
