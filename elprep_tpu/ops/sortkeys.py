@@ -66,14 +66,28 @@ def coordinate_keys(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank):
 def coordinate_sort_perm(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank):
     """Stable coordinate-sort permutation, computed on device.
 
-    Iterative single-key stable sorts (least-significant first) replace
-    one 10-operand lax.sort: identical permutation, far cheaper to
-    compile through remote TPU compilers."""
+    Iterative stable sorts (least-significant first) replace one
+    10-operand lax.sort: identical permutation, far cheaper to compile
+    through remote TPU compilers. Adjacent comparator keys pair up into
+    two-key passes (and modFlag < 2^16 / mapq < 2^8 pack bit-exactly
+    into one int32), so five sort passes replace nine. int64 packing is
+    unavailable: x64 is off and TPU sorts int64 slowly anyway."""
     n = flag.shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
-    keys = coordinate_keys(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank)
-    for k in reversed(keys):
-        _, perm = jax.lax.sort((k[perm], perm), num_keys=1, is_stable=True)
+    (k_refid, k_pos, k_rev, k_qrank, k_mf, k_mapq, k_nrefid, k_pnext,
+     k_tlen) = coordinate_keys(flag, refid, pos, mapq, next_refid, pnext,
+                               tlen, qrank)
+    passes = (
+        ((k_refid, k_pos), 2),
+        ((k_rev, k_qrank), 2),
+        (((k_mf << 8) | k_mapq,), 1),
+        ((k_nrefid, k_pnext), 2),
+        ((k_tlen,), 1),
+    )
+    for keys, nk in reversed(passes):
+        operands = tuple(k[perm] for k in keys) + (perm,)
+        out = jax.lax.sort(operands, num_keys=nk, is_stable=True)
+        perm = out[-1]
     return perm
 
 
