@@ -638,10 +638,10 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
         # then flush records incrementally as call_variants emits them
         os.makedirs(os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".",
                     exist_ok=True)
-        sink = vcfmod.StreamingVcfWriter(
+        sink = vcfmod.AsyncVariantSink(vcfmod.StreamingVcfWriter(
             args.haplotypecaller,
             hcdriver.write_vcf_header(params, data.header, sample_box[0],
-                                      get_reference))
+                                      get_reference)))
         # PairHMM placement follows the same host-vs-accelerator cost
         # model as the columnar phases: below the crossover
         # (ELPREP_TPU_DEVICE_MIN_READS) the batched jitted dispatch runs
@@ -661,7 +661,14 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
                 nr_workers=nr_workers, variant_sink=sink,
             )
         finally:
-            sink.close()
+            if os.environ.get("ELPREP_TPU_HC_TRACE"):
+                import time as _t
+                _c0 = _t.perf_counter()
+                sink.close()
+                print("[hc] sink.close took %.3fs"
+                      % (_t.perf_counter() - _c0), file=sys.stderr, flush=True)
+            else:
+                sink.close()
     finally:
         if ap:
             ap.close()

@@ -618,6 +618,17 @@ def call_variants(
     cs = sam_header.contigs()
     valid_contigs = set(cs) if cs else None
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _trace = _os.environ.get("ELPREP_TPU_HC_TRACE")
+
+    def _tr(fmt, *a):
+        if _trace:
+            print("[hc %.3f] " % (_time.perf_counter() - _tr0) + fmt % a,
+                  file=_sys.stderr, flush=True)
+    _tr0 = _time.perf_counter()
+
     for sq in sam_header.sq:
         contig = sq["SN"]
         if valid_contigs is not None and contig not in valid_contigs:
@@ -641,7 +652,7 @@ def call_variants(
             contig_reads = downsample(contig_src, params)
         reference = get_reference(contig)
         if pool is not None:
-            pool.set_contig(params, reference)
+            pool.set_contig(params, reference, contig, contig_length)
         if bed_regions is not None:
             spans = bed_regions.get(contig)
             if not spans:
@@ -686,12 +697,17 @@ def call_variants(
                 # band-pass smear below runs on the stitched span)
                 from .parallel import ACT_CHUNK
 
+                _tr("%s span %d-%d: distribute begin (%d reads)", contig,
+                    start, stop, len(region_block) if region_block is not None
+                    else len(region_reads))
                 pool.distribute_span(
                     region_block if region_block is not None else region_reads,
                     region_positions, max_ref_len, params=params)
                 bounds = [(cs, min(cs + ACT_CHUNK, stop))
                           for cs in range(start, stop, ACT_CHUNK)]
+                _tr("%s: activity begin (%d chunks)", contig, len(bounds))
                 results = pool.map_activity(bounds)
+                _tr("%s: activity done", contig)
             else:
                 CHUNK = 1 << 18
                 bounds = [(cs, min(cs + CHUNK, stop))
@@ -709,6 +725,8 @@ def call_variants(
             regions = compute_assembly_regions(
                 contig, reference, start, stop, contig_length, states, params,
                 keep_states=activity_profile is not None)
+            _tr("%s: %d regions built (%d active)", contig, len(regions),
+                sum(1 for r in regions if r.is_active))
             if assembly_regions_out is not None or activity_profile is not None:
                 _print_assembly_regions(assembly_regions_out, activity_profile, regions)
             def fill_reads(region):
@@ -749,6 +767,7 @@ def call_variants(
                 if variant_sink is not None and len(out_variants) >= 4096:
                     variant_sink.write_variants(out_variants)
                     out_variants = []
+            _tr("%s: regions consumed", contig)
     if gvcf and combiner is not None:
         out_variants = flush_runs(out_variants)
         final = combiner.finalize()
@@ -757,4 +776,5 @@ def call_variants(
     if variant_sink is not None:
         variant_sink.write_variants(out_variants)
         out_variants = []
+    _tr("call_variants returning")
     return vcf_header, out_variants

@@ -29,10 +29,8 @@ cannot perturb it.
 from __future__ import annotations
 
 import bisect
-import dataclasses
 import multiprocessing as mp
 import os
-import pickle
 import traceback
 from typing import Dict, List, Optional, Tuple
 
@@ -207,7 +205,7 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
             if kind == "stop":
                 return
             if kind == "contig":
-                _, params, reference = msg
+                _, params, reference, contig_name, contig_length = msg
                 store.clear()
                 from .genotyping import set_randomized_qd
 
@@ -333,7 +331,22 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 store.clear()
                 continue
             if kind == "prep":
-                _, task_id, items = msg
+                # regions arrive as (rid0, starts, ends, actives) arrays
+                # — a region is fully determined by its bounds + activity
+                # plus the broadcast contig context, so nothing
+                # object-shaped crosses the pipe (or needs snapshotting
+                # for redo: regions rebuild from the triple)
+                _, task_id, rid0, r_starts, r_ends, r_actives = msg
+                from .activity import AssemblyRegion
+
+                def _make_region(i: int) -> AssemblyRegion:
+                    return AssemblyRegion(
+                        contig=contig_name, reference=reference,
+                        start=int(r_starts[i]), end=int(r_ends[i]),
+                        extension=params.padding,
+                        contig_length=contig_length,
+                        is_active=bool(r_actives[i]))
+
                 out = []
                 # no-variation regions of a columnar span take ONE
                 # batched native call (row selection + ref model in
@@ -341,21 +354,14 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 batchable = []
                 rest = []
                 use_batch = span_cols is not None and span_block is not None
-                for rid, region in items:
+                for i in range(len(r_starts)):
+                    rid = rid0 + i
+                    region = _make_region(i)
                     if (use_batch and not region.is_active
                             and params.confidence_mode != "NONE"):
-                        # no snapshot: these exit terminally through the
-                        # native batch (fallbacks re-snapshot lazily)
-                        region.reference = reference
                         batchable.append((rid, region))
                         continue
-                    # snapshot BEFORE attaching the contig reference or
-                    # the reads (redo re-derives both; regions arrive
-                    # bare so neither the contig nor the read block is
-                    # copied into the per-region snapshot)
-                    raw = pickle.dumps(region, pickle.HIGHEST_PROTOCOL)
-                    region.reference = reference
-                    rest.append((rid, region, raw))
+                    rest.append((rid, region, i))
                 if batchable:
                     from .refconf import native_ref_models_batch
 
@@ -366,8 +372,8 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                         if terminal is not None:
                             out.append((rid, "term", terminal))
                         else:
-                            rest.append((rid, region, None))
-                for rid, region, raw in rest:
+                            rest.append((rid, region, rid - rid0))
+                for rid, region, i in rest:
                     rows = _slice_rows(region.padded_start(),
                                        region.padded_end())
                     region.reads = _region_reads(block_reads, rows)
@@ -377,16 +383,9 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     if pending is None:
                         out.append((rid, "term", terminal))
                     else:
-                        if raw is None:
-                            # native-batch fallbacks are inactive regions
-                            # and exit terminally above; snapshot bare
-                            # (no reference/reads) if one ever pends
-                            saved = region.reads
-                            region.reference, region.reads = None, []
-                            raw = pickle.dumps(region,
-                                               pickle.HIGHEST_PROTOCOL)
-                            region.reference, region.reads = reference, saved
-                        store[rid] = [raw, pending, None, None]
+                        store[rid] = [(int(r_starts[i]), int(r_ends[i]),
+                                       bool(r_actives[i])), pending,
+                                      None, None]
                         out.append((rid, "pend", pending.reads_in,
                                     pending.hap_bases, pending.hap_is_ref))
                 res_q.put(("prep_done", wid, task_id, out))
@@ -401,13 +400,19 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 continue
             if kind == "redo":
                 # speculative genotyping mutated the pending (realign):
-                # rebuild it from the pristine region and rerun with the
-                # true incoming deletions; prepare is deterministic so
-                # the stored PairHMM values still apply
+                # rebuild it from the stored (start, end, is_active)
+                # triple and rerun with the true incoming deletions;
+                # prepare is deterministic so the stored PairHMM values
+                # still apply
                 _, rid, incoming = msg
                 ent = store[rid]
-                region = pickle.loads(ent[0])
-                region.reference = reference
+                from .activity import AssemblyRegion
+
+                r_start, r_end, r_active = ent[0]
+                region = AssemblyRegion(
+                    contig=contig_name, reference=reference,
+                    start=r_start, end=r_end, extension=params.padding,
+                    contig_length=contig_length, is_active=r_active)
                 rows = _slice_rows(region.padded_start(), region.padded_end())
                 region.reads = _region_reads(block_reads, rows)
                 _terminal, pending = prepare_region(
@@ -467,12 +472,14 @@ class HCWorkerPool:
             raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
         return msg
 
-    def set_contig(self, params, reference: bytes) -> None:
-        """Broadcast the contig context (params + reference) to every
+    def set_contig(self, params, reference: bytes, contig: str = "",
+                   contig_length: int = 0) -> None:
+        """Broadcast the contig context (params + reference + name/length
+        — regions rebuild worker-side from bounds alone) to every
         worker; resets their region stores."""
         self._block_bounds: List[int] = []
         for q in self.req_qs:
-            q.put(("contig", params, reference))
+            q.put(("contig", params, reference, contig, contig_length))
 
     def distribute_span(self, reads, positions, max_ref_len: int,
                         params=None) -> None:
@@ -648,6 +655,16 @@ class HCWorkerPool:
         """
         from ..ops import pairhmm
 
+        import sys as _sys
+        import time as _time
+        _trace = os.environ.get("ELPREP_TPU_HC_TRACE")
+        _tr0 = _time.perf_counter()
+
+        def _tr(fmt, *a):
+            if _trace:
+                print("[pr %.3f] " % (_time.perf_counter() - _tr0) + fmt % a,
+                      file=_sys.stderr, flush=True)
+
         n = len(regions)
 
         # results per rid
@@ -683,22 +700,23 @@ class HCWorkerPool:
 
         def send_tasks():
             # per-worker queues: every worker's pipeline fills up to
-            # MAX_INFLIGHT independently of the others' progress
+            # MAX_INFLIGHT independently of the others' progress. Tasks
+            # hold consecutive rids, so each ships as (first rid +
+            # bounds/activity arrays) — nothing object-shaped crosses
+            # the pipe and the owner rebuilds the regions locally.
             for w in range(self.n):
                 while wtasks[w] and inflight[w] < MAX_INFLIGHT:
                     t = wtasks[w].popleft()
-                    items = []
-                    for rid in tasks[t]:
-                        # ship an immutable bare copy: Queue.put pickles
-                        # in a feeder thread, so the original must not be
-                        # mutated after (and neither the contig reference
-                        # nor the reads ride along — the owner holds the
-                        # read block)
-                        copy = dataclasses.replace(
-                            regions[rid], reference=None,
-                            supporting_states=None, reads=[])
-                        items.append((rid, copy))
-                    self.req_qs[w].put(("prep", t, items))
+                    rids = tasks[t]
+                    self.req_qs[w].put((
+                        "prep", t, rids[0],
+                        np.fromiter((regions[r].start for r in rids),
+                                    np.int64, len(rids)),
+                        np.fromiter((regions[r].end for r in rids),
+                                    np.int64, len(rids)),
+                        np.fromiter((regions[r].is_active for r in rids),
+                                    np.bool_, len(rids)),
+                    ))
                     inflight[w] += 1
 
         def tasks_remaining() -> bool:
@@ -719,10 +737,13 @@ class HCWorkerPool:
         def _run_pairhmm(batch, workloads):
             # off the event loop: jax/numpy release the GIL during the
             # heavy work, so the recv/emit loop keeps draining results
+            _tr("pairhmm dispatch begin (%d regions, %d pairs)", len(batch),
+                sum(len(w[0]) * len(w[1]) for w in workloads))
             pairs = pairhmm.compute_read_likelihoods_multi(
                 workloads, use_device=use_device_pairhmm)
             for rid, (vals, keep) in zip(batch, pairs):
                 self.req_qs[owner[rid]].put(("geno", rid, vals, keep, []))
+            _tr("pairhmm dispatch end (%d regions)", len(batch))
 
         def dispatch_pairhmm(force=False):
             if not pending_batch:
@@ -783,6 +804,8 @@ class HCWorkerPool:
                     _, wid, task_id, out = msg
                     inflight[wid] -= 1
                     preps_outstanding -= 1
+                    if preps_outstanding == 0 and not tasks_remaining():
+                        _tr("all preps done (emit=%d/%d)", emit, n)
                     for item in out:
                         rid = item[0]
                         if item[1] == "term":

@@ -596,3 +596,52 @@ class StreamingVcfWriter:
         if self._bgzf is not None:
             self._bgzf.close()
         self.f.close()
+
+
+class AsyncVariantSink:
+    """Move a variant sink's formatting + compression off the caller's
+    thread: batches queue to ONE writer thread (order preserved; the
+    native formatter and zlib release the GIL, so the producer keeps
+    running). The caller hands over ownership of each list — mirroring
+    the reference's ordered output pipeline stage
+    (haplotypecaller.go:907-944) running concurrently with callRegion."""
+
+    def __init__(self, sink, max_queue: int = 8):
+        import queue
+        import threading
+
+        self._sink = sink
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._exc = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._q.get()
+            if batch is None:
+                return
+            if self._exc is not None:
+                continue  # drain without writing after a failure
+            try:
+                self._sink.write_variants(batch)
+            except BaseException as e:  # propagate on next call / close
+                self._exc = e
+
+    def _check(self) -> None:
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def write_variants(self, variants) -> None:
+        self._check()
+        if variants:
+            self._q.put(variants)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        try:
+            self._check()
+        finally:
+            self._sink.close()
