@@ -105,6 +105,15 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
         if "REFID" not in batch.temps:
             raise ValueError("REFID not set (use the add_refid filter to fix this)")
         qrank = sortkeys.qname_ranks(batch.qname)
+        from ..ops.dispatch import routes_to_host
+
+        if routes_to_host(n):
+            # host batches take the numpy twin (identical permutation,
+            # no pow2 padding needed — nothing is compiled)
+            perm = sortkeys.coordinate_sort_perm_host(
+                batch.flag, batch.temps["REFID"], batch.pos, batch.mapq,
+                batch.temps["NextREFID"], batch.pnext, batch.tlen, qrank)
+            return batch.select(perm)
         # pad to a power of two (dummies sort last and are filtered out)
         with compute_device(n):
             perm = np.asarray(
@@ -123,6 +132,11 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
         return batch.select(perm)
     if order == SortingOrder.QUERYNAME:
         qrank = sortkeys.qname_ranks(batch.qname)
+        from ..ops.dispatch import routes_to_host
+
+        if routes_to_host(n):
+            return batch.select(
+                np.argsort(qrank, kind="stable").astype(np.int32))
         with compute_device(n):
             perm = np.asarray(
                 sortkeys.queryname_sort_perm(_pad(qrank, np.int32(2 ** 30))))

@@ -189,6 +189,114 @@ def mark_duplicates(libid, refid, upos, rev, score, qrank, flag):
     return dup
 
 
+def mark_duplicates_host(libid, refid, upos, rev, score, qrank, flag
+                         ) -> np.ndarray:
+    """numpy twin of :func:`mark_duplicates` (identical mask: the same
+    stable sorts and integer duels, via np.lexsort + reduceat). Used
+    below the accelerator-dispatch crossover, where XLA:CPU's scalar
+    stable sorts dominate the jitted program's runtime."""
+    libid, refid, upos, rev, score, qrank, flag = (
+        np.asarray(a) for a in (libid, refid, upos, rev, score, qrank, flag))
+    n = flag.shape[0]
+    idx = np.arange(n, dtype=np.int32)
+
+    eligible = (flag & ELIGIBLE_EXCLUDE) == 0
+    true_pair = eligible & ((flag & (MULTIPLE | NEXT_UNMAPPED)) == MULTIPLE)
+    true_frag = eligible & ~true_pair
+
+    dup = np.zeros(n, dtype=bool)
+    if n == 0:
+        return dup
+
+    def seg_ids(*cols):
+        change = np.zeros(n, dtype=bool)
+        for k in cols:
+            change |= k != np.roll(k, 1)
+        change[0] = True
+        starts = np.flatnonzero(change)
+        return np.cumsum(change) - 1, starts
+
+    # FRAGMENT phase
+    inel = (~eligible).astype(np.int32)
+    fperm = np.lexsort((rev, upos, refid, libid, inel))
+    s_inel, s_upos = inel[fperm], upos[fperm]
+    s_lib, s_ref, s_rev = libid[fperm], refid[fperm], rev[fperm]
+    s_pair = true_pair[fperm]
+    s_frag = true_frag[fperm]
+    s_score, s_qrank, s_idx = score[fperm], qrank[fperm], idx[fperm]
+    seg, starts = seg_ids(s_inel, s_lib, s_ref, s_upos, s_rev)
+
+    has_pair = np.maximum.reduceat(s_pair, starts)[seg]
+    frag_score = np.where(s_frag, s_score, INT32_MIN)
+    best_score = np.maximum.reduceat(frag_score, starts)[seg]
+    tie = s_frag & (s_score == best_score)
+    tie_qrank = np.where(tie, s_qrank, INT32_MAX)
+    best_qrank = np.minimum.reduceat(tie_qrank, starts)[seg]
+    tie2 = tie & (s_qrank == best_qrank)
+    tie_idx = np.where(tie2, s_idx, -1)
+    winner_idx = np.maximum.reduceat(tie_idx, starts)[seg]
+    frag_winner = tie2 & (s_idx == winner_idx) & ~has_pair
+    frag_dup = s_frag & (s_inel == 0) & ~frag_winner
+    dup[s_idx[frag_dup]] = True
+
+    # PAIR formation by {LIBID, QNAME} in arrival order
+    not_cand = (~true_pair).astype(np.int32)
+    pperm = np.lexsort((idx, qrank, libid, not_cand))
+    p_nc, p_lib, p_qrank, p_idx = (
+        not_cand[pperm], libid[pperm], qrank[pperm], idx[pperm])
+    p_ref, p_upos, p_rev, p_score = (
+        refid[pperm], upos[pperm], rev[pperm], score[pperm])
+    pseg, pstarts = seg_ids(p_nc, p_lib, p_qrank)
+    ar = np.arange(n, dtype=np.int32)
+    pos_in_run = ar - pstarts[pseg]
+    is_second = (p_nc == 0) & (pos_in_run % 2 == 1)
+
+    a_ref, a_upos, a_rev, a_score, a_idx = p_ref, p_upos, p_rev, p_score, p_idx
+    b_ref, b_upos, b_rev, b_score, b_idx = (
+        np.roll(p_ref, 1), np.roll(p_upos, 1), np.roll(p_rev, 1),
+        np.roll(p_score, 1), np.roll(p_idx, 1))
+
+    swap = (a_ref > b_ref) | (
+        (a_ref == b_ref)
+        & ((a_upos > b_upos) | ((a_upos == b_upos) & (a_rev == 1) & (b_rev == 0)))
+    )
+    r1 = np.where(swap, b_ref, a_ref)
+    r2 = np.where(swap, a_ref, b_ref)
+    po1 = np.where(swap, b_upos, a_upos)
+    po2 = np.where(swap, a_upos, b_upos)
+    rv1 = np.where(swap, b_rev, a_rev)
+    rv2 = np.where(swap, a_rev, b_rev)
+    pscore = a_score + b_score
+    parrival = np.maximum(a_idx, b_idx)
+    pq = p_qrank
+
+    # PAIR dedup by {LIBID, r1, r2, po1, po2, rv1, rv2}
+    invalid = (~is_second).astype(np.int32)
+    gperm = np.lexsort((rv2, rv1, po2, po1, r2, r1, p_lib, invalid))
+    (g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2) = (
+        invalid[gperm], p_lib[gperm], r1[gperm], r2[gperm], po1[gperm],
+        po2[gperm], rv1[gperm], rv2[gperm])
+    g_score, g_q, g_arr = pscore[gperm], pq[gperm], parrival[gperm]
+    g_ia, g_ib = a_idx[gperm], b_idx[gperm]
+    gseg, gstarts = seg_ids(g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2)
+
+    valid = g_inv == 0
+    vscore = np.where(valid, g_score, INT32_MIN)
+    gbest_score = np.maximum.reduceat(vscore, gstarts)[gseg]
+    gtie = valid & (g_score == gbest_score)
+    gq = np.where(gtie, g_q, INT32_MAX)
+    gbest_q = np.minimum.reduceat(gq, gstarts)[gseg]
+    gtie2 = gtie & (g_q == gbest_q)
+    garr = np.where(gtie2, g_arr, -1)
+    gbest_arr = np.maximum.reduceat(garr, gstarts)[gseg]
+    gwinner = gtie2 & (g_arr == gbest_arr)
+    gloser = valid & ~gwinner
+
+    dup[g_ia[gloser]] = True
+    dup[g_ib[gloser]] = True
+    return dup
+
+
 def dedup_columns(batch, header):
     """Host-derived dedup input columns: (libid, unclipped-pos, score,
     rev) int32 arrays for a ReadBatch.
@@ -259,19 +367,24 @@ def mark_duplicates_batch(batch, header):
         out[:n] = a
         return jnp.asarray(out)
 
-    from .dispatch import compute_device
+    from .dispatch import compute_device, routes_to_host
 
-    with compute_device(n):
-        dup = np.asarray(
-            mark_duplicates(
-                _pad(libid, -1),
-                _pad(refid, np.int32(2 ** 30)),
-                _pad(upos, 0),
-                _pad(rev, 0),
-                _pad(score, 0),
-                _pad(qrank, np.int32(2 ** 30)),
-                _pad(batch.flag, np.int32(0x4)),
-            )
-        )[:n]
+    if routes_to_host(n):
+        # host batches take the numpy twin (identical mask, no padding)
+        dup = mark_duplicates_host(libid, refid, upos, rev, score, qrank,
+                                   batch.flag)
+    else:
+        with compute_device(n):
+            dup = np.asarray(
+                mark_duplicates(
+                    _pad(libid, -1),
+                    _pad(refid, np.int32(2 ** 30)),
+                    _pad(upos, 0),
+                    _pad(rev, 0),
+                    _pad(score, 0),
+                    _pad(qrank, np.int32(2 ** 30)),
+                    _pad(batch.flag, np.int32(0x4)),
+                )
+            )[:n]
     aux = {"libid": libid, "upos": upos, "score": score, "qrank": qrank}
     return dup, aux

@@ -91,6 +91,33 @@ def coordinate_sort_perm(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank)
     return perm
 
 
+def coordinate_keys_np(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank):
+    """numpy twin of coordinate_keys (bit-identical key columns)."""
+    f = np.asarray(flag)
+    not_mult = (f & MULTIPLE) == 0
+    mf = np.where(not_mult, f & ~(NEXT_UNMAPPED | NEXT_REVERSED), f)
+    mf = np.where((mf & UNMAPPED) != 0, mf & ~REVERSED, mf)
+    mf = np.where((mf & NEXT_UNMAPPED) != 0, mf & ~NEXT_REVERSED, mf)
+    k_refid = np.where(refid >= 0, refid, INT32_MAX)
+    k_rev = (f >> 4) & 1
+    multiple = (f & MULTIPLE) != 0
+    k_nrefid = np.where(multiple, next_refid, 0)
+    k_pnext = np.where(multiple, pnext, 0)
+    return (k_refid, np.asarray(pos), k_rev, np.asarray(qrank), mf,
+            np.asarray(mapq), k_nrefid, k_pnext, np.asarray(tlen))
+
+
+def coordinate_sort_perm_host(flag, refid, pos, mapq, next_refid, pnext,
+                              tlen, qrank) -> np.ndarray:
+    """Host twin of coordinate_sort_perm: one stable np.lexsort over the
+    same key columns yields the identical permutation. Used below the
+    accelerator-dispatch crossover, where XLA:CPU's stable sorts are the
+    dominant cost of the whole sort phase."""
+    keys = coordinate_keys_np(flag, refid, pos, mapq, next_refid, pnext,
+                              tlen, qrank)
+    return np.lexsort(tuple(reversed(keys))).astype(np.int32)
+
+
 @jax.jit
 def queryname_sort_perm(qrank):
     """Stable queryname-sort permutation (reference: sam/sam-types.go:479-481)."""

@@ -108,3 +108,50 @@ def test_pipeline_sort_and_dedup_end_to_end():
     key = np.where(refid < 0, np.iinfo(np.int64).max, key)
     assert (np.diff(key) >= 0).all()
     assert (out.batch.flag & 0x400).sum() > 0
+
+
+@pytest.mark.parametrize("n,seed", [(1, 1), (9, 2), (1000, 3), (4000, 29)])
+def test_host_twins_match_jit_kernels(n, seed):
+    """The numpy host twins (np.lexsort/reduceat) must produce the exact
+    permutation and duplicate mask of the jitted XLA kernels — the
+    dispatch cost model routes small batches through the twins, so both
+    engines stay covered by a direct equality check."""
+    import jax.numpy as jnp
+
+    from elprep_tpu.ops.dedup import dedup_columns, mark_duplicates, mark_duplicates_host
+
+    hdr, batch = _parsed(n, seed=seed)
+    qrank = sortkeys.qname_ranks(batch.qname)
+    refid = batch.temps["REFID"]
+    nreal = len(batch)
+    n_pad = 1
+    while n_pad < nreal:
+        n_pad *= 2
+
+    def _pad(a, fill):
+        out = np.full(n_pad, fill, np.asarray(a).dtype)
+        out[:nreal] = a
+        return jnp.asarray(out)
+
+    # coordinate sort permutation
+    perm_jit = np.asarray(sortkeys.coordinate_sort_perm(
+        _pad(batch.flag, 0x4), _pad(refid, np.int32(2 ** 30)),
+        _pad(batch.pos, np.int32(2 ** 30)), _pad(batch.mapq, 0),
+        _pad(batch.temps["NextREFID"], np.int32(2 ** 30)),
+        _pad(batch.pnext, np.int32(2 ** 30)), _pad(batch.tlen, 0),
+        _pad(qrank, np.int32(2 ** 30))))
+    perm_jit = perm_jit[perm_jit < nreal]
+    perm_host = sortkeys.coordinate_sort_perm_host(
+        batch.flag, refid, batch.pos, batch.mapq, batch.temps["NextREFID"],
+        batch.pnext, batch.tlen, qrank)
+    assert perm_jit.tolist() == perm_host.tolist()
+
+    # duplicate mask
+    libid, upos, score, rev = dedup_columns(batch, hdr)
+    dup_jit = np.asarray(mark_duplicates(
+        _pad(libid, -1), _pad(refid, np.int32(2 ** 30)), _pad(upos, 0),
+        _pad(rev, 0), _pad(score, 0), _pad(qrank, np.int32(2 ** 30)),
+        _pad(batch.flag, np.int32(0x4))))[:nreal]
+    dup_host = mark_duplicates_host(libid, refid, upos, rev, score, qrank,
+                                    batch.flag)
+    assert dup_jit.tolist() == dup_host.tolist()
