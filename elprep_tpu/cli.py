@@ -395,14 +395,18 @@ def filter_command(argv: List[str]) -> int:
         get_pool(nw)
     data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase, args.profile)
 
-    # Phase 2: optical duplicates
+    # Phase 2: optical duplicates — independent of BQSR (pure host math
+    # over a snapshot of the post-dedup batch), so when a table build
+    # follows it runs concurrently with it: the main process mostly
+    # idles waiting on the pool during recalibration
+    optical_future = None
     if args.mark_optical_duplicates or args.mark_optical_duplicates_intermediate:
-        def optical_phase():
+        def optical_phase(ob=data.batch, oh=data.header):
             from .filters.markdup import aux_from_temps
 
-            aux = aux_from_temps(data.batch) or (md_state.aux if md_state else None)
+            aux = aux_from_temps(ob) or (md_state.aux if md_state else None)
             ctrs = foptical.mark_optical_duplicates(
-                data.batch, data.header, aux,
+                ob, oh, aux,
                 pixel_distance=args.optical_duplicates_pixel_distance)
             if args.mark_optical_duplicates:
                 foptical.print_duplicates_metrics(
@@ -411,7 +415,18 @@ def filter_command(argv: List[str]) -> int:
                 foptical.save_metrics_intermediate(
                     args.mark_optical_duplicates_intermediate, ctrs)
 
-        _timed(args.timed, "Marking optical duplicates.", optical_phase, args.profile)
+        if args.bqsr or args.bqsr_tables_only:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _optical_pool = ThreadPoolExecutor(max_workers=1)
+            optical_future = _optical_pool.submit(optical_phase)
+            _optical_pool.shutdown(wait=False)
+            if args.timed:
+                print("Marking optical duplicates (overlapped with "
+                      "recalibration).")
+        else:
+            _timed(args.timed, "Marking optical duplicates.", optical_phase,
+                   args.profile)
 
     post_sort = sorting_order
     if post_sort != SortingOrder.UNSORTED:
@@ -449,6 +464,9 @@ def filter_command(argv: List[str]) -> int:
                 return recal.recalibrate(data.header, data.batch, args.max_cycle,
                                          pool=get_pool(nw))
         tables = _timed(args.timed, "Base recalibration.", recal_fn, args.profile)
+        if optical_future is not None:
+            optical_future.result()  # re-raises optical failures
+            optical_future = None
         os.makedirs(os.path.dirname(os.path.abspath(recal_file)) or ".", exist_ok=True)
         if args.bqsr_tables_only and not args.bqsr:
             # raw (pre-finalize) intermediate tables for later combining

@@ -455,18 +455,25 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
                 max_abs_cycle = max(max_abs_cycle, int(mac))
                 nrg_q = n_rg * NQUAL
                 sizes = (nrg_q, nrg_q * (2 * max_cycle + 1), nrg_q * NCTX)
-                errb = err.astype(bool)
-                arrs = []
-                for idx, size in zip((qs_idx, cyc_idx, ctx_idx), sizes):
-                    # mirror the device scatter's mode="drop": cycle
-                    # values beyond max_cycle produce out-of-range (even
-                    # negative) indices; they must drop here too so the
-                    # clean cycle-range ValueError below is what raises
-                    idx = np.where((idx < 0) | (idx > size), size, idx)
-                    arrs.append(np.bincount(idx, minlength=size + 1)[:size]
-                                .astype(np.int32))
-                    arrs.append(np.bincount(idx[errb], minlength=size + 1)
-                                [:size].astype(np.int32))
+                from .. import native
+
+                arrs = native.bqsr_histograms(qs_idx, cyc_idx, ctx_idx, err,
+                                              *sizes)
+                if arrs is None:
+                    errb = err.astype(bool)
+                    arrs = []
+                    for idx, size in zip((qs_idx, cyc_idx, ctx_idx), sizes):
+                        # mirror the device scatter's mode="drop": cycle
+                        # values beyond max_cycle produce out-of-range
+                        # (even negative) indices; they must drop here
+                        # too so the clean cycle-range ValueError below
+                        # is what raises
+                        idx = np.where((idx < 0) | (idx > size), size, idx)
+                        arrs.append(np.bincount(idx, minlength=size + 1)
+                                    [:size].astype(np.int32))
+                        arrs.append(np.bincount(idx[errb],
+                                                minlength=size + 1)
+                                    [:size].astype(np.int32))
             else:
                 out = bqsr_ops.recalibrate_tables(
                     *args, max_cycle=max_cycle, n_rg=n_rg)
@@ -923,18 +930,20 @@ def apply_bqsr_filter(
             if n == 0:
                 return None
             rg_vals = batch.tags.extract_z(b"RG")
-            rg = np.full(n, -1, np.int32)
-            for i in range(n):
-                cov = rgmap.get(rg_vals[i])
+            # unique-RG lookup table instead of a per-read dict walk
+            uq, inv = np.unique(rg_vals, return_inverse=True)
+            lut = np.empty(len(uq), np.int32)
+            for j, rgv in enumerate(uq):
+                cov = rgmap.get(rgv)
                 if cov is None:
-                    if rg_vals[i] == b"":
+                    if rgv == b"":
                         raise ValueError(
                             "BQSR requires input with read groups. Please fix input,"
                             " e.g. rerun with the --replace-read-group option."
                         )
-                    cov = rg_vals[i].decode()
-                idx = cov_index.get(cov, -1)
-                rg[i] = idx
+                    cov = bytes(rgv).decode()
+                lut[j] = cov_index.get(cov, -1)
+            rg = lut[inv].astype(np.int32)
             width = int(max(batch.qual.lengths.max(initial=0), batch.seq.lengths.max(initial=0), 1))
             width = ((width + 31) // 32) * 32
             n_pad = 1

@@ -198,10 +198,23 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
     # rid -> (pickled original region, pending, vals, keep)
     store: Dict[int, list] = {}
 
+    import time as _time
+
+    _trace = os.environ.get("ELPREP_TPU_HC_TRACE")
+    _busy: Dict[str, float] = {}
+    _nmsg: Dict[str, int] = {}
+    _prev_kind = None
+    _prev_t0 = _loop0 = _time.perf_counter()
+
     try:
         while True:
+            _w0 = _time.perf_counter()
+            if _trace and _prev_kind is not None:
+                _busy[_prev_kind] = _busy.get(_prev_kind, 0.0) + (_w0 - _prev_t0)
+                _nmsg[_prev_kind] = _nmsg.get(_prev_kind, 0) + 1
             msg = req_q.get()
-            kind = msg[0]
+            _prev_t0 = _time.perf_counter()
+            kind = _prev_kind = msg[0]
             if kind == "stop":
                 return
             if kind == "contig":
@@ -329,6 +342,19 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 continue
             if kind == "flush":
                 store.clear()
+                if _trace:
+                    import sys as _sys
+
+                    wall = _time.perf_counter() - _loop0
+                    parts = " ".join(
+                        "%s=%.2fs/%d" % (k, _busy[k], _nmsg[k])
+                        for k in sorted(_busy))
+                    print("[wk%d] wall=%.2fs busy: %s" % (wid, wall, parts),
+                          file=_sys.stderr, flush=True)
+                    _busy.clear()
+                    _nmsg.clear()
+                    _loop0 = _time.perf_counter()
+                    _prev_kind = None
                 continue
             if kind == "prep":
                 # regions arrive as (rid0, starts, ends, actives) arrays

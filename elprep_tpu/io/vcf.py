@@ -579,7 +579,10 @@ class StreamingVcfWriter:
         if path.endswith(".gz"):
             from . import bgzf
 
-            self._bgzf = bgzf.StreamingBgzfWriter(self.f)
+            # small flush threshold (1 MB) so deflate streams alongside
+            # variant production instead of piling up for close(); the
+            # output bytes are identical (same 64 KB block boundaries)
+            self._bgzf = bgzf.StreamingBgzfWriter(self.f, flush_blocks=16)
         self._write(format_header(hdr).encode())
 
     def _write(self, data: bytes) -> None:

@@ -575,6 +575,37 @@ def bqsr_skip_sites(cand, pos, cig_base, n_ops, lens, ops, blen, sites,
     return True
 
 
+def bqsr_histograms(qs_idx, cyc_idx, ctx_idx, err,
+                    qs_size: int, cyc_size: int, ctx_size: int):
+    """One-pass BQSR table histograms over flat covariate codes:
+    returns six int32 arrays (qs_obs, qs_mism, cyc_obs, cyc_mism,
+    ctx_obs, ctx_mism) or None without the native lib. The numpy
+    where+bincount sequence in filters/bqsr.py accumulate_table_partials
+    is the oracle (identical drop semantics for out-of-range codes)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bqsr_histograms"):
+        return None
+    if lib.bqsr_histograms.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.bqsr_histograms.restype = None
+        lib.bqsr_histograms.argtypes = [P] * 4 + [L] * 4 + [P] * 6
+    qs_idx = np.ascontiguousarray(qs_idx, np.int32).ravel()
+    cyc_idx = np.ascontiguousarray(cyc_idx, np.int32).ravel()
+    ctx_idx = np.ascontiguousarray(ctx_idx, np.int32).ravel()
+    err = np.ascontiguousarray(err, np.int32).ravel()
+    m = len(err)
+    assert len(qs_idx) == m and len(cyc_idx) == m and len(ctx_idx) == m
+    outs = [np.zeros(s, np.int32)
+            for s in (qs_size, qs_size, cyc_size, cyc_size,
+                      ctx_size, ctx_size)]
+    lib.bqsr_histograms(
+        qs_idx.ctypes.data, cyc_idx.ctypes.data, ctx_idx.ctypes.data,
+        err.ctypes.data, m, qs_size, cyc_size, ctx_size,
+        *(o.ctypes.data for o in outs))
+    return outs
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

@@ -1017,3 +1017,29 @@ long long gvcf_format_blocks(const char* chrom, long long chrom_len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// One-pass BQSR table histograms over per-base covariate codes
+// (filters/bqsr.py accumulate_table_partials is the numpy oracle:
+// out-of-range indices drop, matching the device scatter's mode="drop";
+// mism accumulates the err value exactly like the device .add(err)).
+// Output buffers must be zero-initialized by the caller.
+void bqsr_histograms(const int* qs_idx, const int* cyc_idx,
+                     const int* ctx_idx, const int* err, long long m,
+                     long long qs_size, long long cyc_size,
+                     long long ctx_size, int* qs_obs, int* qs_mism,
+                     int* cyc_obs, int* cyc_mism, int* ctx_obs,
+                     int* ctx_mism) {
+  for (long long i = 0; i < m; i++) {
+    const int e = err[i];
+    const long long q = qs_idx[i];
+    if (q >= 0 && q < qs_size) { qs_obs[q]++; qs_mism[q] += e; }
+    const long long c = cyc_idx[i];
+    if (c >= 0 && c < cyc_size) { cyc_obs[c]++; cyc_mism[c] += e; }
+    const long long x = ctx_idx[i];
+    if (x >= 0 && x < ctx_size) { ctx_obs[x]++; ctx_mism[x] += e; }
+  }
+}
+
+}  // extern "C"

@@ -289,3 +289,31 @@ def test_native_skip_sites_matches_python(tmp_path, monkeypatch):
     assert p_native["skip"].shape == p_py["skip"].shape
     assert p_native["skip"].any(), "fixture produced no skip slices"
     assert np.array_equal(p_native["skip"], p_py["skip"])
+
+
+def test_native_bqsr_histograms_match_numpy_oracle():
+    """Fuzz the one-pass C++ histogram against the numpy where+bincount
+    sequence it replaced (incl. negative, ==size and >size codes, which
+    must drop like the device scatter's mode="drop")."""
+    from elprep_tpu import native
+
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        m = int(rng.randint(0, 5000))
+        sizes = (int(rng.randint(1, 200)), int(rng.randint(1, 3000)),
+                 int(rng.randint(1, 300)))
+        idxs = [rng.randint(-5, s + 5, m).astype(np.int32) for s in sizes]
+        err = (rng.rand(m) < 0.1).astype(np.int32)
+        got = native.bqsr_histograms(*idxs, err, *sizes)
+        if got is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        errb = err.astype(bool)
+        want = []
+        for idx, size in zip(idxs, sizes):
+            idx = np.where((idx < 0) | (idx > size), size, idx)
+            want.append(np.bincount(idx, minlength=size + 1)[:size].astype(np.int32))
+            want.append(np.bincount(idx[errb], minlength=size + 1)[:size].astype(np.int32))
+        for g, w in zip(got, want):
+            assert g.tolist() == w.tolist()
