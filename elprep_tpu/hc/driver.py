@@ -629,145 +629,198 @@ def call_variants(
                   file=_sys.stderr, flush=True)
     _tr0 = _time.perf_counter()
 
-    for sq in sam_header.sq:
-        contig = sq["SN"]
-        if valid_contigs is not None and contig not in valid_contigs:
-            continue
-        # the buffer must not cross a contig switch: its runs belong to
-        # the combiner's current contig
-        out_variants = flush_runs(out_variants)
-        deletions: List[Tuple[int, int]] = []
-        contig_length = sam_header.sq_ln(sq)
-        contig_src = reads_by_contig.get(contig, [])
-        block: Optional[ContigReadBlock] = None
-        if isinstance(contig_src, ContigReadBlock):
-            block = downsample_block(contig_src, params)
-            if pool is None:
-                # serial path consumes ClipReads directly
-                contig_reads = block.materialize()
-                block = None
-            else:
-                contig_reads = None
-        else:
-            contig_reads = downsample(contig_src, params)
-        reference = get_reference(contig)
-        if pool is not None:
-            pool.set_contig(params, reference, contig, contig_length)
-        if bed_regions is not None:
-            spans = bed_regions.get(contig)
-            if not spans:
+    def _iter_units():
+        """Yield one work unit per (contig, span): the per-contig
+        downsampling/reference/position prep runs lazily the first time
+        a contig's unit is pulled — which, with the pool's lookahead,
+        happens while the PREVIOUS span is still draining."""
+        for sq in sam_header.sq:
+            contig = sq["SN"]
+            if valid_contigs is not None and contig not in valid_contigs:
                 continue
-        else:
-            spans = [(0, contig_length)]
-        if block is not None:
-            max_ref_len = block.max_reference_length()
-            contig_positions = block.pos
-        else:
-            max_ref_len = max_reference_length(contig_reads)
-            contig_positions = np.fromiter((r.pos for r in contig_reads),
-                                           np.int64, len(contig_reads))
-        for start, stop in spans:
-            padded_lo = max(0, start - params.padding)
-            padded_hi = min(contig_length, stop + params.padding)
+            contig_length = sam_header.sq_ln(sq)
+            contig_src = reads_by_contig.get(contig, [])
+            block: Optional[ContigReadBlock] = None
+            if isinstance(contig_src, ContigReadBlock):
+                block = downsample_block(contig_src, params)
+                if pool is None:
+                    # serial path consumes ClipReads directly
+                    contig_reads = block.materialize()
+                    block = None
+                else:
+                    contig_reads = None
+            else:
+                contig_reads = downsample(contig_src, params)
+            reference = get_reference(contig)
+            if bed_regions is not None:
+                spans = bed_regions.get(contig)
+                if not spans:
+                    continue
+            else:
+                spans = [(0, contig_length)]
             if block is not None:
-                region_block = (aln_slice_block(block, padded_lo, padded_hi,
-                                                max_ref_len)
-                                if bed_regions is not None else block)
-                region_reads = None
-                region_positions = region_block.pos
+                max_ref_len = block.max_reference_length()
+                contig_positions = block.pos
             else:
-                region_block = None
-                region_reads, _ = aln_slice(contig_reads, padded_lo, padded_hi,
-                                            max_ref_len,
-                                            positions=contig_positions) \
-                    if bed_regions is not None else (contig_reads, 0)
-                region_positions = (np.fromiter(
-                    (r.pos for r in region_reads), np.int64, len(region_reads))
-                    if bed_regions is not None else contig_positions)
-            # activity over [start+1, stop+1) in 1-based space, chunked
-            # to bound the flat pileup expansion (the reference uses
-            # 512-position chunks, haplotypecaller.go:826-852)
-            span = stop - start
-            is_active = np.zeros(span, np.float64)
-            hq_mean = np.zeros(span, np.float64)
-            if pool is not None:
-                # ship each worker its contiguous read block ONCE; the
-                # workers slice activity chunks and regions locally
-                # (results unchanged: same aln_slice arguments, and the
-                # band-pass smear below runs on the stitched span)
-                from .parallel import ACT_CHUNK
+                max_ref_len = max_reference_length(contig_reads)
+                contig_positions = np.fromiter((r.pos for r in contig_reads),
+                                               np.int64, len(contig_reads))
+            for start, stop in spans:
+                padded_lo = max(0, start - params.padding)
+                padded_hi = min(contig_length, stop + params.padding)
+                if block is not None:
+                    region_block = (aln_slice_block(block, padded_lo, padded_hi,
+                                                    max_ref_len)
+                                    if bed_regions is not None else block)
+                    region_reads = None
+                    region_positions = region_block.pos
+                else:
+                    region_block = None
+                    region_reads, _ = aln_slice(contig_reads, padded_lo,
+                                                padded_hi, max_ref_len,
+                                                positions=contig_positions) \
+                        if bed_regions is not None else (contig_reads, 0)
+                    region_positions = (np.fromiter(
+                        (r.pos for r in region_reads), np.int64,
+                        len(region_reads))
+                        if bed_regions is not None else contig_positions)
+                yield (contig, contig_length, reference, start, stop,
+                       max_ref_len, region_block, region_reads,
+                       region_positions)
 
-                _tr("%s span %d-%d: distribute begin (%d reads)", contig,
-                    start, stop, len(region_block) if region_block is not None
-                    else len(region_reads))
-                pool.distribute_span(
-                    region_block if region_block is not None else region_reads,
-                    region_positions, max_ref_len, params=params)
-                bounds = [(cs, min(cs + ACT_CHUNK, stop))
-                          for cs in range(start, stop, ACT_CHUNK)]
-                _tr("%s: activity begin (%d chunks)", contig, len(bounds))
-                results = pool.map_activity(bounds)
-                _tr("%s: activity done", contig)
-            else:
-                CHUNK = 1 << 18
-                bounds = [(cs, min(cs + CHUNK, stop))
-                          for cs in range(start, stop, CHUNK)]
-                results = [
-                    compute_activity(
-                        aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
-                                  max_ref_len, positions=region_positions)[0],
-                        reference, cs + 1, ce + 1, params)
-                    for cs, ce in bounds]
-            for (cs, ce), (ia, hm) in zip(bounds, results):
-                is_active[cs - start : ce - start] = ia
-                hq_mean[cs - start : ce - start] = hm
-            states = band_pass_states(is_active, hq_mean, params)
-            regions = compute_assembly_regions(
-                contig, reference, start, stop, contig_length, states, params,
-                keep_states=activity_profile is not None)
-            _tr("%s: %d regions built (%d active)", contig, len(regions),
-                sum(1 for r in regions if r.is_active))
-            if assembly_regions_out is not None or activity_profile is not None:
-                _print_assembly_regions(assembly_regions_out, activity_profile, regions)
-            def fill_reads(region):
-                region.reads, _ = aln_slice(region_reads, region.padded_start(),
-                                            region.padded_end(), max_ref_len,
-                                            positions=region_positions)
+    def _launch(u):
+        """Start a unit's worker-side stages (span creation, block
+        distribution, activity scatter) — runs while the previous unit
+        is still being consumed."""
+        (contig, contig_length, reference, start, stop, max_ref_len,
+         region_block, region_reads, region_positions) = u
+        from .parallel import ACT_CHUNK
 
-            if pool is not None:
-                results_iter = pool.process_regions(
-                    params, regions, deletions, use_device_pairhmm)
-            else:
-                results_iter = _iter_region_results_serial(
-                    params, regions, deletions, use_device_pairhmm, fill_reads)
-            for _region, region_variants, deletions in results_iter:
-                for sv in region_variants:
-                    if gvcf:
-                        out_variants = combiner.set_contig(out_variants, contig)
-                        if isinstance(sv, RefRun):
-                            # buffer position-adjacent runs: one vectorized
-                            # merge replaces thousands of per-region calls
-                            if run_buf and (run_buf[-1].pos0 + len(run_buf[-1])
-                                            != sv.pos0 or run_len > 1 << 17):
-                                out_variants = flush_runs(out_variants)
-                            run_buf.append(sv)
-                            run_len += len(sv)
-                        else:
+        _tr("%s span %d-%d: launch (%d reads)", contig, start, stop,
+            len(region_block) if region_block is not None
+            else len(region_reads))
+        gen = pool.new_span(params, reference, contig, contig_length,
+                            ref_key=contig)
+        pool.distribute_span(
+            gen, region_block if region_block is not None else region_reads,
+            region_positions, max_ref_len, params=params)
+        bounds = [(cs, min(cs + ACT_CHUNK, stop))
+                  for cs in range(start, stop, ACT_CHUNK)]
+        pool.send_activity(gen, bounds)
+        return gen, bounds
+
+    current_contig: Optional[str] = None
+    deletions: List[Tuple[int, int]] = []
+
+    def _consume_unit(u, results_iter):
+        """Drive one span's ordered results through the GVCF combiner
+        and the streaming sink (shared by the pool and serial paths)."""
+        nonlocal out_variants, deletions, current_contig, run_len
+        (contig, contig_length, reference, start, stop, *_rest) = u
+        for _region, region_variants, deletions in results_iter:
+            for sv in region_variants:
+                if gvcf:
+                    out_variants = combiner.set_contig(out_variants, contig)
+                    if isinstance(sv, RefRun):
+                        # buffer position-adjacent runs: one vectorized
+                        # merge replaces thousands of per-region calls
+                        if run_buf and (run_buf[-1].pos0 + len(run_buf[-1])
+                                        != sv.pos0 or run_len > 1 << 17):
                             out_variants = flush_runs(out_variants)
-                            out_variants = combiner.merge_variant(out_variants, sv)
+                        run_buf.append(sv)
+                        run_len += len(sv)
                     else:
-                        if sv.full_variant is not None:
-                            out_variants.append(sv.full_variant)
-                        else:
-                            out_variants.append(
-                                reference_variant_to_full(contig, reference, sv))
-                # streaming writeback: emitted entries are final (the
-                # combiner's open block is not in the list yet), so the
-                # accumulated prefix can flush at any point
-                if variant_sink is not None and len(out_variants) >= 4096:
-                    variant_sink.write_variants(out_variants)
-                    out_variants = []
-            _tr("%s: regions consumed", contig)
+                        out_variants = flush_runs(out_variants)
+                        out_variants = combiner.merge_variant(out_variants, sv)
+                else:
+                    if sv.full_variant is not None:
+                        out_variants.append(sv.full_variant)
+                    else:
+                        out_variants.append(
+                            reference_variant_to_full(contig, reference, sv))
+            # streaming writeback: emitted entries are final (the
+            # combiner's open block is not in the list yet), so the
+            # accumulated prefix can flush at any point
+            if variant_sink is not None and len(out_variants) >= 4096:
+                variant_sink.write_variants(out_variants)
+                out_variants = []
+        _tr("%s: regions consumed", contig)
+
+    def _enter_contig(contig):
+        # the run buffer must not cross a contig switch: its runs belong
+        # to the combiner's current contig; the deletions carry is
+        # per-contig
+        nonlocal out_variants, deletions, current_contig
+        if contig != current_contig:
+            out_variants = flush_runs(out_variants)
+            deletions = []
+            current_contig = contig
+
+    def _build_regions(u, bounds, results):
+        (contig, contig_length, reference, start, stop, *_rest) = u
+        # activity over [start+1, stop+1) in 1-based space, chunked to
+        # bound the flat pileup expansion (the reference uses
+        # 512-position chunks, haplotypecaller.go:826-852)
+        span = stop - start
+        is_active = np.zeros(span, np.float64)
+        hq_mean = np.zeros(span, np.float64)
+        for (cs, ce), (ia, hm) in zip(bounds, results):
+            is_active[cs - start : ce - start] = ia
+            hq_mean[cs - start : ce - start] = hm
+        states = band_pass_states(is_active, hq_mean, params)
+        regions = compute_assembly_regions(
+            contig, reference, start, stop, contig_length, states, params,
+            keep_states=activity_profile is not None)
+        _tr("%s: %d regions built (%d active)", contig, len(regions),
+            sum(1 for r in regions if r.is_active))
+        if assembly_regions_out is not None or activity_profile is not None:
+            _print_assembly_regions(assembly_regions_out, activity_profile,
+                                    regions)
+        return regions
+
+    if pool is not None:
+        # lookahead-1 pipeline: the NEXT span's worker-side stages
+        # (reference broadcast, block distribution, activity) run while
+        # the CURRENT span's regions prepare/genotype/drain — matching
+        # the reference's fully-overlapped pargo pipeline
+        # (haplotypecaller.go:907-944) across contig boundaries too
+        units = _iter_units()
+        u0 = next(units, None)
+        launched = None if u0 is None else (u0, _launch(u0))
+        while launched is not None:
+            u, (gen, bounds) = launched
+            nxt = next(units, None)
+            launched = None if nxt is None else (nxt, _launch(nxt))
+            results = pool.collect_activity(gen)
+            _tr("%s: activity done", u[0])
+            _enter_contig(u[0])
+            regions = _build_regions(u, bounds, results)
+            _consume_unit(u, pool.process_regions(
+                gen, params, regions, deletions, use_device_pairhmm))
+    else:
+        for u in _iter_units():
+            (contig, contig_length, reference, start, stop, max_ref_len,
+             region_block, region_reads, region_positions) = u
+            CHUNK = 1 << 18
+            bounds = [(cs, min(cs + CHUNK, stop))
+                      for cs in range(start, stop, CHUNK)]
+            results = [
+                compute_activity(
+                    aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
+                              max_ref_len, positions=region_positions)[0],
+                    reference, cs + 1, ce + 1, params)
+                for cs, ce in bounds]
+            _enter_contig(contig)
+            regions = _build_regions(u, bounds, results)
+
+            def fill_reads(region, _reads=region_reads, _mrl=max_ref_len,
+                           _pos=region_positions):
+                region.reads, _ = aln_slice(_reads, region.padded_start(),
+                                            region.padded_end(), _mrl,
+                                            positions=_pos)
+
+            _consume_unit(u, _iter_region_results_serial(
+                params, regions, deletions, use_device_pairhmm, fill_reads))
     if gvcf and combiner is not None:
         out_variants = flush_runs(out_variants)
         final = combiner.finalize()

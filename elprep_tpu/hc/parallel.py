@@ -162,41 +162,66 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
         pass
     from .driver import genotype_region, prepare_region
 
-    params = None
-    reference: bytes = b""
     bqsr_ctx = None
     bqsr_shm, bqsr_classes = None, None
-    # the worker's contiguous read block for the current span (reads are
-    # shipped ONCE per span; activity chunks and regions slice locally)
-    block_reads: list = []
-    preclip = None
-    span_cols = None
-    span_block = None
-    act_cols = None  # lazy make_activity_cols(span_block) for native activity
-    block_positions = None
-    block_ends = None
-    max_ref_len = 0
 
-    def _region_reads(block_reads, rows):
-        """Region read list: lazy view when the span is columnar (reads
-        materialize only if the region's path consumes them)."""
-        if span_block is not None:
-            from .readblock import RegionReads
+    class _Span:
+        """Per-generation span state: the worker may hold the CURRENT
+        span and the PREFETCHED next one simultaneously (cross-span
+        overlap) — reads are shipped once per span; activity chunks and
+        regions slice locally from the owning span's block."""
 
-            return RegionReads(block_reads, rows)
-        return [block_reads[i] for i in rows]
+        __slots__ = ("params", "reference", "contig_name", "contig_length",
+                     "block_reads", "preclip", "span_cols", "span_block",
+                     "act_cols", "block_positions", "block_ends",
+                     "max_ref_len", "store")
 
-    def _slice_rows(region_start: int, region_end: int) -> np.ndarray:
-        """Vectorized aln_slice (haploutils.go:191-209): row indices of
-        block reads overlapping the region — identical selection to
-        activity.aln_slice, with the per-read read_end precomputed once
-        per span instead of per region."""
-        lowest = region_start - max_ref_len + 1
-        j = int(np.searchsorted(block_positions, lowest, side="left"))
-        k = int(np.searchsorted(block_positions, region_end, side="right"))
-        return j + np.flatnonzero(block_ends[j:k] >= region_start)
-    # rid -> (pickled original region, pending, vals, keep)
-    store: Dict[int, list] = {}
+        def __init__(self, params, reference, contig_name, contig_length):
+            self.params = params
+            self.reference = reference
+            self.contig_name = contig_name
+            self.contig_length = contig_length
+            self.block_reads = []
+            self.preclip = None
+            self.span_cols = None
+            self.span_block = None
+            self.act_cols = None
+            self.block_positions = None
+            self.block_ends = None
+            self.max_ref_len = 0
+            # rid -> ((start, end, is_active), pending, vals, keep)
+            self.store: Dict[int, list] = {}
+
+        def region_reads(self, rows):
+            """Region read list: lazy view when the span is columnar
+            (reads materialize only if the region's path consumes them)."""
+            if self.span_block is not None:
+                from .readblock import RegionReads
+
+                return RegionReads(self.block_reads, rows)
+            return [self.block_reads[i] for i in rows]
+
+        def slice_rows(self, region_start: int, region_end: int) -> np.ndarray:
+            """Vectorized aln_slice (haploutils.go:191-209): row indices
+            of block reads overlapping the region — identical selection
+            to activity.aln_slice, with the per-read read_end
+            precomputed once per span instead of per region."""
+            lowest = region_start - self.max_ref_len + 1
+            j = int(np.searchsorted(self.block_positions, lowest, side="left"))
+            k = int(np.searchsorted(self.block_positions, region_end,
+                                    side="right"))
+            return j + np.flatnonzero(self.block_ends[j:k] >= region_start)
+
+        def make_region(self, start: int, end: int, is_active: bool):
+            from .activity import AssemblyRegion
+
+            return AssemblyRegion(
+                contig=self.contig_name, reference=self.reference,
+                start=start, end=end, extension=self.params.padding,
+                contig_length=self.contig_length, is_active=is_active)
+
+    refs: Dict[object, bytes] = {}
+    spans: Dict[int, _Span] = {}
 
     import time as _time
 
@@ -217,15 +242,41 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
             kind = _prev_kind = msg[0]
             if kind == "stop":
                 return
-            if kind == "contig":
-                _, params, reference, contig_name, contig_length = msg
-                store.clear()
+            if kind == "ref":
+                _, ref_key, ref_bytes = msg
+                refs[ref_key] = ref_bytes
+                continue
+            if kind == "drop_ref":
+                refs.pop(msg[1], None)
+                continue
+            if kind == "span":
+                _, gen, ref_key, params, contig_name, contig_length = msg
+                spans[gen] = _Span(params, refs[ref_key], contig_name,
+                                   contig_length)
                 from .genotyping import set_randomized_qd
 
                 set_randomized_qd(getattr(params, "randomized_qd", False))
                 continue
+            if kind == "drop_span":
+                spans.pop(msg[1], None)
+                if _trace:
+                    import sys as _sys
+
+                    wall = _time.perf_counter() - _loop0
+                    parts = " ".join(
+                        "%s=%.2fs/%d" % (k, _busy[k], _nmsg[k])
+                        for k in sorted(_busy))
+                    print("[wk%d] wall=%.2fs busy: %s" % (wid, wall, parts),
+                          file=_sys.stderr, flush=True)
+                    _busy.clear()
+                    _nmsg.clear()
+                    _loop0 = _time.perf_counter()
+                    _prev_kind = None
+                continue
             if kind == "reads_block":
-                _, payload, max_ref_len = msg
+                _, gen, payload, max_ref_len = msg
+                st = spans[gen]
+                st.max_ref_len = max_ref_len
                 if hasattr(payload, "materialize"):
                     # columnar ContigReadBlock: arrays crossed the pipe;
                     # the region-independent finalize clipping runs
@@ -235,52 +286,55 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     # model never build Python read objects at all
                     from .readblock import LazyBlockReads, preclip_block_lazy
 
-                    block_reads = LazyBlockReads(payload)
-                    preclip, span_cols = preclip_block_lazy(
-                        payload, block_reads, params)
-                    block_ends = payload.ends()
-                    block_positions = payload.pos
-                    span_block, act_cols = payload, None
+                    st.block_reads = LazyBlockReads(payload)
+                    st.preclip, st.span_cols = preclip_block_lazy(
+                        payload, st.block_reads, st.params)
+                    st.block_ends = payload.ends()
+                    st.block_positions = payload.pos
+                    st.span_block, st.act_cols = payload, None
                     continue
-                else:
-                    block_reads = payload
-                    preclip, span_cols = None, None
-                    span_block, act_cols = None, None
-                    from .activity import read_end as _read_end
+                st.block_reads = payload
+                st.preclip, st.span_cols = None, None
+                st.span_block, st.act_cols = None, None
+                from .activity import read_end as _read_end
 
-                    block_ends = np.fromiter(
-                        (_read_end(r) for r in block_reads), np.int64,
-                        len(block_reads))
-                block_positions = np.fromiter((r.pos for r in block_reads),
-                                              np.int64, len(block_reads))
+                st.block_ends = np.fromiter(
+                    (_read_end(r) for r in st.block_reads), np.int64,
+                    len(st.block_reads))
+                st.block_positions = np.fromiter(
+                    (r.pos for r in st.block_reads), np.int64,
+                    len(st.block_reads))
                 continue
             if kind == "act":
                 # slice the chunk's reads from the local block with the
                 # exact arguments the serial driver uses
-                _, tid, cs, ce = msg
+                _, gen, tid, cs, ce = msg
+                st = spans[gen]
                 from .activity import (compute_activity, make_activity_cols,
                                        native_compute_activity)
 
-                rows = _slice_rows(cs + 1 - max_ref_len, ce + 1)
+                rows = st.slice_rows(cs + 1 - st.max_ref_len, ce + 1)
                 res = None
-                if span_block is not None:
+                if st.span_block is not None:
                     # native one-call engine over the columnar block
                     # (bit-identical to compute_activity; fuzz-tested in
                     # tests/test_activity_native.py)
-                    if act_cols is None:
-                        act_cols = make_activity_cols(span_block)
-                    res = native_compute_activity(act_cols, rows, reference,
-                                                  cs + 1, ce + 1, params)
+                    if st.act_cols is None:
+                        st.act_cols = make_activity_cols(st.span_block)
+                    res = native_compute_activity(st.act_cols, rows,
+                                                  st.reference, cs + 1,
+                                                  ce + 1, st.params)
                 if res is None:
-                    res = compute_activity([block_reads[i] for i in rows],
-                                           reference, cs + 1, ce + 1, params)
+                    res = compute_activity(
+                        [st.block_reads[i] for i in rows], st.reference,
+                        cs + 1, ce + 1, st.params)
                 ia, hm = res
                 # ship sparse: activity is rare, and hq_mean is consumed
                 # only where is_active > 0 (_band_pass_src), so dense
                 # [chunk] f64 pairs (16 B/position — hundreds of MB of
                 # pipe traffic at WGS scale) reduce to the hot entries
                 nz = np.flatnonzero(ia)
-                res_q.put(("act_done", tid, len(ia),
+                res_q.put(("act_done", gen, tid, len(ia),
                            nz.astype(np.int64), ia[nz], hm[nz]))
                 continue
             if kind == "bqsr_ctx":
@@ -341,50 +395,30 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 res_q.put(("bqsr_tables_done", tid, part))
                 continue
             if kind == "flush":
-                store.clear()
-                if _trace:
-                    import sys as _sys
-
-                    wall = _time.perf_counter() - _loop0
-                    parts = " ".join(
-                        "%s=%.2fs/%d" % (k, _busy[k], _nmsg[k])
-                        for k in sorted(_busy))
-                    print("[wk%d] wall=%.2fs busy: %s" % (wid, wall, parts),
-                          file=_sys.stderr, flush=True)
-                    _busy.clear()
-                    _nmsg.clear()
-                    _loop0 = _time.perf_counter()
-                    _prev_kind = None
+                spans.clear()
+                refs.clear()
                 continue
             if kind == "prep":
                 # regions arrive as (rid0, starts, ends, actives) arrays
                 # — a region is fully determined by its bounds + activity
-                # plus the broadcast contig context, so nothing
-                # object-shaped crosses the pipe (or needs snapshotting
-                # for redo: regions rebuild from the triple)
-                _, task_id, rid0, r_starts, r_ends, r_actives = msg
-                from .activity import AssemblyRegion
-
-                def _make_region(i: int) -> AssemblyRegion:
-                    return AssemblyRegion(
-                        contig=contig_name, reference=reference,
-                        start=int(r_starts[i]), end=int(r_ends[i]),
-                        extension=params.padding,
-                        contig_length=contig_length,
-                        is_active=bool(r_actives[i]))
-
+                # plus the span context, so nothing object-shaped crosses
+                # the pipe (or needs snapshotting for redo: regions
+                # rebuild from the triple)
+                _, gen, task_id, rid0, r_starts, r_ends, r_actives = msg
+                st = spans[gen]
                 out = []
                 # no-variation regions of a columnar span take ONE
                 # batched native call (row selection + ref model in
                 # C++); everything else goes through prepare_region
                 batchable = []
                 rest = []
-                use_batch = span_cols is not None and span_block is not None
+                use_batch = st.span_cols is not None and st.span_block is not None
                 for i in range(len(r_starts)):
                     rid = rid0 + i
-                    region = _make_region(i)
+                    region = st.make_region(int(r_starts[i]), int(r_ends[i]),
+                                            bool(r_actives[i]))
                     if (use_batch and not region.is_active
-                            and params.confidence_mode != "NONE"):
+                            and st.params.confidence_mode != "NONE"):
                         batchable.append((rid, region))
                         continue
                     rest.append((rid, region, i))
@@ -392,37 +426,39 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     from .refconf import native_ref_models_batch
 
                     got = native_ref_models_batch(
-                        params, [r for _, r in batchable], block_positions,
-                        block_ends, max_ref_len, span_cols, reference)
+                        st.params, [r for _, r in batchable],
+                        st.block_positions, st.block_ends, st.max_ref_len,
+                        st.span_cols, st.reference)
                     for (rid, region), terminal in zip(batchable, got):
                         if terminal is not None:
                             out.append((rid, "term", terminal))
                         else:
                             rest.append((rid, region, rid - rid0))
                 for rid, region, i in rest:
-                    rows = _slice_rows(region.padded_start(),
-                                       region.padded_end())
-                    region.reads = _region_reads(block_reads, rows)
+                    rows = st.slice_rows(region.padded_start(),
+                                         region.padded_end())
+                    region.reads = st.region_reads(rows)
                     terminal, pending = prepare_region(
-                        params, region, preclip, span_cols=span_cols,
-                        span_rows=rows, span_reference=reference)
+                        st.params, region, st.preclip, span_cols=st.span_cols,
+                        span_rows=rows, span_reference=st.reference)
                     if pending is None:
                         out.append((rid, "term", terminal))
                     else:
-                        store[rid] = [(int(r_starts[i]), int(r_ends[i]),
-                                       bool(r_actives[i])), pending,
-                                      None, None]
+                        st.store[rid] = [(int(r_starts[i]), int(r_ends[i]),
+                                          bool(r_actives[i])), pending,
+                                         None, None]
                         out.append((rid, "pend", pending.reads_in,
                                     pending.hap_bases, pending.hap_is_ref))
-                res_q.put(("prep_done", wid, task_id, out))
+                res_q.put(("prep_done", gen, wid, task_id, out))
                 continue
             if kind == "geno":
-                _, rid, vals, keep, incoming = msg
-                ent = store[rid]
+                _, gen, rid, vals, keep, incoming = msg
+                st = spans[gen]
+                ent = st.store[rid]
                 ent[2], ent[3] = vals, keep
-                variants, outgoing = genotype_region(params, ent[1], vals, keep,
-                                                     list(incoming))
-                res_q.put(("geno_done", rid, variants, outgoing))
+                variants, outgoing = genotype_region(st.params, ent[1], vals,
+                                                     keep, list(incoming))
+                res_q.put(("geno_done", gen, rid, variants, outgoing))
                 continue
             if kind == "redo":
                 # speculative genotyping mutated the pending (realign):
@@ -430,24 +466,21 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 # triple and rerun with the true incoming deletions;
                 # prepare is deterministic so the stored PairHMM values
                 # still apply
-                _, rid, incoming = msg
-                ent = store[rid]
-                from .activity import AssemblyRegion
-
-                r_start, r_end, r_active = ent[0]
-                region = AssemblyRegion(
-                    contig=contig_name, reference=reference,
-                    start=r_start, end=r_end, extension=params.padding,
-                    contig_length=contig_length, is_active=r_active)
-                rows = _slice_rows(region.padded_start(), region.padded_end())
-                region.reads = _region_reads(block_reads, rows)
+                _, gen, rid, incoming = msg
+                st = spans[gen]
+                ent = st.store[rid]
+                region = st.make_region(*ent[0])
+                rows = st.slice_rows(region.padded_start(),
+                                     region.padded_end())
+                region.reads = st.region_reads(rows)
                 _terminal, pending = prepare_region(
-                    params, region, preclip, span_cols=span_cols,
-                    span_rows=rows, span_reference=reference)
+                    st.params, region, st.preclip, span_cols=st.span_cols,
+                    span_rows=rows, span_reference=st.reference)
                 assert pending is not None, "redo of a terminal region"
-                variants, outgoing = genotype_region(params, pending, ent[2],
-                                                     ent[3], list(incoming))
-                res_q.put(("geno_done", rid, variants, outgoing))
+                variants, outgoing = genotype_region(st.params, pending,
+                                                     ent[2], ent[3],
+                                                     list(incoming))
+                res_q.put(("geno_done", gen, rid, variants, outgoing))
                 continue
             raise ValueError(f"unknown message {kind!r}")
     except Exception:
@@ -460,6 +493,13 @@ class HCWorkerPool:
     def __init__(self, n_workers: int):
         ctx = mp.get_context("spawn")
         self.n = n_workers
+        self._next_gen = 0
+        self._ref_live: Dict[object, int] = {}
+        self._span_ref: Dict[int, object] = {}
+        self._bounds: Dict[int, List[int]] = {}
+        self._buf: Dict[int, list] = {}
+        self._act_expect: Dict[int, int] = {}
+        self._act_results: Dict[int, dict] = {}
         self.res_q = ctx.Queue()
         self.req_qs = [ctx.Queue() for _ in range(n_workers)]
         self.procs = [
@@ -481,7 +521,7 @@ class HCWorkerPool:
             if p.is_alive():
                 p.terminate()
 
-    def _recv(self, extra_check=None):
+    def _recv_raw(self, extra_check=None):
         import queue as _queue
 
         while True:
@@ -498,16 +538,60 @@ class HCWorkerPool:
             raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
         return msg
 
-    def set_contig(self, params, reference: bytes, contig: str = "",
-                   contig_length: int = 0) -> None:
-        """Broadcast the contig context (params + reference + name/length
-        — regions rebuild worker-side from bounds alone) to every
-        worker; resets their region stores."""
-        self._block_bounds: List[int] = []
-        for q in self.req_qs:
-            q.put(("contig", params, reference, contig, contig_length))
+    def _recv_routed(self, want_kinds, gen, extra_check=None):
+        """Receive the next message of a wanted kind for ``gen``,
+        buffering everything else (messages from a prefetched span
+        arrive interleaved with the active span's results)."""
+        buf = self._buf.setdefault(gen, [])
+        for i, msg in enumerate(buf):
+            if msg[0] in want_kinds:
+                return buf.pop(i)
+        while True:
+            msg = self._recv_raw(extra_check)
+            if msg[1] == gen and msg[0] in want_kinds:
+                return msg
+            self._buf.setdefault(msg[1], []).append(msg)
 
-    def distribute_span(self, reads, positions, max_ref_len: int,
+    # -- span lifecycle (generation-tagged so the NEXT span's reference
+    # broadcast / block distribution / activity runs in the workers
+    # while the main process drains the current span) ------------------
+
+    def new_span(self, params, reference: bytes, contig: str,
+                 contig_length: int, ref_key=None) -> int:
+        """Create a worker-side span generation. ``ref_key`` identifies
+        the reference so consecutive spans of one contig ship its bytes
+        only once; refs are dropped when their last span is dropped."""
+        gen = self._next_gen
+        self._next_gen += 1
+        if ref_key is None:
+            ref_key = ("anon", gen)
+        if ref_key not in self._ref_live:
+            self._ref_live[ref_key] = 0
+            for q in self.req_qs:
+                q.put(("ref", ref_key, reference))
+        self._ref_live[ref_key] += 1
+        self._span_ref[gen] = ref_key
+        self._bounds[gen] = []
+        for q in self.req_qs:
+            q.put(("span", gen, ref_key, params, contig, contig_length))
+        return gen
+
+    def drop_span(self, gen: int) -> None:
+        for q in self.req_qs:
+            q.put(("drop_span", gen))
+        ref_key = self._span_ref.pop(gen, None)
+        if ref_key is not None:
+            self._ref_live[ref_key] -= 1
+            if self._ref_live[ref_key] == 0:
+                del self._ref_live[ref_key]
+                for q in self.req_qs:
+                    q.put(("drop_ref", ref_key))
+        self._bounds.pop(gen, None)
+        self._buf.pop(gen, None)
+        self._act_expect.pop(gen, None)
+        self._act_results.pop(gen, None)
+
+    def distribute_span(self, gen: int, reads, positions, max_ref_len: int,
                         params=None) -> None:
         """Partition the span's reads into per-worker contiguous blocks
         (equal read counts; boundaries by position) and ship each block
@@ -518,22 +602,22 @@ class HCWorkerPool:
 
         def ship(w: int, j: int, k: int) -> None:
             if is_block:
-                self.req_qs[w].put(("reads_block", reads.slice_rows(j, k),
-                                    max_ref_len))
+                self.req_qs[w].put(("reads_block", gen,
+                                    reads.slice_rows(j, k), max_ref_len))
             else:
-                self.req_qs[w].put(("reads_block", list(reads[j:k]),
+                self.req_qs[w].put(("reads_block", gen, list(reads[j:k]),
                                     max_ref_len))
 
         n = len(reads)
         if n == 0 or self.n == 1:
-            self._block_bounds = []
+            self._bounds[gen] = []
             ship(0, 0, n)
             for w in range(1, self.n):
-                self.req_qs[w].put(("reads_block", [], max_ref_len))
+                self.req_qs[w].put(("reads_block", gen, [], max_ref_len))
             return
         bounds = sorted({int(positions[(w * n) // self.n])
                          for w in range(1, self.n)})
-        self._block_bounds = bounds
+        self._bounds[gen] = bounds
         # margins proven by the slice formulas: activity chunks need
         # positions >= start - 2*max_ref_len + 2 and < end + ACT_CHUNK + 1;
         # regions (<= max_region_size, padded by `extension`) need
@@ -547,7 +631,7 @@ class HCWorkerPool:
         nb = len(bounds)  # may be < n-1 when quantile positions collide
         for w in range(self.n):
             if w > nb:
-                self.req_qs[w].put(("reads_block", [], max_ref_len))
+                self.req_qs[w].put(("reads_block", gen, [], max_ref_len))
                 continue
             lo_b = None if w == 0 else bounds[w - 1]
             hi_b = None if w >= nb else bounds[w]
@@ -557,31 +641,34 @@ class HCWorkerPool:
                                                            side="right"))
             ship(w, j, k)
 
-    def owner_of(self, start_pos: int) -> int:
-        if not self._block_bounds:
+    def owner_of(self, gen: int, start_pos: int) -> int:
+        bounds = self._bounds[gen]
+        if not bounds:
             return 0
-        return min(bisect.bisect_right(self._block_bounds, start_pos),
-                   self.n - 1)
+        return min(bisect.bisect_right(bounds, start_pos), self.n - 1)
 
-    def map_activity(self, chunks):
-        """Scatter activity chunks (cs, ce) over the block owners and
-        gather (is_active, hq_mean) per chunk in order. Requires
-        set_contig() + distribute_span() first."""
+    def send_activity(self, gen: int, chunks) -> None:
+        """Scatter activity chunks (cs, ce) over the block owners;
+        results gather later via collect_activity (possibly while a
+        previous span is still draining)."""
+        self._act_expect[gen] = len(chunks)
+        self._act_results[gen] = {}
         for tid, (cs, ce) in enumerate(chunks):
-            self.req_qs[self.owner_of(cs)].put(("act", tid, cs, ce))
-        out = [None] * len(chunks)
-        got = 0
-        while got < len(chunks):
-            msg = self._recv()
-            assert msg[0] == "act_done", msg[0]
-            _, tid, n, nz, ia_v, hm_v = msg
+            self.req_qs[self.owner_of(gen, cs)].put(("act", gen, tid, cs, ce))
+
+    def collect_activity(self, gen: int):
+        """Gather (is_active, hq_mean) per chunk, in chunk order."""
+        want = self._act_expect.pop(gen)
+        got = self._act_results.pop(gen)
+        while len(got) < want:
+            msg = self._recv_routed(("act_done",), gen)
+            _, _, tid, n, nz, ia_v, hm_v = msg
             ia = np.zeros(n, np.float64)
             hm = np.zeros(n, np.float64)
             ia[nz] = ia_v
             hm[nz] = hm_v
-            out[tid] = (ia, hm)
-            got += 1
-        return out
+            got[tid] = (ia, hm)
+        return [got[tid] for tid in range(want)]
 
     def map_bqsr_tables(self, recal_lite, header, batch, max_cycle: int,
                         ref_classes):
@@ -658,7 +745,7 @@ class HCWorkerPool:
             out = [None] * tids
             got = 0
             while got < tids:
-                msg = self._recv()
+                msg = self._recv_raw()
                 assert msg[0] == "bqsr_tables_done", msg[0]
                 out[msg[1]] = msg[2]
                 got += 1
@@ -671,13 +758,15 @@ class HCWorkerPool:
                 batch_shm.close()
                 batch_shm.unlink()
 
-    def process_regions(self, params, regions, deletions, use_device_pairhmm):
+    def process_regions(self, gen, params, regions, deletions,
+                        use_device_pairhmm):
         """Yield (region, variants, deletions) in region order.
 
         ``deletions`` is the incoming carry for the first region; each
         yielded tuple carries the updated list. The caller must have
-        sent set_contig() and distribute_span() first — regions ship
-        bare and the owning worker slices their reads from its block.
+        created the span (new_span + distribute_span) first — regions
+        ship bare and the owning worker slices their reads from its
+        block. The span is dropped when the generator is exhausted.
         """
         from ..ops import pairhmm
 
@@ -707,7 +796,7 @@ class HCWorkerPool:
         cur: List[int] = []
         cur_owner = -1
         for rid in range(n):
-            w = self.owner_of(regions[rid].start)
+            w = self.owner_of(gen, regions[rid].start)
             if cur and (w != cur_owner or len(cur) >= PREP_TASK_SIZE):
                 tasks.append(cur)
                 cur = []
@@ -735,7 +824,7 @@ class HCWorkerPool:
                     t = wtasks[w].popleft()
                     rids = tasks[t]
                     self.req_qs[w].put((
-                        "prep", t, rids[0],
+                        "prep", gen, t, rids[0],
                         np.fromiter((regions[r].start for r in rids),
                                     np.int64, len(rids)),
                         np.fromiter((regions[r].end for r in rids),
@@ -768,7 +857,7 @@ class HCWorkerPool:
             pairs = pairhmm.compute_read_likelihoods_multi(
                 workloads, use_device=use_device_pairhmm)
             for rid, (vals, keep) in zip(batch, pairs):
-                self.req_qs[owner[rid]].put(("geno", rid, vals, keep, []))
+                self.req_qs[owner[rid]].put(("geno", gen, rid, vals, keep, []))
             _tr("pairhmm dispatch end (%d regions)", len(batch))
 
         def dispatch_pairhmm(force=False):
@@ -812,7 +901,7 @@ class HCWorkerPool:
                                 redo_sent.add(emit)
                                 geno.pop(emit)
                                 self.req_qs[owner[emit]].put(
-                                    ("redo", emit, deletions))
+                                    ("redo", gen, emit, deletions))
                                 break
                             variants, outgoing = geno.pop(emit)
                             redo_sent.discard(emit)
@@ -825,9 +914,10 @@ class HCWorkerPool:
                 if emit >= n:
                     break
                 check_pairhmm_errors()
-                msg = self._recv(extra_check=check_pairhmm_errors)
+                msg = self._recv_routed(("prep_done", "geno_done"), gen,
+                                        extra_check=check_pairhmm_errors)
                 if msg[0] == "prep_done":
-                    _, wid, task_id, out = msg
+                    _, _, wid, task_id, out = msg
                     inflight[wid] -= 1
                     preps_outstanding -= 1
                     if preps_outstanding == 0 and not tasks_remaining():
@@ -843,13 +933,12 @@ class HCWorkerPool:
                     dispatch_pairhmm(
                         force=preps_outstanding == 0 and not tasks_remaining())
                 elif msg[0] == "geno_done":
-                    _, rid, variants, outgoing = msg
+                    _, _, rid, variants, outgoing = msg
                     geno[rid] = (variants, outgoing)
             check_pairhmm_errors()
         finally:
             ph_pool.shutdown(wait=True)
-        for q in self.req_qs:
-            q.put(("flush",))
+        self.drop_span(gen)
         return
 
 
