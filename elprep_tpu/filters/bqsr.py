@@ -439,6 +439,23 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
     acc = None
     max_abs_cycle = 0
     for sl in _iter_prep_slices(preps, max_rows=max_rows):
+        if host_hist:
+            # fused native engine: covariates + histograms in one pass,
+            # no [rows, L] intermediates at all (recalibrate_codes is
+            # the oracle, fuzzed in tests/test_bqsr.py)
+            from .. import native
+
+            got = native.bqsr_covariate_tables(sl, ref_classes, max_cycle,
+                                               n_rg)
+            if got is not None:
+                arrs, mac = got
+                max_abs_cycle = max(max_abs_cycle, mac)
+                if acc is None:
+                    acc = arrs
+                else:
+                    for i in range(6):
+                        acc[i] += arrs[i]
+                continue
         with compute_device(total):
             args = (
                 jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),

@@ -606,6 +606,50 @@ def bqsr_histograms(qs_idx, cyc_idx, ctx_idx, err,
     return outs
 
 
+def bqsr_covariate_tables(sl: dict, ref_classes, max_cycle: int, n_rg: int,
+                          n_threads: int = 0):
+    """Fused covariate + histogram engine over one padded prep slice
+    (keys per filters/bqsr.py _iter_prep_slices). Returns
+    ``([qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism],
+    max_abs_cycle)`` or None without the native lib. The jitted
+    ops/bqsr_ops.recalibrate_codes + histogram sequence is the oracle
+    (fuzzed in tests/test_bqsr.py)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bqsr_covariate_tables"):
+        return None
+    if lib.bqsr_covariate_tables.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.bqsr_covariate_tables.restype = L
+        lib.bqsr_covariate_tables.argtypes = (
+            [L] * 3 + [P] * 11 + [L] * 3 + [P] * 6 + [L])
+    m, Lw, C = int(sl["m"]), sl["base"].shape[1], sl["op_class"].shape[1]
+    base = np.ascontiguousarray(sl["base"], np.uint8)
+    qual = np.ascontiguousarray(sl["qual"], np.uint8)
+    skip = np.ascontiguousarray(sl["skip"], np.uint8)
+    seq_len = np.ascontiguousarray(sl["seq_len"], np.int32)
+    flag = np.ascontiguousarray(sl["flag"], np.int32)
+    pos = np.ascontiguousarray(sl["pos"], np.int32)
+    rg = np.ascontiguousarray(sl["rg"], np.int32)
+    refoff = np.ascontiguousarray(sl["refoff"], np.int64)
+    op_class = np.ascontiguousarray(sl["op_class"], np.int8)
+    op_len = np.ascontiguousarray(sl["op_len"], np.int32)
+    classes = np.ascontiguousarray(ref_classes, np.uint8)
+    ncyc = 2 * max_cycle + 1
+    qs_size = n_rg * 94
+    outs = [np.zeros(s, np.int32)
+            for s in (qs_size, qs_size, qs_size * ncyc, qs_size * ncyc,
+                      qs_size * 16, qs_size * 16)]
+    mac = lib.bqsr_covariate_tables(
+        m, Lw, C, base.ctypes.data, qual.ctypes.data, skip.ctypes.data,
+        seq_len.ctypes.data, flag.ctypes.data, pos.ctypes.data,
+        rg.ctypes.data, refoff.ctypes.data, op_class.ctypes.data,
+        op_len.ctypes.data, classes.ctypes.data, len(classes),
+        max_cycle, n_rg, *(o.ctypes.data for o in outs),
+        n_threads or _DEFAULT_THREADS[0])
+    return outs, int(mac)
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

@@ -1043,3 +1043,217 @@ void bqsr_histograms(const int* qs_idx, const int* cyc_idx,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused BQSR covariate engine: per-base cycle/context/SNP covariates and
+// the three dense table histograms in ONE pass over the padded read
+// columns. ops/bqsr_ops.py _covariate_codes (jit) is the oracle — the
+// fuzz test in tests/test_bqsr.py holds this bit-identical to it
+// (identical masks, drop semantics, and mismatch indicator).
+// ---------------------------------------------------------------------------
+
+#include <vector>
+#include <thread>
+#include <atomic>
+
+namespace {
+
+// CIGAR op classes follow ops/readstats.py CIGAR_OPS = "MIDNSHP=X"
+constexpr int kReadCons[9] = {1, 1, 0, 0, 1, 0, 0, 1, 1};
+constexpr int kRefCons[9]  = {1, 0, 1, 1, 0, 0, 0, 1, 1};
+constexpr int kIsMx[9]     = {1, 0, 0, 0, 0, 0, 0, 1, 1};
+
+struct BaseTables {
+  int base_idx[256];   // A0 C1 G2 T3 (+ lowercase, '*'->0), else -1
+  int base_int[256];   // baseToIntMap classes (bqsr.go:247-252)
+  BaseTables() {
+    for (int i = 0; i < 256; i++) { base_idx[i] = -1; base_int[i] = 0; }
+    const char* acgt = "ACGT";
+    for (int i = 0; i < 4; i++) {
+      base_idx[(unsigned char)acgt[i]] = i;
+      base_idx[(unsigned char)(acgt[i] + 32)] = i;
+    }
+    base_idx[(unsigned char)'*'] = 0;
+    const char* cls1 = "aA*"; const char* cls2 = "cC";
+    const char* cls3 = "gG"; const char* cls4 = "tT";
+    for (const char* p = cls1; *p; p++) base_int[(unsigned char)*p] = 1;
+    for (const char* p = cls2; *p; p++) base_int[(unsigned char)*p] = 2;
+    for (const char* p = cls3; *p; p++) base_int[(unsigned char)*p] = 3;
+    for (const char* p = cls4; *p; p++) base_int[(unsigned char)*p] = 4;
+  }
+};
+const BaseTables kBT;
+
+struct CovariateArgs {
+  long long m, L, C;
+  const unsigned char* base;
+  const unsigned char* qual;
+  const unsigned char* skip;
+  const int* seq_len;
+  const int* flag;
+  const int* pos;
+  const int* rg;
+  const long long* refoff;
+  const signed char* op_class;
+  const int* op_len;
+  const unsigned char* ref_classes;
+  long long ref_len;
+  long long max_cycle, n_rg;
+};
+
+long long covariate_rows(const CovariateArgs& a, long long r0, long long r1,
+                         int* qs_obs, int* qs_mism, int* cyc_obs,
+                         int* cyc_mism, int* ctx_obs, int* ctx_mism) {
+  const long long ncyc = 2 * a.max_cycle + 1;
+  const long long qs_size = a.n_rg * 94;
+  const long long cyc_size = qs_size * ncyc;
+  const long long ctx_size = qs_size * 16;
+  long long max_abs_cycle = 0;
+  std::vector<int> refpos(a.L);
+  std::vector<unsigned char> ismx(a.L);
+  for (long long row = r0; row < r1; row++) {
+    const long long sl = a.seq_len[row];
+    if (sl <= 0) continue;
+    const unsigned char* qrow = a.qual + row * a.L;
+    const unsigned char* brow = a.base + row * a.L;
+    const unsigned char* krow = a.skip + row * a.L;
+    const int f = a.flag[row];
+    const int rev = (f >> 4) & 1;
+    const int last = (f >> 7) & 1;
+    const int rof = 1 - 2 * last;
+    const long long cf = (long long)rof + (long long)rev * (sl - 1) * rof;
+    const int inc = (1 - 2 * rev) * rof;
+    // context high-quality window (computeStrandedClippedSeq)
+    long long left = sl, right = -1;
+    for (long long i = 0; i < sl; i++) {
+      if (qrow[i] > 2) { if (left == sl) left = i; right = i; }
+    }
+    // per-base reference position + M/=/X coverage from the CIGAR walk
+    {
+      long long rp = 0;   // read-consumed prefix
+      long long fp = 0;   // ref-consumed prefix (exclusive)
+      const signed char* ops = a.op_class + row * a.C;
+      const int* lens = a.op_len + row * a.C;
+      for (long long k = 0; k < a.C && rp < sl; k++) {
+        const int oc = ops[k];
+        const int len = lens[k];
+        if (kReadCons[oc]) {
+          const long long take =
+              (rp + len <= sl) ? len : (sl - rp);
+          for (long long off = 0; off < take; off++) {
+            refpos[rp + off] = (int)(a.pos[row] - 1 + fp + off);
+            ismx[rp + off] = (unsigned char)kIsMx[oc];
+          }
+          rp += len;
+        }
+        if (kRefCons[oc]) fp += len;
+      }
+      for (long long i = rp < 0 ? 0 : rp; i < sl; i++) {
+        // bases past the cigar's read-consumed total: never M/=/X
+        if (i >= 0 && i < (long long)a.L) { ismx[i] = 0; refpos[i] = 0; }
+      }
+    }
+    const long long rgq0 = (long long)a.rg[row] * 94;
+    for (long long i = 0; i < sl; i++) {
+      const long long cycle = cf + i * (long long)inc;
+      const long long ac = cycle < 0 ? -cycle : cycle;
+      if (ac > max_abs_cycle) max_abs_cycle = ac;
+      const int q = qrow[i];
+      if (q < 6 || krow[i] || kBT.base_idx[brow[i]] < 0) continue;
+      const long long rgq = rgq0 + q;
+      int err = 0;
+      if (ismx[i]) {
+        long long gpos = a.refoff[row] + refpos[i];
+        if (gpos < 0) gpos = 0;
+        if (gpos > a.ref_len - 1) gpos = a.ref_len - 1;
+        const int refc = a.ref_classes[gpos];
+        err = (kBT.base_int[brow[i]] != refc) ? 1 : 0;
+      }
+      if (rgq >= 0 && rgq < qs_size) { qs_obs[rgq]++; qs_mism[rgq] += err; }
+      const long long ci = rgq * ncyc + (cycle + a.max_cycle);
+      if (ci >= 0 && ci < cyc_size) { cyc_obs[ci]++; cyc_mism[ci] += err; }
+      // 2-mer context key over the strand-oriented clipped sequence
+      int b1, b2;
+      const bool in_i = (i >= left) && (i <= right);
+      const int bi = in_i ? kBT.base_idx[brow[i]] : -1;
+      if (!rev) {
+        b2 = bi;
+        if (i == 0) b1 = -1;
+        else {
+          const bool in_p = (i - 1 >= left) && (i - 1 <= right);
+          const int bp = in_p ? kBT.base_idx[brow[i - 1]] : -1;
+          b1 = bp;
+        }
+      } else {
+        b2 = bi >= 0 ? 3 - bi : -1;
+        if (i == sl - 1) b1 = -1;
+        else {
+          const bool in_n = (i + 1 >= left) && (i + 1 <= right);
+          const int bn = in_n ? kBT.base_idx[brow[i + 1]] : -1;
+          b1 = bn >= 0 ? 3 - bn : -1;
+        }
+      }
+      if (b1 >= 0 && b2 >= 0) {
+        const long long xi = rgq * 16 + (b1 * 4 + b2);
+        if (xi >= 0 && xi < ctx_size) { ctx_obs[xi]++; ctx_mism[xi] += err; }
+      }
+    }
+  }
+  return max_abs_cycle;
+}
+
+}  // namespace
+
+extern "C" long long bqsr_covariate_tables(
+    long long m, long long L, long long C,
+    const unsigned char* base, const unsigned char* qual,
+    const unsigned char* skip, const int* seq_len, const int* flag,
+    const int* pos, const int* rg, const long long* refoff,
+    const signed char* op_class, const int* op_len,
+    const unsigned char* ref_classes, long long ref_len,
+    long long max_cycle, long long n_rg,
+    int* qs_obs, int* qs_mism, int* cyc_obs, int* cyc_mism,
+    int* ctx_obs, int* ctx_mism, long long n_threads) {
+  CovariateArgs a{m, L, C, base, qual, skip, seq_len, flag, pos, rg,
+                  refoff, op_class, op_len, ref_classes, ref_len,
+                  max_cycle, n_rg};
+  const long long ncyc = 2 * max_cycle + 1;
+  const long long qs_size = n_rg * 94;
+  const long long cyc_size = qs_size * ncyc;
+  const long long ctx_size = qs_size * 16;
+  long long nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > m) nt = m < 1 ? 1 : m;
+  if (nt == 1) {
+    return covariate_rows(a, 0, m, qs_obs, qs_mism, cyc_obs, cyc_mism,
+                          ctx_obs, ctx_mism);
+  }
+  std::vector<std::vector<int>> priv(nt);
+  std::vector<long long> macs(nt, 0);
+  std::vector<std::thread> ths;
+  const long long total = 2 * (qs_size + cyc_size + ctx_size);
+  for (long long t = 0; t < nt; t++) {
+    ths.emplace_back([&, t]() {
+      priv[t].assign(total, 0);
+      int* p = priv[t].data();
+      const long long r0 = (m * t) / nt, r1 = (m * (t + 1)) / nt;
+      macs[t] = covariate_rows(
+          a, r0, r1, p, p + qs_size, p + 2 * qs_size,
+          p + 2 * qs_size + cyc_size, p + 2 * (qs_size + cyc_size),
+          p + 2 * (qs_size + cyc_size) + ctx_size);
+    });
+  }
+  long long mac = 0;
+  int* outs[6] = {qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism};
+  const long long sizes[6] = {qs_size, qs_size, cyc_size, cyc_size,
+                              ctx_size, ctx_size};
+  for (long long t = 0; t < nt; t++) {
+    ths[t].join();
+    if (macs[t] > mac) mac = macs[t];
+    const int* p = priv[t].data();
+    for (int k = 0; k < 6; k++) {
+      for (long long i = 0; i < sizes[k]; i++) outs[k][i] += p[i];
+      p += sizes[k];
+    }
+  }
+  return mac;
+}

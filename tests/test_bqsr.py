@@ -317,3 +317,74 @@ def test_native_bqsr_histograms_match_numpy_oracle():
             want.append(np.bincount(idx[errb], minlength=size + 1)[:size].astype(np.int32))
         for g, w in zip(got, want):
             assert g.tolist() == w.tolist()
+
+
+def test_native_covariate_tables_match_jit_oracle():
+    """Fuzz the fused C++ covariate engine against the jitted
+    recalibrate_codes + histogram sequence on adversarial random slices:
+    random cigars (under- and over-covering seq_len), rg=-1 rows, quals
+    spanning the tail/interesting/out-of-table ranges, both strands and
+    mate orders, cycle values beyond max_cycle."""
+    import jax.numpy as jnp
+
+    from elprep_tpu import native
+    from elprep_tpu.ops import bqsr_ops
+
+    if native.bqsr_covariate_tables(
+            dict(m=0, base=np.zeros((0, 4), np.uint8),
+                 qual=np.zeros((0, 4), np.uint8),
+                 skip=np.zeros((0, 4), bool), seq_len=np.zeros(0, np.int32),
+                 flag=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
+                 rg=np.zeros(0, np.int32), refoff=np.zeros(0, np.int64),
+                 op_class=np.zeros((0, 2), np.int8),
+                 op_len=np.zeros((0, 2), np.int32)),
+            np.zeros(16, np.uint8), 10, 1) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        m = int(rng.randint(1, 60))
+        L = int(rng.randint(4, 90))
+        C = int(rng.randint(1, 6))
+        n_rg = int(rng.randint(1, 4))
+        max_cycle = int(rng.randint(8, 200))
+        ref_len = int(rng.randint(50, 4000))
+        sl = dict(
+            m=m,
+            base=rng.choice(np.frombuffer(b"ACGTNacgt*", np.uint8),
+                            (m, L)).astype(np.uint8),
+            qual=rng.randint(0, 100, (m, L)).astype(np.uint8),
+            skip=rng.rand(m, L) < 0.2,
+            seq_len=rng.randint(0, L + 1, m).astype(np.int32),
+            flag=rng.randint(0, 256, m).astype(np.int32),
+            pos=rng.randint(1, ref_len, m).astype(np.int32),
+            rg=(rng.randint(0, n_rg + 1, m) - 1).astype(np.int32),
+            refoff=rng.randint(0, max(1, ref_len - 40), m).astype(np.int64),
+            op_class=rng.randint(0, 9, (m, C)).astype(np.int8),
+            op_len=rng.randint(0, L, (m, C)).astype(np.int32),
+        )
+        classes = rng.randint(0, 5, ref_len).astype(np.uint8)
+
+        got, mac = native.bqsr_covariate_tables(sl, classes, max_cycle, n_rg)
+
+        qs_idx, cyc_idx, ctx_idx, err, jmac = (
+            np.asarray(a) for a in bqsr_ops.recalibrate_codes(
+                *(jnp.asarray(sl[k]) for k in
+                  ("base", "qual", "seq_len", "flag", "pos", "rg",
+                   "refoff", "skip", "op_class", "op_len")),
+                jnp.asarray(classes), max_cycle=max_cycle, n_rg=n_rg))
+        nrg_q = n_rg * 94
+        sizes = (nrg_q, nrg_q * (2 * max_cycle + 1), nrg_q * 16)
+        errb = err.astype(bool)
+        want = []
+        for idx, size in zip((qs_idx, cyc_idx, ctx_idx), sizes):
+            idx = np.where((idx < 0) | (idx > size), size, idx)
+            want.append(np.bincount(idx, minlength=size + 1)[:size]
+                        .astype(np.int32))
+            want.append(np.bincount(idx[errb], minlength=size + 1)[:size]
+                        .astype(np.int32))
+        assert int(jmac) == mac, (trial, int(jmac), mac)
+        for g, w in zip(got, want):
+            assert g.tolist() == w.tolist(), trial
