@@ -37,7 +37,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 # regions per prepare task: small for load balance across skewed costs
-PREP_TASK_SIZE = 48
+PREP_TASK_SIZE = int(os.environ.get("ELPREP_TPU_PREP_TASK_SIZE", "48"))
 # activity chunk width in reference positions (the pool path; the serial
 # driver uses larger chunks)
 ACT_CHUNK = 1 << 16
@@ -48,7 +48,7 @@ ACT_CHUNK = 1 << 16
 PAIRHMM_PAIR_TARGET = 8192
 PAIRHMM_MAX_PENDINGS = 64
 # outstanding prepare tasks per worker before flow control kicks in
-MAX_INFLIGHT = 8
+MAX_INFLIGHT = int(os.environ.get("ELPREP_TPU_MAX_INFLIGHT", "8"))
 
 
 def _worker_main(wid: int, req_q, res_q) -> None:
@@ -449,6 +449,36 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                                          None, None]
                         out.append((rid, "pend", pending.reads_in,
                                     pending.hap_bases, pending.hap_is_ref))
+                # pre-concatenate adjacent terminal RefRuns: the ordered
+                # consumer's run buffer sees ONE run per maximal adjacent
+                # group instead of one per region (concat_ref_runs is
+                # associative over adjacent runs, so the merged banding
+                # output is identical — see its docstring)
+                from .refconf import RefRun, concat_ref_runs
+
+                def _solo_run(it):
+                    return (it[1] == "term" and len(it[2]) == 1
+                            and isinstance(it[2][0], RefRun))
+
+                out.sort(key=lambda it: it[0])
+                i = 0
+                while i < len(out):
+                    if not _solo_run(out[i]):
+                        i += 1
+                        continue
+                    group = [out[i][2][0]]
+                    j = i + 1
+                    while (j < len(out) and out[j][0] == out[j - 1][0] + 1
+                           and _solo_run(out[j])
+                           and group[-1].pos0 + len(group[-1])
+                           == out[j][2][0].pos0):
+                        group.append(out[j][2][0])
+                        j += 1
+                    if len(group) > 1:
+                        out[i] = (out[i][0], "term", [concat_ref_runs(group)])
+                        for k in range(i + 1, j):
+                            out[k] = (out[k][0], "term", [])
+                    i = j
                 res_q.put(("prep_done", gen, wid, task_id, out))
                 continue
             if kind == "geno":
