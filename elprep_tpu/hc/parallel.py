@@ -273,6 +273,44 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     _loop0 = _time.perf_counter()
                     _prev_kind = None
                 continue
+            if kind == "reads_block_shm":
+                # the whole span block sits in ONE shared-memory segment;
+                # this worker gathers its own row range out of it (the
+                # per-worker slicing runs in the workers, in parallel,
+                # instead of serially in the main process)
+                _, gen, desc, contig_b, names, (j, k), max_ref_len = msg
+                from multiprocessing import shared_memory
+
+                from ..core.batch import Ragged
+                from .readblock import ContigReadBlock
+
+                shm_name, metas = desc
+                shm = shared_memory.SharedMemory(name=shm_name)
+                try:
+                    arrs = {key: np.ndarray(shape, np.dtype(dt),
+                                            buffer=shm.buf, offset=off)
+                            for key, (off, shape, dt) in metas.items()}
+                    whole = ContigReadBlock(
+                        contig=contig_b, flag=arrs["flag"], pos=arrs["pos"],
+                        pnext=arrs["pnext"], tlen=arrs["tlen"],
+                        mapq=arrs["mapq"],
+                        cigar_len=Ragged(arrs["cig_len"], arrs["cig_off"]),
+                        cigar_op=Ragged(arrs["cig_op"], arrs["cig_off"]),
+                        seq=Ragged(arrs["seq_data"], arrs["seq_off"]),
+                        qual=Ragged(arrs["qual_data"], arrs["qual_off"]),
+                        qname=arrs["qname"], rnext_id=arrs["rnext_id"],
+                        names=list(names), row=arrs["row"])
+                    payload = whole.slice_rows(j, k)
+                    del whole, arrs
+                finally:
+                    try:
+                        shm.close()
+                    except BufferError:
+                        pass
+                res_q.put(("block_done", gen, wid))
+                msg = ("reads_block", gen, payload, max_ref_len)
+                # fall through to the reads_block handler below
+                kind = "reads_block"
             if kind == "reads_block":
                 _, gen, payload, max_ref_len = msg
                 st = spans[gen]
@@ -530,6 +568,7 @@ class HCWorkerPool:
         self._buf: Dict[int, list] = {}
         self._act_expect: Dict[int, int] = {}
         self._act_results: Dict[int, dict] = {}
+        self._span_shm: Dict[int, list] = {}  # gen -> [shm, pending acks]
         self.res_q = ctx.Queue()
         self.req_qs = [ctx.Queue() for _ in range(n_workers)]
         self.procs = [
@@ -550,6 +589,13 @@ class HCWorkerPool:
             p.join(timeout=10)
             if p.is_alive():
                 p.terminate()
+        for gen, (shm, _pending) in list(self._span_shm.items()):
+            try:
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
+        self._span_shm.clear()
 
     def _recv_raw(self, extra_check=None):
         import queue as _queue
@@ -557,16 +603,28 @@ class HCWorkerPool:
         while True:
             try:
                 msg = self.res_q.get(timeout=60)
-                break
             except _queue.Empty:
                 if extra_check is not None:
                     extra_check()
                 dead = [i for i, p in enumerate(self.procs) if not p.is_alive()]
                 if dead:
                     raise RuntimeError(f"HC worker(s) {dead} died unexpectedly")
-        if msg[0] == "error":
-            raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
-        return msg
+                continue
+            if msg[0] == "error":
+                raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
+            if msg[0] == "block_done":
+                # every worker copied its rows out of the span's shared
+                # block segment: release it
+                gen = msg[1]
+                ent = self._span_shm.get(gen)
+                if ent is not None:
+                    ent[1] -= 1
+                    if ent[1] <= 0:
+                        del self._span_shm[gen]
+                        ent[0].close()
+                        ent[0].unlink()
+                continue
+            return msg
 
     def _recv_routed(self, want_kinds, gen, extra_check=None):
         """Receive the next message of a wanted kind for ``gen``,
@@ -607,6 +665,13 @@ class HCWorkerPool:
         return gen
 
     def drop_span(self, gen: int) -> None:
+        # the span's shared block segment must not outlive the span: if
+        # some worker's copied-out ack is still in flight, drain for it
+        # (acks precede any prep/act result of the same span in each
+        # worker's FIFO, so they are already sent or imminent)
+        while gen in self._span_shm:
+            msg = self._recv_raw()
+            self._buf.setdefault(msg[1], []).append(msg)
         for q in self.req_qs:
             q.put(("drop_span", gen))
         ref_key = self._span_ref.pop(gen, None)
@@ -630,8 +695,33 @@ class HCWorkerPool:
         crosses the pipes once per span instead of once per task."""
         is_block = hasattr(reads, "materialize")
 
+        shm_desc = None
+        if is_block and self.n > 1 and len(reads) > 0:
+            # ship the WHOLE block via one shared-memory segment: each
+            # worker gathers its own row range out of it, so the
+            # per-worker slicing runs in the workers in parallel instead
+            # of serially here (and nothing block-sized rides the pipes)
+            try:
+                shm_desc, shm = _arrays_to_shm(dict(
+                    flag=reads.flag, pos=reads.pos, pnext=reads.pnext,
+                    tlen=reads.tlen, mapq=reads.mapq,
+                    cig_len=reads.cigar_len.data,
+                    cig_off=reads.cigar_len.offsets,
+                    cig_op=reads.cigar_op.data,
+                    seq_data=reads.seq.data, seq_off=reads.seq.offsets,
+                    qual_data=reads.qual.data, qual_off=reads.qual.offsets,
+                    qname=reads.qname, rnext_id=reads.rnext_id,
+                    row=reads.row))
+                self._span_shm[gen] = [shm, self.n]
+            except Exception:
+                shm_desc = None
+
         def ship(w: int, j: int, k: int) -> None:
-            if is_block:
+            if shm_desc is not None:
+                self.req_qs[w].put(("reads_block_shm", gen, shm_desc,
+                                    reads.contig, reads.names, (j, k),
+                                    max_ref_len))
+            elif is_block:
                 self.req_qs[w].put(("reads_block", gen,
                                     reads.slice_rows(j, k), max_ref_len))
             else:
@@ -661,7 +751,7 @@ class HCWorkerPool:
         nb = len(bounds)  # may be < n-1 when quantile positions collide
         for w in range(self.n):
             if w > nb:
-                self.req_qs[w].put(("reads_block", gen, [], max_ref_len))
+                ship(w, 0, 0)  # empty block (still acks the shm segment)
                 continue
             lo_b = None if w == 0 else bounds[w - 1]
             hi_b = None if w >= nb else bounds[w]
