@@ -561,7 +561,13 @@ def native_ref_model_for_no_variation(params: HCParams,
     ad_ref, ad_nonref, pls, gq = got
     dp = ad_ref + ad_nonref
     if params.confidence_mode == "GVCF":
-        variants.append(RefRun(low, dp, ad_ref, ad_nonref, pls, gq))
+        # int32 run payloads: depths/PLs/GQs all fit, and the arrays
+        # cross the worker pipes and the main-side concat/vstack —
+        # halving the bytes halves that traffic
+        variants.append(RefRun(low, dp.astype(np.int32),
+                               ad_ref.astype(np.int32),
+                               ad_nonref.astype(np.int32),
+                               pls.astype(np.int32), gq.astype(np.int32)))
         return variants
     for p in range(high - low):
         variants.append(SingleVariant(
@@ -621,7 +627,10 @@ def native_ref_models_batch(params: HCParams, regions, positions, ends,
         a_n = ad_nonref[lo_:hi_]
         dp = a_r + a_n
         if gvcf:
-            outs[i] = [RefRun(low, dp, a_r, a_n, pls[lo_:hi_], gq[lo_:hi_])]
+            outs[i] = [RefRun(low, dp.astype(np.int32),
+                              a_r.astype(np.int32), a_n.astype(np.int32),
+                              pls[lo_:hi_].astype(np.int32),
+                              gq[lo_:hi_].astype(np.int32))]
         else:
             outs[i] = [
                 SingleVariant(
@@ -1342,8 +1351,11 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
         seg_start = 0
         def emit_run(a: int, b: int) -> None:
             if b > a:
-                variants.append(RefRun(low + a, dp_arr[a:b], ref_depth[a:b],
-                                       nonref_depth[a:b], pls[a:b], gq[a:b]))
+                variants.append(RefRun(
+                    low + a, dp_arr[a:b].astype(np.int32),
+                    ref_depth[a:b].astype(np.int32),
+                    nonref_depth[a:b].astype(np.int32),
+                    pls[a:b].astype(np.int32), gq[a:b].astype(np.int32)))
         for p in subs:
             p = int(p)
             emit_run(seg_start, p)
