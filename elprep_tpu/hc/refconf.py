@@ -797,6 +797,33 @@ class VariantCombiner:
                 variants.append(self._finalize_block())
                 self.first = True
         bands = self.params.gq_bands
+        from .. import native as _native
+
+        got = _native.gvcf_band_blocks(run.gq[i:], dp, pls, j, bands)
+        if got is not None:
+            # native one-pass block scan (this numpy section, below, is
+            # its fuzzed oracle)
+            cs, counts, med, min_dp_b, gq_b, min_pls_b, open_a = got
+            if len(cs):
+                b_pos = pos_first + cs
+                b_end = b_pos + counts - 1
+                ref_arr = np.frombuffer(self.ref, np.uint8)
+                batch = RefBlockBatch(
+                    chrom=self.contig, pos=b_pos, end=b_end,
+                    ref_base=ref_arr[b_pos - 1],
+                    dp=med, gq=gq_b, min_dp=min_dp_b, pls=min_pls_b)
+                if as_batch:
+                    variants.append(batch)
+                else:
+                    variants.extend(batch.expand())
+            self.first = False
+            self.v_pos = pos_first + open_a
+            self.v_end = pos_first + m - 1
+            self.v_ref = chr(self.ref[self.v_pos - 1])
+            self.dps = [int(x) for x in dp[open_a:m]]
+            self.min_pls = [int(x) for x in np.min(pls[open_a:m], axis=0)]
+            self.min_gq, self.max_gq = self._find_gq_band(int(gq[open_a]))
+            return variants
         band_idx = np.searchsorted(bands, gq, side="right")
         changes = np.flatnonzero(np.diff(band_idx[j:]) != 0) + 1 + j
         starts = np.concatenate([[j], changes]).astype(np.int64)

@@ -650,6 +650,45 @@ def bqsr_covariate_tables(sl: dict, ref_classes, max_cycle: int, n_rg: int,
     return outs, int(mac)
 
 
+def gvcf_band_blocks(gq, dp, pls, j: int, bands):
+    """Complete GVCF band blocks of one reference run (the numpy
+    searchsorted/reduceat/median sequence in hc/refconf.py
+    _merge_run_impl is the oracle). Returns (starts, counts, med,
+    min_dp, gq_b, min_pls[nb,3], open_start) or None without the
+    native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gvcf_band_blocks"):
+        return None
+    if lib.gvcf_band_blocks.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.gvcf_band_blocks.restype = L
+        lib.gvcf_band_blocks.argtypes = [P] * 3 + [L] * 2 + [P] + [L] + \
+            [P] * 7 + [L]
+    gq = np.ascontiguousarray(gq, np.int32)
+    dp = np.ascontiguousarray(dp, np.int32)
+    pls = np.ascontiguousarray(pls, np.int32)
+    bands_a = np.ascontiguousarray(bands, np.int64)
+    m = len(gq)
+    cap = max(1, m - j)
+    starts = np.zeros(cap, np.int64)
+    counts = np.zeros(cap, np.int64)
+    med = np.zeros(cap, np.int64)
+    min_dp = np.zeros(cap, np.int64)
+    gq_b = np.zeros(cap, np.int64)
+    min_pls = np.zeros((cap, 3), np.int64)
+    open_start = np.zeros(1, np.int64)
+    nb = lib.gvcf_band_blocks(
+        gq.ctypes.data, dp.ctypes.data, pls.ctypes.data, m, j,
+        bands_a.ctypes.data, len(bands_a), starts.ctypes.data,
+        counts.ctypes.data, med.ctypes.data, min_dp.ctypes.data,
+        gq_b.ctypes.data, min_pls.ctypes.data, open_start.ctypes.data, cap)
+    if nb < 0:
+        return None
+    return (starts[:nb], counts[:nb], med[:nb], min_dp[:nb], gq_b[:nb],
+            min_pls[:nb], int(open_start[0]))
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

@@ -1475,3 +1475,92 @@ void refconf_regions_batch(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GVCF band-block aggregation for VariantCombiner.merge_run: one pass
+// over a reference run's (gq, dp, pls) arrays computing the complete
+// band blocks (the numpy reduceat/lexsort/partition sequence in
+// hc/refconf.py _merge_run_impl is the oracle; fuzzed in
+// tests/test_refconf.py). The trailing open band run is left to the
+// caller. Returns the number of blocks written.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+
+extern "C" long long gvcf_band_blocks(
+    const int* gq,          // [m] raw GQ (clipped at 99 here)
+    const int* dp,          // [m]
+    const int* pls,         // [m,3]
+    long long m, long long j,
+    const long long* bands, long long n_bands,
+    long long* out_starts,  // [cap] block start (absolute index)
+    long long* out_counts,  // [cap]
+    long long* out_med,     // [cap] go-rounded median DP
+    long long* out_min_dp,  // [cap]
+    long long* out_gq,      // [cap]
+    long long* out_min_pls, // [cap,3]
+    long long* open_start,  // -> start of the trailing open run
+    long long cap) {
+  if (j >= m) { *open_start = m; return 0; }
+  auto band_of = [&](int g) {
+    const long long gg = g < 99 ? g : 99;
+    // upper_bound over the sorted band edges (numpy side='right')
+    return (long long)(std::upper_bound(bands, bands + n_bands, gg) - bands);
+  };
+  long long nb = 0;
+  long long a = j;
+  long long cur = band_of(gq[j]);
+  std::vector<int> scratch;
+  auto flush_block = [&](long long b) {
+    // complete block [a, b)
+    if (nb >= cap) return false;
+    const long long n = b - a;
+    int mp0 = pls[3 * a], mp1 = pls[3 * a + 1], mp2 = pls[3 * a + 2];
+    int mdp = dp[a];
+    scratch.assign(dp + a, dp + b);
+    for (long long t = a + 1; t < b; t++) {
+      if (pls[3 * t] < mp0) mp0 = pls[3 * t];
+      if (pls[3 * t + 1] < mp1) mp1 = pls[3 * t + 1];
+      if (pls[3 * t + 2] < mp2) mp2 = pls[3 * t + 2];
+      if (dp[t] < mdp) mdp = dp[t];
+    }
+    long long med;
+    const long long lo_r = (n - 1) / 2;
+    std::nth_element(scratch.begin(), scratch.begin() + lo_r, scratch.end());
+    const long long lo_v = scratch[lo_r];
+    if (n % 2 == 1) {
+      med = lo_v;
+    } else {
+      const long long hi_v =
+          *std::min_element(scratch.begin() + lo_r + 1, scratch.end());
+      med = (lo_v + hi_v + 1) / 2;  // go round-half-away for ints >= 0
+    }
+    // gq = second smallest PL minus smallest, capped at 99
+    long long s0 = mp0, s1 = mp1;
+    if (s1 < s0) std::swap(s0, s1);
+    if (mp2 < s0) { s1 = s0; s0 = mp2; }
+    else if (mp2 < s1) { s1 = mp2; }
+    long long g = s1 - s0;
+    if (g > 99) g = 99;
+    out_starts[nb] = a;
+    out_counts[nb] = n;
+    out_med[nb] = med;
+    out_min_dp[nb] = mdp;
+    out_gq[nb] = g;
+    out_min_pls[3 * nb] = mp0;
+    out_min_pls[3 * nb + 1] = mp1;
+    out_min_pls[3 * nb + 2] = mp2;
+    nb++;
+    return true;
+  };
+  for (long long t = j + 1; t < m; t++) {
+    const long long bd = band_of(gq[t]);
+    if (bd != cur) {
+      if (!flush_block(t)) { *open_start = -1; return -1; }
+      a = t;
+      cur = bd;
+    }
+  }
+  *open_start = a;  // trailing run [a, m) stays open
+  return nb;
+}

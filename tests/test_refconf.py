@@ -338,3 +338,59 @@ def test_native_gvcf_formatter_matches_python_fallback():
                     b.gq.tolist(), b.min_dp.tolist(),
                     b.pls.tolist()))).encode("latin-1")
         assert fast == slow
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_native_gvcf_band_blocks_match_numpy(seed):
+    """Fuzz the C++ band-block scan against the numpy
+    searchsorted/reduceat/median section of _merge_run_impl: random GQ
+    band patterns (incl. constant runs, singleton blocks, even/odd
+    median counts), merged through full VariantCombiner streams with
+    the native path on vs forced off."""
+    from elprep_tpu import native as nat
+    from elprep_tpu.io.vcf import format_variant
+
+    if nat.gvcf_band_blocks(np.zeros(2, np.int32), np.zeros(2, np.int32),
+                            np.zeros((2, 3), np.int32), 0,
+                            [0, 10, 99]) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(seed)
+    ref = rng.choice(_BASES, 8000).tobytes()
+    params = make_hc_params("GVCF")
+
+    def mk_runs():
+        runs, pos = [], 1
+        for _ in range(rng.randint(3, 8)):
+            n = int(rng.randint(1, 900))
+            gq = rng.choice([0, 1, 5, 17, 44, 98, 99, 120],
+                            n).astype(np.int32)
+            if rng.rand() < 0.5:  # long constant stretches
+                gq[:] = gq[0]
+            dp = rng.randint(0, 60, n).astype(np.int32)
+            pls = rng.randint(0, 500, (n, 3)).astype(np.int32)
+            runs.append(refconf.RefRun(pos, dp, dp, 0 * dp, pls, gq))
+            pos += n + (0 if rng.rand() < 0.7 else rng.randint(1, 5))
+        return runs
+
+    def combine(runs):
+        comb = refconf.VariantCombiner(params, lambda c: ref)
+        out = []
+        for r in runs:
+            out = comb.set_contig(out, "c1")
+            out = comb.merge_run(out, r)
+        fin = comb.finalize()
+        if fin is not None:
+            out.append(fin)
+        return "".join(format_variant(v)
+                       for v in refconf.expand_variants(out))
+
+    for _ in range(4):
+        runs = mk_runs()
+        a = combine(runs)
+        orig = nat.gvcf_band_blocks
+        nat.gvcf_band_blocks = lambda *args, **kw: None
+        try:
+            b = combine(runs)
+        finally:
+            nat.gvcf_band_blocks = orig
+        assert a == b
