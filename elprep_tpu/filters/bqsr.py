@@ -921,6 +921,16 @@ def build_apply_tables(tables: BaseRecalibratorTables):
     return cond_prior, d_cyc, d_ctx17, rg_present
 
 
+def _writeback_quals(batch, newq: np.ndarray) -> None:
+    """Write recalibrated [n, width] quals back into the ragged buffer."""
+    lens = batch.qual.lengths.astype(np.int64)
+    total = int(batch.qual.offsets[-1])
+    if total:
+        cols = np.arange(newq.shape[1])
+        mask = cols[None, :] < lens[:, None]
+        batch.qual.data[:] = newq[mask]
+
+
 def apply_bqsr_filter(
     tables: BaseRecalibratorTables,
     quantize_levels: int = 0,
@@ -968,6 +978,24 @@ def apply_bqsr_filter(
                 n_pad *= 2
             qual_padded, qual_len = batch.qual.to_padded(width)
             base_padded, _ = batch.seq.to_padded(width)
+            from ..ops.dispatch import routes_to_host
+
+            if routes_to_host(n):
+                # native apply engine (the jitted apply_bqsr below is
+                # the oracle, fuzzed in tests/test_bqsr.py)
+                from .. import native
+
+                got = native.bqsr_apply_quals(
+                    base_padded, qual_padded, qual_len.astype(np.int32),
+                    batch.flag, rg, rg_present, cond_prior, d_cyc, d_ctx,
+                    quant, sqq_lut, max_cycle)
+                if got is not None:
+                    newq, max_abs_cycle = got
+                    if max_abs_cycle > max_cycle:
+                        raise ValueError(
+                            "cycle value exceeds maximum cycle value")
+                    _writeback_quals(batch, newq)
+                    return None
             if n_pad != n:
                 qual_padded = np.concatenate(
                     [qual_padded, np.zeros((n_pad - n, width), qual_padded.dtype)])
@@ -993,14 +1021,7 @@ def apply_bqsr_filter(
                 max_abs_cycle = int(max_abs_cycle)
             if max_abs_cycle > max_cycle:
                 raise ValueError("cycle value exceeds maximum cycle value")
-            newq = newq[:n]
-            # write back into the ragged qual buffer
-            lens = batch.qual.lengths.astype(np.int64)
-            total = int(batch.qual.offsets[-1])
-            if total:
-                cols = np.arange(newq.shape[1])
-                mask = cols[None, :] < lens[:, None]
-                batch.qual.data[:] = newq[mask]
+            _writeback_quals(batch, newq[:n])
             return None
 
         return bf

@@ -689,6 +689,44 @@ def gvcf_band_blocks(gq, dp, pls, j: int, bands):
             min_pls[:nb], int(open_start[0]))
 
 
+def bqsr_apply_quals(base, qual, seq_len, flag, rg, rg_present, cond_prior,
+                     d_cyc, d_ctx, quant_lut, sqq_lut, max_cycle: int,
+                     n_threads: int = 0):
+    """Native ApplyBQSR over padded [m, L] columns. Returns
+    (newq uint8 [m, L], max_abs_cycle) or None without the native lib.
+    ops/bqsr_ops.apply_bqsr (jit) is the oracle (fuzzed in
+    tests/test_bqsr.py)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bqsr_apply_quals"):
+        return None
+    if lib.bqsr_apply_quals.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.bqsr_apply_quals.restype = L
+        lib.bqsr_apply_quals.argtypes = [L] * 2 + [P] * 11 + [L] * 2 + [P, L]
+    base = np.ascontiguousarray(base, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    seq_len = np.ascontiguousarray(seq_len, np.int32)
+    flag = np.ascontiguousarray(flag, np.int32)
+    rg = np.ascontiguousarray(rg, np.int32)
+    rg_present = np.ascontiguousarray(rg_present, np.uint8)
+    cond_prior = np.ascontiguousarray(cond_prior, np.int32)
+    d_cyc = np.ascontiguousarray(d_cyc, np.int32)
+    d_ctx = np.ascontiguousarray(d_ctx, np.int32)
+    quant_lut = np.ascontiguousarray(quant_lut, np.uint8)
+    sqq_lut = np.ascontiguousarray(sqq_lut, np.uint8)
+    m, Lw = base.shape
+    n_rg = cond_prior.shape[0]
+    out = np.zeros((m, Lw), np.uint8)
+    mac = lib.bqsr_apply_quals(
+        m, Lw, base.ctypes.data, qual.ctypes.data, seq_len.ctypes.data,
+        flag.ctypes.data, rg.ctypes.data, rg_present.ctypes.data,
+        cond_prior.ctypes.data, d_cyc.ctypes.data, d_ctx.ctypes.data,
+        quant_lut.ctypes.data, sqq_lut.ctypes.data, max_cycle, n_rg,
+        out.ctypes.data, n_threads or _DEFAULT_THREADS[0])
+    return out, int(mac)
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

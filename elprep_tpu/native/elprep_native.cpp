@@ -1257,3 +1257,120 @@ extern "C" long long bqsr_covariate_tables(
   }
   return mac;
 }
+
+namespace {
+
+struct ApplyArgs {
+  long long m, L;
+  const unsigned char* base;
+  const unsigned char* qual;
+  const int* seq_len;
+  const int* flag;
+  const int* rg;
+  const unsigned char* rg_present;
+  const int* cond_prior;
+  const int* d_cyc;
+  const int* d_ctx;
+  const unsigned char* quant_lut;
+  const unsigned char* sqq_lut;
+  long long max_cycle, n_rg;
+  unsigned char* out;
+};
+
+long long apply_rows(const ApplyArgs& a, long long r0, long long r1) {
+  const long long ncyc = 2 * a.max_cycle + 1;
+  long long mac = 0;
+  for (long long row = r0; row < r1; row++) {
+    const long long sl = a.seq_len[row];
+    const unsigned char* qrow = a.qual + row * a.L;
+    const unsigned char* brow = a.base + row * a.L;
+    unsigned char* orow = a.out + row * a.L;
+    // invalid columns keep the input qual (oracle: out = where(mask, newq, q))
+    memcpy(orow, qrow, a.L);
+    if (sl <= 0) continue;
+    const int f = a.flag[row];
+    const int rev = (f >> 4) & 1;
+    const int last = (f >> 7) & 1;
+    const int rof = 1 - 2 * last;
+    const long long cf = (long long)rof + (long long)rev * (sl - 1) * rof;
+    const int inc = (1 - 2 * rev) * rof;
+    long long left = sl, right = -1;
+    for (long long i = 0; i < sl; i++) {
+      if (qrow[i] > 2) { if (left == sl) left = i; right = i; }
+    }
+    long long rgc = a.rg[row];
+    if (rgc < 0) rgc = 0;
+    if (rgc > a.n_rg - 1) rgc = a.n_rg - 1;
+    const bool rg_ok = a.rg[row] >= 0 && a.rg_present[rgc];
+    const int* cp = a.cond_prior + rgc * 94;
+    const int* dc = a.d_cyc + rgc * 94 * ncyc;
+    const int* dx = a.d_ctx + rgc * 94 * 17;
+    for (long long i = 0; i < sl; i++) {
+      const long long cycle = cf + i * (long long)inc;
+      const long long ac = cycle < 0 ? -cycle : cycle;
+      if (ac > mac) mac = ac;
+      const int q = qrow[i];
+      if (q < 6 || !rg_ok) continue;
+      long long ci = cycle + a.max_cycle;
+      if (ci < 0) ci = 0;
+      if (ci > ncyc - 1) ci = ncyc - 1;
+      // context key (same window semantics as the table build)
+      int b1, b2;
+      const bool in_i = (i >= left) && (i <= right);
+      const int bi = in_i ? kBT.base_idx[brow[i]] : -1;
+      if (!rev) {
+        b2 = bi;
+        if (i == 0) b1 = -1;
+        else {
+          const bool in_p = (i - 1 >= left) && (i - 1 <= right);
+          b1 = in_p ? kBT.base_idx[brow[i - 1]] : -1;
+        }
+      } else {
+        b2 = bi >= 0 ? 3 - bi : -1;
+        if (i == sl - 1) b1 = -1;
+        else {
+          const bool in_n = (i + 1 >= left) && (i + 1 <= right);
+          const int bn = in_n ? kBT.base_idx[brow[i + 1]] : -1;
+          b1 = bn >= 0 ? 3 - bn : -1;
+        }
+      }
+      const long long xi = (b1 >= 0 && b2 >= 0) ? (b1 * 4 + b2) : 16;
+      const long long qc = q > 93 ? 93 : q;
+      long long est = (long long)cp[qc] + dc[qc * ncyc + ci]
+                      + dx[qc * 17 + xi];
+      if (est < 1) est = 1;
+      if (est > 93) est = 93;
+      orow[i] = a.sqq_lut[a.quant_lut[est]];
+    }
+  }
+  return mac;
+}
+
+}  // namespace
+
+extern "C" long long bqsr_apply_quals(
+    long long m, long long L, const unsigned char* base,
+    const unsigned char* qual, const int* seq_len, const int* flag,
+    const int* rg, const unsigned char* rg_present, const int* cond_prior,
+    const int* d_cyc, const int* d_ctx, const unsigned char* quant_lut,
+    const unsigned char* sqq_lut, long long max_cycle, long long n_rg,
+    unsigned char* out, long long n_threads) {
+  ApplyArgs a{m, L, base, qual, seq_len, flag, rg, rg_present, cond_prior,
+              d_cyc, d_ctx, quant_lut, sqq_lut, max_cycle, n_rg, out};
+  long long nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > m) nt = m < 1 ? 1 : m;
+  if (nt == 1) return apply_rows(a, 0, m);
+  std::vector<std::thread> ths;
+  std::vector<long long> macs(nt, 0);
+  for (long long t = 0; t < nt; t++) {
+    ths.emplace_back([&, t]() {
+      macs[t] = apply_rows(a, (m * t) / nt, (m * (t + 1)) / nt);
+    });
+  }
+  long long mac = 0;
+  for (long long t = 0; t < nt; t++) {
+    ths[t].join();
+    if (macs[t] > mac) mac = macs[t];
+  }
+  return mac;
+}

@@ -388,3 +388,54 @@ def test_native_covariate_tables_match_jit_oracle():
         assert int(jmac) == mac, (trial, int(jmac), mac)
         for g, w in zip(got, want):
             assert g.tolist() == w.tolist(), trial
+
+
+def test_native_apply_quals_match_jit_oracle():
+    """Fuzz the C++ ApplyBQSR engine against the jitted apply_bqsr:
+    random tables, rg=-1 / absent-RG rows, qual tail and >93 values,
+    both strands and mate orders, cycles clipped at the table edge."""
+    import jax.numpy as jnp
+
+    from elprep_tpu import native
+    from elprep_tpu.ops import bqsr_ops
+
+    rng = np.random.RandomState(31)
+    for trial in range(8):
+        m = int(rng.randint(1, 50))
+        L = int(rng.randint(4, 80))
+        n_rg = int(rng.randint(1, 4))
+        max_cycle = int(rng.randint(8, 120))
+        ncyc = 2 * max_cycle + 1
+        base = rng.choice(np.frombuffer(b"ACGTNacgt*", np.uint8),
+                          (m, L)).astype(np.uint8)
+        qual = rng.randint(0, 100, (m, L)).astype(np.uint8)
+        seq_len = rng.randint(0, L + 1, m).astype(np.int32)
+        flag = rng.randint(0, 256, m).astype(np.int32)
+        rg = (rng.randint(0, n_rg + 1, m) - 1).astype(np.int32)
+        rg_present = (rng.rand(n_rg) < 0.8)
+        cond_prior = rng.randint(1, 90, (n_rg, 94)).astype(np.int32)
+        d_cyc = rng.randint(-20, 20, (n_rg, 94, ncyc)).astype(np.int32)
+        d_ctx = rng.randint(-20, 20, (n_rg, 94, 17)).astype(np.int32)
+        quant = rng.randint(0, 94, 94).astype(np.uint8)
+        sqq = rng.randint(0, 94, 255).astype(np.uint8)
+
+        got = native.bqsr_apply_quals(base, qual, seq_len, flag, rg,
+                                      rg_present, cond_prior, d_cyc, d_ctx,
+                                      quant, sqq, max_cycle)
+        if got is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        newq_n, mac_n = got
+        newq_j, mac_j = bqsr_ops.apply_bqsr(
+            jnp.asarray(base), jnp.asarray(qual), jnp.asarray(seq_len),
+            jnp.asarray(flag), jnp.asarray(rg), jnp.asarray(rg_present),
+            jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
+            jnp.asarray(quant), jnp.asarray(sqq), max_cycle=max_cycle)
+        newq_j = np.asarray(newq_j)
+        assert int(mac_j) == mac_n, trial
+        # compare only valid columns (pad columns keep input qual in
+        # both engines, but are never read back)
+        cols = np.arange(L)
+        vmask = cols[None, :] < seq_len[:, None]
+        assert newq_n[vmask].tolist() == newq_j[vmask].tolist(), trial
