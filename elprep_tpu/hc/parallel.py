@@ -1040,6 +1040,9 @@ class HCWorkerPool:
                     _, _, wid, task_id, out = msg
                     inflight[wid] -= 1
                     preps_outstanding -= 1
+                    # refill the worker BEFORE chewing on the payload:
+                    # every ms here is idle time in the worker's queue
+                    send_tasks()
                     if preps_outstanding == 0 and not tasks_remaining():
                         _tr("all preps done (emit=%d/%d)", emit, n)
                     for item in out:

@@ -727,6 +727,23 @@ def bqsr_apply_quals(base, qual, seq_len, flag, rg, rg_present, cond_prior,
     return out, int(mac)
 
 
+def pairhmm_repeat_lengths(bases: bytes):
+    """Per-base tandem-repeat lengths (uint8, 21 sentinel on the last
+    base) or None without the native lib. ops/pairhmm.py
+    _repeat_lengths_for_read_py is the oracle."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pairhmm_repeat_lengths"):
+        return None
+    if lib.pairhmm_repeat_lengths.argtypes is None:
+        lib.pairhmm_repeat_lengths.restype = None
+        lib.pairhmm_repeat_lengths.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_void_p]
+    n = len(bases)
+    out = np.empty(n, np.uint8)
+    lib.pairhmm_repeat_lengths(bases, n, out.ctypes.data)
+    return out
+
+
 def good_cigar_mask(cigar_len, cigar_op):
     """Batched isGoodCigar (haploutils.go:36-113) over ragged cigars.
     Returns a bool[n] mask, or None without the native lib. The Python

@@ -1374,3 +1374,62 @@ extern "C" long long bqsr_apply_quals(
   }
   return mac;
 }
+
+// ---------------------------------------------------------------------------
+// Per-base tandem-repeat lengths for the PairHMM gap-continuation
+// tables (ops/pairhmm.py repeat_lengths_for_read is the oracle, itself
+// mirroring pairhmm.go:104-162 — including the quirk that max_bw keeps
+// the LAST tried unit's repeat count when no unit repeats).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline long long n_fw_reps(const unsigned char* unit, long long ul,
+                           const unsigned char* s, long long sl) {
+  long long n = 0;
+  while (sl >= ul && memcmp(s, unit, ul) == 0) { n++; s += ul; sl -= ul; }
+  return n;
+}
+
+inline long long n_bw_reps(const unsigned char* unit, long long ul,
+                           const unsigned char* s, long long sl) {
+  long long n = 0;
+  while (sl >= ul && memcmp(s + sl - ul, unit, ul) == 0) { n++; sl -= ul; }
+  return n;
+}
+
+}  // namespace
+
+extern "C" void pairhmm_repeat_lengths(const unsigned char* bases,
+                                       long long n, unsigned char* out) {
+  for (long long i = 0; i < n - 1; i++) {
+    const long long o1 = i + 1;
+    long long max_bw = 0;
+    const unsigned char* bw_unit = bases + i;
+    long long bw_ul = 1;
+    for (long long strlen_ = 1; strlen_ <= 8; strlen_++) {
+      const long long ro = o1 - strlen_;
+      if (ro < 0) break;
+      max_bw = n_bw_reps(bases + ro, strlen_, bases, o1);
+      if (max_bw > 1) { bw_unit = bases + ro; bw_ul = strlen_; break; }
+    }
+    long long max_rl = max_bw;
+    if (o1 < n) {
+      long long max_fw = 0;
+      const unsigned char* fw_unit = bases + o1;
+      long long fw_ul = 1;
+      for (long long strlen_ = 1; strlen_ <= 8; strlen_++) {
+        if (o1 + strlen_ > n) break;
+        max_fw = n_fw_reps(bases + o1, strlen_, bases + o1, n - o1);
+        if (max_fw > 1) { fw_ul = strlen_; break; }
+      }
+      fw_unit = bases + o1;
+      const bool same = fw_ul == bw_ul && memcmp(fw_unit, bw_unit, fw_ul) == 0;
+      if (!same) max_bw = n_bw_reps(fw_unit, fw_ul, bases, o1);
+      max_rl = max_fw + max_bw;
+    }
+    if (max_rl > 20) max_rl = 20;
+    out[i] = (unsigned char)max_rl;
+  }
+  if (n) out[n - 1] = 21;
+}

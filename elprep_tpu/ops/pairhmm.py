@@ -104,7 +104,18 @@ def find_tandem_repeat_units(bases: bytes, offset: int) -> Tuple[bytes, int]:
 def repeat_lengths_for_read(bases: bytes) -> np.ndarray:
     """Per-base tandem-repeat length, 21 sentinel on the last base
     (reference: pairhmm.go:155-162) — the uint8 form shipped to the
-    device, which derives the transition probabilities by table lookup."""
+    device, which derives the transition probabilities by table lookup.
+    Native fast path (C++ pairhmm_repeat_lengths; the loop below is its
+    fuzzed oracle)."""
+    from .. import native
+
+    got = native.pairhmm_repeat_lengths(bases)
+    if got is not None:
+        return got
+    return _repeat_lengths_for_read_py(bases)
+
+
+def _repeat_lengths_for_read_py(bases: bytes) -> np.ndarray:
     n = len(bases)
     rl = np.empty(n, np.uint8)
     for i in range(n - 1):

@@ -127,3 +127,33 @@ def test_pallas_kernel_matches_scan_interpret():
         seq, qual, _ = reads[pair_r[b]]
         exact = pairhmm.pairhmm_f64_diag(seq, qual, 60, haps[pair_h[b]])
         assert abs(got[b] - exact) < 5e-4, (b, got[b], exact)
+
+
+def test_native_repeat_lengths_match_python_oracle():
+    """Fuzz the C++ tandem-repeat scan against the Python loop —
+    homopolymers, dinucleotide repeats, 8-mer units, and the quirk that
+    an unrepeated unit still reports the last tried unit's count."""
+    from elprep_tpu import native
+    from elprep_tpu.ops.pairhmm import (_repeat_lengths_for_read_py,
+                                        repeat_lengths_for_read)
+
+    if native.pairhmm_repeat_lengths(b"ACGT") is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(5)
+    cases = [b"", b"A", b"AA", b"ACACACAC", b"AAAAAAAAAA",
+             b"ACGTACGTACGTACGT", b"ACGTACGT" * 4 + b"TTTT"]
+    for _ in range(60):
+        n = int(rng.randint(0, 60))
+        cases.append(rng.choice(np.frombuffer(b"ACGT", np.uint8), n)
+                     .tobytes())
+    for _ in range(20):  # low-entropy: repeats are common
+        n = int(rng.randint(2, 80))
+        unit = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                          rng.randint(1, 9)).tobytes()
+        cases.append((unit * (n // max(1, len(unit)) + 1))[:n])
+    for bases in cases:
+        got = repeat_lengths_for_read(bases)
+        want = _repeat_lengths_for_read_py(bases)
+        assert got.tolist() == want.tolist(), bases
