@@ -30,7 +30,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB] + _SRCS + ["-lz", "-lpthread"],
+             "-fopenmp", "-o", _LIB] + _SRCS + ["-lz", "-lpthread"],
             check=True, capture_output=True, timeout=240,
         )
         return True
@@ -725,6 +725,35 @@ def bqsr_apply_quals(base, qual, seq_len, flag, rg, rg_present, cond_prior,
         quant_lut.ctypes.data, sqq_lut.ctypes.data, max_cycle, n_rg,
         out.ctypes.data, n_threads or _DEFAULT_THREADS[0])
     return out, int(mac)
+
+
+def stable_sort_idx(w0, w1=None, w2=None, w3=None):
+    """Stable index sort by up to four packed uint64 key words. Returns
+    int32 perm or None without the native lib — equal to np.lexsort
+    over the same lexicographic key order."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "stable_sort_idx"):
+        return None
+    if lib.stable_sort_idx.argtypes is None:
+        lib.stable_sort_idx.restype = None
+        lib.stable_sort_idx.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_longlong, ctypes.c_void_p]
+    w0 = np.ascontiguousarray(w0, np.uint64)
+    n = len(w0)
+    out = np.empty(n, np.int32)
+
+    def ptr(a, dt):
+        if a is None:
+            return None
+        a = np.ascontiguousarray(a, dt)
+        assert len(a) == n
+        ptr.keep.append(a)
+        return a.ctypes.data
+    ptr.keep = []
+    lib.stable_sort_idx(w0.ctypes.data, ptr(w1, np.uint64),
+                        ptr(w2, np.uint64), ptr(w3, np.uint64), n,
+                        out.ctypes.data)
+    return out
 
 
 def pairhmm_repeat_lengths(bases: bytes):

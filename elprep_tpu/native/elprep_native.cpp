@@ -14,6 +14,10 @@
 #include <atomic>
 #include <zlib.h>
 #include <functional>
+#include <algorithm>
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#endif
 
 extern "C" {
 
@@ -1432,4 +1436,50 @@ extern "C" void pairhmm_repeat_lengths(const unsigned char* bases,
     out[i] = (unsigned char)max_rl;
   }
   if (n) out[n - 1] = 21;
+}
+
+// ---------------------------------------------------------------------------
+// Stable index sort over up to four packed key words. The callers
+// (ops/sortkeys.py, ops/dedup.py) pack their comparator key columns
+// into non-overlapping bit fields order-preservingly, so one stable
+// sort here equals their np.lexsort chains (which remain the fuzzed
+// fallback/oracle).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SortRec {
+  unsigned long long w0, w1, w2;
+  int idx;
+};
+
+}  // namespace
+
+extern "C" void stable_sort_idx(
+    const unsigned long long* w0, const unsigned long long* w1,
+    const unsigned long long* w2, const unsigned long long* w3,
+    long long n, int* out_idx) {
+  // records carry the first three words inline (contiguous compares —
+  // an index-indirect comparator cache-misses); only the rare w3 tie
+  // falls back to an indirect load
+  std::vector<SortRec> recs(n);
+  for (long long i = 0; i < n; i++) {
+    recs[i].w0 = w0[i];
+    recs[i].w1 = w1 ? w1[i] : 0;
+    recs[i].w2 = w2 ? w2[i] : 0;
+    recs[i].idx = (int)i;
+  }
+  auto cmp = [&](const SortRec& a, const SortRec& b) {
+    if (a.w0 != b.w0) return a.w0 < b.w0;
+    if (a.w1 != b.w1) return a.w1 < b.w1;
+    if (a.w2 != b.w2) return a.w2 < b.w2;
+    if (w3 && w3[a.idx] != w3[b.idx]) return w3[a.idx] < w3[b.idx];
+    return false;
+  };
+#if defined(_OPENMP)
+  __gnu_parallel::stable_sort(recs.begin(), recs.end(), cmp);
+#else
+  std::stable_sort(recs.begin(), recs.end(), cmp);
+#endif
+  for (long long i = 0; i < n; i++) out_idx[i] = recs[i].idx;
 }

@@ -200,6 +200,38 @@ def mark_duplicates_host(libid, refid, upos, rev, score, qrank, flag
     n = flag.shape[0]
     idx = np.arange(n, dtype=np.int32)
 
+    from .. import native
+
+    _bias = np.int64(1) << 31
+
+    def _b32(a):
+        """int32-ish column biased into an unsigned 32-bit field."""
+        return (np.asarray(a).astype(np.int64) + _bias).astype(np.uint64)
+
+    def _lexsort(keys):
+        """Stable lexicographic argsort, primary key FIRST. Packs the
+        int32 key columns order-preservingly into biased 32-bit fields
+        of up to four words for one native stable sort; np.lexsort is
+        the fallback (and the oracle the packing must match)."""
+        words = []
+        cur, used = None, 0
+        for k in keys:
+            f = _b32(k)
+            if used == 0:
+                cur, used = f, 1
+            else:
+                cur = (cur << np.uint64(32)) | f
+                words.append(cur)
+                cur, used = None, 0
+        if used:
+            words.append(cur)
+        if len(words) <= 4:
+            w = words + [None] * (4 - len(words))
+            perm = native.stable_sort_idx(w[0], w[1], w[2], w[3])
+            if perm is not None:
+                return perm
+        return np.lexsort(tuple(reversed(keys)))
+
     eligible = (flag & ELIGIBLE_EXCLUDE) == 0
     true_pair = eligible & ((flag & (MULTIPLE | NEXT_UNMAPPED)) == MULTIPLE)
     true_frag = eligible & ~true_pair
@@ -218,7 +250,7 @@ def mark_duplicates_host(libid, refid, upos, rev, score, qrank, flag
 
     # FRAGMENT phase
     inel = (~eligible).astype(np.int32)
-    fperm = np.lexsort((rev, upos, refid, libid, inel))
+    fperm = _lexsort((inel, libid, refid, upos, rev))
     s_inel, s_upos = inel[fperm], upos[fperm]
     s_lib, s_ref, s_rev = libid[fperm], refid[fperm], rev[fperm]
     s_pair = true_pair[fperm]
@@ -241,7 +273,7 @@ def mark_duplicates_host(libid, refid, upos, rev, score, qrank, flag
 
     # PAIR formation by {LIBID, QNAME} in arrival order
     not_cand = (~true_pair).astype(np.int32)
-    pperm = np.lexsort((idx, qrank, libid, not_cand))
+    pperm = _lexsort((not_cand, libid, qrank, idx))
     p_nc, p_lib, p_qrank, p_idx = (
         not_cand[pperm], libid[pperm], qrank[pperm], idx[pperm])
     p_ref, p_upos, p_rev, p_score = (
@@ -272,7 +304,7 @@ def mark_duplicates_host(libid, refid, upos, rev, score, qrank, flag
 
     # PAIR dedup by {LIBID, r1, r2, po1, po2, rv1, rv2}
     invalid = (~is_second).astype(np.int32)
-    gperm = np.lexsort((rv2, rv1, po2, po1, r2, r1, p_lib, invalid))
+    gperm = _lexsort((invalid, p_lib, r1, r2, po1, po2, rv1, rv2))
     (g_inv, g_lib, g_r1, g_r2, g_p1, g_p2, g_v1, g_v2) = (
         invalid[gperm], p_lib[gperm], r1[gperm], r2[gperm], po1[gperm],
         po2[gperm], rv1[gperm], rv2[gperm])

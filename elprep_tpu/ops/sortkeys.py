@@ -109,12 +109,36 @@ def coordinate_keys_np(flag, refid, pos, mapq, next_refid, pnext, tlen, qrank):
 
 def coordinate_sort_perm_host(flag, refid, pos, mapq, next_refid, pnext,
                               tlen, qrank) -> np.ndarray:
-    """Host twin of coordinate_sort_perm: one stable np.lexsort over the
-    same key columns yields the identical permutation. Used below the
+    """Host twin of coordinate_sort_perm: one stable sort over the same
+    key columns yields the identical permutation. Used below the
     accelerator-dispatch crossover, where XLA:CPU's stable sorts are the
-    dominant cost of the whole sort phase."""
+    dominant cost of the whole sort phase. Fast path: the nine keys
+    pack order-preservingly into four words for ONE native stable sort
+    (np.lexsort is the fallback/oracle — fuzzed against the jit kernel
+    either way in tests/test_sort_dedup.py)."""
     keys = coordinate_keys_np(flag, refid, pos, mapq, next_refid, pnext,
                               tlen, qrank)
+    (k_refid, k_pos, k_rev, k_qrank, k_mf, k_mapq, k_nrefid, k_pnext,
+     k_tlen) = keys
+    from .. import native
+
+    u64 = np.uint64
+    bias = np.int64(1) << 31
+    # non-overlapping, order-preserving bit fields:
+    #   w0 = refid(31) . pos(31)          both non-negative < 2^31
+    #   w1 = rev(1) . qrank(31) . modFlag(16) . mapq(8)
+    #   w2 = nrefid+2^31(32) . pnext(31)  pnext >= 0
+    #   w3 = tlen+2^31(32)                signed -> biased
+    w0 = (k_refid.astype(u64) << u64(32)) | k_pos.astype(u64)
+    w1 = ((k_rev.astype(u64) << u64(55))
+          | (k_qrank.astype(u64) << u64(24))
+          | (k_mf.astype(u64) << u64(8)) | k_mapq.astype(u64))
+    w2 = (((k_nrefid.astype(np.int64) + bias).astype(u64) << u64(32))
+          | k_pnext.astype(u64))
+    w3 = (k_tlen.astype(np.int64) + bias).astype(np.uint64)
+    perm = native.stable_sort_idx(w0, w1, w2, w3)
+    if perm is not None:
+        return perm
     return np.lexsort(tuple(reversed(keys))).astype(np.int32)
 
 

@@ -155,3 +155,12 @@ def test_host_twins_match_jit_kernels(n, seed):
     dup_host = mark_duplicates_host(libid, refid, upos, rev, score, qrank,
                                     batch.flag)
     assert dup_jit.tolist() == dup_host.tolist()
+
+
+def test_host_twins_fallback_without_native_sort(monkeypatch):
+    """The np.lexsort fallback (the packing oracle) must match the jit
+    kernels too when the native stable sort is unavailable."""
+    from elprep_tpu import native
+
+    monkeypatch.setattr(native, "stable_sort_idx", lambda *a, **k: None)
+    test_host_twins_match_jit_kernels(3000, 77)
