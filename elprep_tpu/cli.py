@@ -463,7 +463,22 @@ def filter_command(argv: List[str]) -> int:
                     nw = int(os.environ["ELPREP_TPU_HC_WORKERS"])
                 return recal.recalibrate(data.header, data.batch, args.max_cycle,
                                          pool=get_pool(nw))
-        tables = _timed(args.timed, "Base recalibration.", recal_fn, args.profile)
+        try:
+            tables = _timed(args.timed, "Base recalibration.", recal_fn,
+                            args.profile)
+        except BaseException:
+            # surface (or at least report) the overlapped optical thread
+            # before the recal error propagates — it must not be left
+            # failing invisibly during interpreter teardown
+            if optical_future is not None:
+                from concurrent.futures import wait as _fwait
+
+                _fwait([optical_future])
+                exc = optical_future.exception()
+                if exc is not None:
+                    print(f"elprep_tpu: optical duplicate marking also "
+                          f"failed: {exc}", file=sys.stderr)
+            raise
         if optical_future is not None:
             optical_future.result()  # re-raises optical failures
             optical_future = None

@@ -432,10 +432,6 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                     [p] if p["m"] > 0 else [], bqsr_classes, max_cycle, n_rg)
                 res_q.put(("bqsr_tables_done", tid, part))
                 continue
-            if kind == "flush":
-                spans.clear()
-                refs.clear()
-                continue
             if kind == "prep":
                 # regions arrive as (rid0, starts, ends, actives) arrays
                 # — a region is fully determined by its bounds + activity

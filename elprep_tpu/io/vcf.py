@@ -633,8 +633,10 @@ class AsyncVariantSink:
 
     def _check(self) -> None:
         if self._exc is not None:
-            exc, self._exc = self._exc, None
-            raise exc
+            # sticky: once a batch failed, every later write (and the
+            # close) keeps raising — a swallowed error upstream must not
+            # lead to a stream with a silently missing middle batch
+            raise RuntimeError("variant sink failed") from self._exc
 
     def write_variants(self, variants) -> None:
         self._check()

@@ -27,15 +27,19 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-fopenmp", "-o", _LIB] + _SRCS + ["-lz", "-lpthread"],
-            check=True, capture_output=True, timeout=240,
-        )
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+    # -fopenmp only enables the parallel stable sort (its use is
+    # _OPENMP-guarded); retry without it on toolchains lacking OpenMP
+    for extra in (["-fopenmp"], []):
+        try:
+            subprocess.run(
+                base + extra + ["-o", _LIB] + _SRCS + ["-lz", "-lpthread"],
+                check=True, capture_output=True, timeout=240,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -1225,7 +1225,9 @@ extern "C" long long bqsr_covariate_tables(
   const long long qs_size = n_rg * 94;
   const long long cyc_size = qs_size * ncyc;
   const long long ctx_size = qs_size * 16;
-  long long nt = n_threads < 1 ? 1 : n_threads;
+  long long nt = n_threads < 1
+      ? (long long)std::thread::hardware_concurrency() : n_threads;
+  if (nt < 1) nt = 1;
   if (nt > m) nt = m < 1 ? 1 : m;
   if (nt == 1) {
     return covariate_rows(a, 0, m, qs_obs, qs_mism, cyc_obs, cyc_mism,
@@ -1361,7 +1363,9 @@ extern "C" long long bqsr_apply_quals(
     unsigned char* out, long long n_threads) {
   ApplyArgs a{m, L, base, qual, seq_len, flag, rg, rg_present, cond_prior,
               d_cyc, d_ctx, quant_lut, sqq_lut, max_cycle, n_rg, out};
-  long long nt = n_threads < 1 ? 1 : n_threads;
+  long long nt = n_threads < 1
+      ? (long long)std::thread::hardware_concurrency() : n_threads;
+  if (nt < 1) nt = 1;
   if (nt > m) nt = m < 1 ? 1 : m;
   if (nt == 1) return apply_rows(a, 0, m);
   std::vector<std::thread> ths;
