@@ -712,12 +712,17 @@ def call_variants(
     current_contig: Optional[str] = None
     deletions: List[Tuple[int, int]] = []
 
-    def _consume_unit(u, results_iter):
+    def _consume_unit(u, results_iter, tick=None):
         """Drive one span's ordered results through the GVCF combiner
-        and the streaming sink (shared by the pool and serial paths)."""
+        and the streaming sink (shared by the pool and serial paths).
+        ``tick`` runs once per region batch — the pool path uses it to
+        pre-start the NEXT span's region run the moment its activity
+        results have all arrived."""
         nonlocal out_variants, deletions, current_contig, run_len
         (contig, contig_length, reference, start, stop, *_rest) = u
         for _region, region_variants, deletions in results_iter:
+            if tick is not None and not tick():
+                tick = None  # done (or nothing to pre-start)
             for sv in region_variants:
                 if gvcf:
                     out_variants = combiner.set_contig(out_variants, contig)
@@ -783,20 +788,45 @@ def call_variants(
         # (reference broadcast, block distribution, activity) run while
         # the CURRENT span's regions prepare/genotype/drain — matching
         # the reference's fully-overlapped pargo pipeline
-        # (haplotypecaller.go:907-944) across contig boundaries too
+        # (haplotypecaller.go:907-944) across contig boundaries too.
+        # Once the next span's activity has fully arrived (buffered),
+        # its regions build and its prepare tasks START mid-drain, so
+        # workers roll from one span's preps straight into the next's.
         units = _iter_units()
         u0 = next(units, None)
-        launched = None if u0 is None else (u0, _launch(u0))
+        # launched entries: [unit, gen, bounds, prestarted_run_or_None]
+        launched = None if u0 is None else [u0, *_launch(u0), None]
         while launched is not None:
-            u, (gen, bounds) = launched
+            u, gen, bounds, pre = launched
             nxt = next(units, None)
-            launched = None if nxt is None else (nxt, _launch(nxt))
-            results = pool.collect_activity(gen)
-            _tr("%s: activity done", u[0])
+            launched = None if nxt is None else [nxt, *_launch(nxt), None]
+
+            if pre is None:
+                results = pool.collect_activity(gen)
+                _tr("%s: activity done", u[0])
+                regions = _build_regions(u, bounds, results)
+                run = pool.start_regions(gen, params, regions,
+                                         use_device_pairhmm)
+            else:
+                regions, run = pre
             _enter_contig(u[0])
-            regions = _build_regions(u, bounds, results)
-            _consume_unit(u, pool.process_regions(
-                gen, params, regions, deletions, use_device_pairhmm))
+
+            def _tick(nxt=launched):
+                # pre-start the next span once its activity is complete
+                # (region building reads only activity arrays + params;
+                # the combiner state is untouched until consumption)
+                if nxt is None or nxt[3] is not None:
+                    return False
+                if not pool.activity_ready(nxt[1]):
+                    return True  # keep checking
+                res2 = pool.collect_activity(nxt[1])
+                _tr("%s: activity done (prefetched)", nxt[0][0])
+                regions2 = _build_regions(nxt[0], nxt[2], res2)
+                nxt[3] = (regions2, pool.start_regions(
+                    nxt[1], params, regions2, use_device_pairhmm))
+                return False
+
+            _consume_unit(u, run.results(deletions), tick=_tick)
     else:
         for u in _iter_units():
             (contig, contig_length, reference, start, stop, max_ref_len,

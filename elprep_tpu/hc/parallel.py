@@ -564,6 +564,8 @@ class HCWorkerPool:
         self._buf: Dict[int, list] = {}
         self._act_expect: Dict[int, int] = {}
         self._act_results: Dict[int, dict] = {}
+        self._act_seen: Dict[int, int] = {}
+        self._runs: Dict[int, "_RegionRun"] = {}
         self._span_shm: Dict[int, list] = {}  # gen -> [shm, pending acks]
         self.res_q = ctx.Queue()
         self.req_qs = [ctx.Queue() for _ in range(n_workers)]
@@ -608,6 +610,13 @@ class HCWorkerPool:
                 continue
             if msg[0] == "error":
                 raise RuntimeError(f"HC worker {msg[1]} failed:\n{msg[2]}")
+            if msg[0] == "prep_done":
+                # flow control at RECEIPT: refill the worker immediately,
+                # whether this message is for the active consumer or a
+                # pre-started next span whose results are only buffered
+                run = self._runs.get(msg[1])
+                if run is not None:
+                    run.note_prep_done(msg[2])
             if msg[0] == "block_done":
                 # every worker copied its rows out of the span's shared
                 # block segment: release it
@@ -634,6 +643,8 @@ class HCWorkerPool:
             msg = self._recv_raw(extra_check)
             if msg[1] == gen and msg[0] in want_kinds:
                 return msg
+            if msg[0] == "act_done":
+                self._act_seen[msg[1]] = self._act_seen.get(msg[1], 0) + 1
             self._buf.setdefault(msg[1], []).append(msg)
 
     # -- span lifecycle (generation-tagged so the NEXT span's reference
@@ -681,6 +692,8 @@ class HCWorkerPool:
         self._buf.pop(gen, None)
         self._act_expect.pop(gen, None)
         self._act_results.pop(gen, None)
+        self._act_seen.pop(gen, None)
+        self._runs.pop(gen, None)
 
     def distribute_span(self, gen: int, reads, positions, max_ref_len: int,
                         params=None) -> None:
@@ -772,9 +785,16 @@ class HCWorkerPool:
         for tid, (cs, ce) in enumerate(chunks):
             self.req_qs[self.owner_of(gen, cs)].put(("act", gen, tid, cs, ce))
 
+    def activity_ready(self, gen: int) -> bool:
+        """True when every activity chunk of ``gen`` has already arrived
+        (buffered) — collect_activity will not block."""
+        want = self._act_expect.get(gen)
+        return want is not None and self._act_seen.get(gen, 0) >= want
+
     def collect_activity(self, gen: int):
         """Gather (is_active, hq_mean) per chunk, in chunk order."""
         want = self._act_expect.pop(gen)
+        self._act_seen.pop(gen, None)
         got = self._act_results.pop(gen)
         while len(got) < want:
             msg = self._recv_routed(("act_done",), gen)
@@ -874,6 +894,17 @@ class HCWorkerPool:
                 batch_shm.close()
                 batch_shm.unlink()
 
+    def start_regions(self, gen, params, regions, use_device_pairhmm
+                      ) -> "_RegionRun":
+        """Create a region-processing run for ``gen`` and send its first
+        round of prepare tasks. The caller consumes results later via
+        ``run.results(deletions)`` — in between, the workers already
+        prepare this span (receipt-side flow control in _recv_raw keeps
+        refilling them even while another span's run is being consumed)."""
+        run = _RegionRun(self, gen, params, regions, use_device_pairhmm)
+        self._runs[gen] = run
+        return run
+
     def process_regions(self, gen, params, regions, deletions,
                         use_device_pairhmm):
         """Yield (region, variants, deletions) in region order.
@@ -884,10 +915,26 @@ class HCWorkerPool:
         ship bare and the owning worker slices their reads from its
         block. The span is dropped when the generator is exhausted.
         """
-        from ..ops import pairhmm
+        return self.start_regions(gen, params, regions,
+                                  use_device_pairhmm).results(deletions)
 
+
+class _RegionRun:
+    """One span's region-processing pipeline: prepare-task scheduling,
+    batched PairHMM dispatch, speculative genotyping with the ordered
+    deletions-carry redo, and the ordered result generator."""
+
+    def __init__(self, pool: HCWorkerPool, gen, params, regions,
+                 use_device_pairhmm):
         import sys as _sys
         import time as _time
+
+        from collections import deque
+
+        self.pool = pool
+        self.gen = gen
+        self.regions = regions
+        self.use_device_pairhmm = use_device_pairhmm
         _trace = os.environ.get("ELPREP_TPU_HC_TRACE")
         _tr0 = _time.perf_counter()
 
@@ -895,15 +942,15 @@ class HCWorkerPool:
             if _trace:
                 print("[pr %.3f] " % (_time.perf_counter() - _tr0) + fmt % a,
                       file=_sys.stderr, flush=True)
+        self._tr = _tr
 
-        n = len(regions)
-
+        n = self.n = len(regions)
         # results per rid
-        term: Dict[int, list] = {}
-        pend_inputs: Dict[int, tuple] = {}
-        owner: Dict[int, int] = {}
-        geno: Dict[int, tuple] = {}
-        redo_sent: set = set()
+        self.term: Dict[int, list] = {}
+        self.pend_inputs: Dict[int, tuple] = {}
+        self.owner: Dict[int, int] = {}
+        self.geno: Dict[int, tuple] = {}
+        self.redo_sent: set = set()
 
         # build prepare tasks: consecutive regions grouped while they
         # share a block owner (regions route to the worker holding their
@@ -912,91 +959,109 @@ class HCWorkerPool:
         cur: List[int] = []
         cur_owner = -1
         for rid in range(n):
-            w = self.owner_of(gen, regions[rid].start)
+            w = pool.owner_of(gen, regions[rid].start)
             if cur and (w != cur_owner or len(cur) >= PREP_TASK_SIZE):
                 tasks.append(cur)
                 cur = []
             cur_owner = w
             cur.append(rid)
-            owner[rid] = w
+            self.owner[rid] = w
         if cur:
             tasks.append(cur)
-        from collections import deque
-
-        wtasks = [deque() for _ in range(self.n)]
+        self.tasks = tasks
+        self.wtasks = [deque() for _ in range(pool.n)]
         for t, rids in enumerate(tasks):
-            wtasks[owner[rids[0]]].append(t)
-        inflight = [0] * self.n
-        preps_outstanding = len(tasks)
+            self.wtasks[self.owner[rids[0]]].append(t)
+        self.inflight = [0] * pool.n
+        self.preps_outstanding = len(tasks)
+        self.pending_batch: List[int] = []
+        self.ph_pool = None
+        self.ph_futures: List = []
+        self.send_tasks()
 
-        def send_tasks():
-            # per-worker queues: every worker's pipeline fills up to
-            # MAX_INFLIGHT independently of the others' progress. Tasks
-            # hold consecutive rids, so each ships as (first rid +
-            # bounds/activity arrays) — nothing object-shaped crosses
-            # the pipe and the owner rebuilds the regions locally.
-            for w in range(self.n):
-                while wtasks[w] and inflight[w] < MAX_INFLIGHT:
-                    t = wtasks[w].popleft()
-                    rids = tasks[t]
-                    self.req_qs[w].put((
-                        "prep", gen, t, rids[0],
-                        np.fromiter((regions[r].start for r in rids),
-                                    np.int64, len(rids)),
-                        np.fromiter((regions[r].end for r in rids),
-                                    np.int64, len(rids)),
-                        np.fromiter((regions[r].is_active for r in rids),
-                                    np.bool_, len(rids)),
-                    ))
-                    inflight[w] += 1
+    def send_tasks(self) -> None:
+        # per-worker queues: every worker's pipeline fills up to
+        # MAX_INFLIGHT independently of the others' progress. Tasks
+        # hold consecutive rids, so each ships as (first rid +
+        # bounds/activity arrays) — nothing object-shaped crosses
+        # the pipe and the owner rebuilds the regions locally.
+        regions = self.regions
+        for w in range(self.pool.n):
+            while self.wtasks[w] and self.inflight[w] < MAX_INFLIGHT:
+                t = self.wtasks[w].popleft()
+                rids = self.tasks[t]
+                self.pool.req_qs[w].put((
+                    "prep", self.gen, t, rids[0],
+                    np.fromiter((regions[r].start for r in rids),
+                                np.int64, len(rids)),
+                    np.fromiter((regions[r].end for r in rids),
+                                np.int64, len(rids)),
+                    np.fromiter((regions[r].is_active for r in rids),
+                                np.bool_, len(rids)),
+                ))
+                self.inflight[w] += 1
 
-        def tasks_remaining() -> bool:
-            return any(wtasks)
+    def note_prep_done(self, wid: int) -> None:
+        """Receipt-side flow control (called from the pool's recv path
+        the moment a prep_done arrives, even when this run's results are
+        only being buffered)."""
+        self.inflight[wid] -= 1
+        self.preps_outstanding -= 1
+        self.send_tasks()
 
-        send_tasks()
+    def tasks_remaining(self) -> bool:
+        return any(self.wtasks)
 
-        pending_batch: List[int] = []
+    def _run_pairhmm(self, batch, workloads):
+        # off the event loop: jax/numpy release the GIL during the
+        # heavy work, so the recv/emit loop keeps draining results
+        from ..ops import pairhmm
+
+        self._tr("pairhmm dispatch begin (%d regions, %d pairs)", len(batch),
+                 sum(len(w[0]) * len(w[1]) for w in workloads))
+        pairs = pairhmm.compute_read_likelihoods_multi(
+            workloads, use_device=self.use_device_pairhmm)
+        for rid, (vals, keep) in zip(batch, pairs):
+            self.pool.req_qs[self.owner[rid]].put(
+                ("geno", self.gen, rid, vals, keep, []))
+        self._tr("pairhmm dispatch end (%d regions)", len(batch))
+
+    def _batch_pairs(self) -> int:
+        return sum(len(self.pend_inputs[rid][0]) * len(self.pend_inputs[rid][1])
+                   for rid in self.pending_batch)
+
+    def dispatch_pairhmm(self, force=False) -> None:
+        if not self.pending_batch:
+            return
+        if not force and self._batch_pairs() < PAIRHMM_PAIR_TARGET \
+                and len(self.pending_batch) < PAIRHMM_MAX_PENDINGS:
+            return
+        batch = self.pending_batch[:]
+        del self.pending_batch[:]
+        workloads = [self.pend_inputs.pop(rid) for rid in batch]
+        self.ph_futures.append(self.ph_pool.submit(self._run_pairhmm, batch,
+                                                   workloads))
+
+    def check_pairhmm_errors(self) -> None:
+        # a failed dispatch would otherwise hang the pipeline: its
+        # geno messages never arrive. Surface the exception here.
+        for f in list(self.ph_futures):
+            if f.done():
+                exc = f.exception()
+                if exc is not None:
+                    raise exc
+                self.ph_futures.remove(f)
+
+    def results(self, deletions):
+        """Yield (region, variants, deletions) in region order; drops
+        the span when exhausted."""
         from concurrent.futures import ThreadPoolExecutor
 
-        ph_pool = ThreadPoolExecutor(max_workers=1)
-        ph_futures: List = []
-
-        def batch_pairs() -> int:
-            return sum(len(pend_inputs[rid][0]) * len(pend_inputs[rid][1])
-                       for rid in pending_batch)
-
-        def _run_pairhmm(batch, workloads):
-            # off the event loop: jax/numpy release the GIL during the
-            # heavy work, so the recv/emit loop keeps draining results
-            _tr("pairhmm dispatch begin (%d regions, %d pairs)", len(batch),
-                sum(len(w[0]) * len(w[1]) for w in workloads))
-            pairs = pairhmm.compute_read_likelihoods_multi(
-                workloads, use_device=use_device_pairhmm)
-            for rid, (vals, keep) in zip(batch, pairs):
-                self.req_qs[owner[rid]].put(("geno", gen, rid, vals, keep, []))
-            _tr("pairhmm dispatch end (%d regions)", len(batch))
-
-        def dispatch_pairhmm(force=False):
-            if not pending_batch:
-                return
-            if not force and batch_pairs() < PAIRHMM_PAIR_TARGET \
-                    and len(pending_batch) < PAIRHMM_MAX_PENDINGS:
-                return
-            batch = pending_batch[:]
-            del pending_batch[:]
-            workloads = [pend_inputs.pop(rid) for rid in batch]
-            ph_futures.append(ph_pool.submit(_run_pairhmm, batch, workloads))
-
-        def check_pairhmm_errors():
-            # a failed dispatch would otherwise hang the pipeline: its
-            # geno messages never arrive. Surface the exception here.
-            for f in list(ph_futures):
-                if f.done():
-                    exc = f.exception()
-                    if exc is not None:
-                        raise exc
-                    ph_futures.remove(f)
-
+        pool, gen, n = self.pool, self.gen, self.n
+        regions = self.regions
+        term, geno = self.term, self.geno
+        redo_sent = self.redo_sent
+        self.ph_pool = ThreadPoolExecutor(max_workers=1)
         emit = 0
         try:
             while emit < n:
@@ -1016,7 +1081,7 @@ class HCWorkerPool:
                                 # deletions: rerun with the true carry
                                 redo_sent.add(emit)
                                 geno.pop(emit)
-                                self.req_qs[owner[emit]].put(
+                                pool.req_qs[self.owner[emit]].put(
                                     ("redo", gen, emit, deletions))
                                 break
                             variants, outgoing = geno.pop(emit)
@@ -1029,35 +1094,32 @@ class HCWorkerPool:
                         break
                 if emit >= n:
                     break
-                check_pairhmm_errors()
-                msg = self._recv_routed(("prep_done", "geno_done"), gen,
-                                        extra_check=check_pairhmm_errors)
+                self.check_pairhmm_errors()
+                msg = pool._recv_routed(("prep_done", "geno_done"), gen,
+                                        extra_check=self.check_pairhmm_errors)
                 if msg[0] == "prep_done":
+                    # flow control already ran at receipt (note_prep_done)
                     _, _, wid, task_id, out = msg
-                    inflight[wid] -= 1
-                    preps_outstanding -= 1
-                    # refill the worker BEFORE chewing on the payload:
-                    # every ms here is idle time in the worker's queue
-                    send_tasks()
-                    if preps_outstanding == 0 and not tasks_remaining():
-                        _tr("all preps done (emit=%d/%d)", emit, n)
+                    if self.preps_outstanding == 0 and not self.tasks_remaining():
+                        self._tr("all preps done (emit=%d/%d)", emit, n)
                     for item in out:
                         rid = item[0]
                         if item[1] == "term":
                             term[rid] = item[2]
                         else:
-                            pend_inputs[rid] = (item[2], item[3], item[4])
-                            pending_batch.append(rid)
-                    send_tasks()
-                    dispatch_pairhmm(
-                        force=preps_outstanding == 0 and not tasks_remaining())
+                            self.pend_inputs[rid] = (item[2], item[3], item[4])
+                            self.pending_batch.append(rid)
+                    self.dispatch_pairhmm(
+                        force=self.preps_outstanding == 0
+                        and not self.tasks_remaining())
                 elif msg[0] == "geno_done":
                     _, _, rid, variants, outgoing = msg
                     geno[rid] = (variants, outgoing)
-            check_pairhmm_errors()
+            self.check_pairhmm_errors()
         finally:
-            ph_pool.shutdown(wait=True)
-        self.drop_span(gen)
+            if self.ph_pool is not None:
+                self.ph_pool.shutdown(wait=True)
+        pool.drop_span(gen)
         return
 
 
