@@ -1338,20 +1338,32 @@ def calculate_ref_confidence(params: HCParams, variants: List[SingleVariant],
             cand_pos = upos_idx[cm]
             informative = np.zeros(len(cand_read), bool)
             if len(cand_read):
-                for ridx in np.unique(cand_read):
-                    sel = cand_read == ridx
-                    offs = cand_off[sel]
+                # group candidates per read with ONE stable sort (a
+                # boolean mask per unique read is O(reads x candidates));
+                # stability keeps each read's first candidate first, so
+                # the first-offset cache quirk below is preserved
+                order = np.argsort(cand_read, kind="stable")
+                co_read = cand_read[order]
+                co_off = cand_off[order]
+                co_refpos = refpos[cm][order]
+                run_starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(co_read)) + 1])
+                run_ends = np.append(run_starts[1:], len(co_read))
+                for a, b in zip(run_starts, run_ends):
+                    ridx = int(co_read[a])
+                    offs = co_off[a:b]
                     r = reads[ridx]
                     # populate the per-read informative bits with the
                     # first element's offset (cache quirk)
-                    read_has_no_plausible_indels(cache, params, r, int(offs[0]),
-                                                 ref, int(refpos[cm][sel][0]) - 1,
+                    read_has_no_plausible_indels(cache, params, r,
+                                                 int(offs[0]), ref,
+                                                 int(co_refpos[a]) - 1,
                                                  padded_end)
                     bits = cache[id(r)]
                     ok = offs < len(bits)
                     vals = np.zeros(len(offs), bool)
                     vals[ok] = bits[offs[ok]]
-                    informative[sel] = vals
+                    informative[order[a:b]] = vals
                 n_inf[:] = np.minimum(
                     np.bincount(cand_pos[informative], minlength=n_pos), 
                     MAX_INDEL_INFORMATIVE_READS)
