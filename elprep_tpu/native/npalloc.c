@@ -19,6 +19,7 @@
 #include <Python.h>
 #include <numpy/arrayobject.h>
 
+#include <pthread.h>
 #include <stdint.h>
 #include <string.h>
 #include <sys/mman.h>
@@ -33,12 +34,72 @@ typedef struct {
   size_t total; /* full mapping/malloc size including header */
 } blk_hdr;
 
+/* Free-list of MAP_SHARED segments: a reused mapping's pages are
+ * already faulted in, so repeated large allocations (the per-chunk
+ * padded columns, parse temporaries) cost ~nothing instead of a full
+ * refault per allocation. Bounded slots + bytes keep RSS in check. */
+#define CACHE_SLOTS 16
+#define CACHE_MAX_BYTES ((size_t)1 << 30) /* 1 GiB */
+static pthread_mutex_t cache_mu = PTHREAD_MUTEX_INITIALIZER;
+static struct {
+  void *p;
+  size_t total;
+} seg_cache[CACHE_SLOTS];
+static size_t cache_bytes = 0;
+
+static void *cache_take(size_t total_need) {
+  int best = -1;
+  void *p = NULL;
+  pthread_mutex_lock(&cache_mu);
+  for (int i = 0; i < CACHE_SLOTS; i++) {
+    /* best fit, capped at 2x to bound internal waste */
+    if (seg_cache[i].p && seg_cache[i].total >= total_need &&
+        seg_cache[i].total <= 2 * total_need) {
+      if (best < 0 || seg_cache[i].total < seg_cache[best].total) best = i;
+    }
+  }
+  if (best >= 0) {
+    p = seg_cache[best].p;
+    cache_bytes -= seg_cache[best].total;
+    seg_cache[best].p = NULL;
+  }
+  pthread_mutex_unlock(&cache_mu);
+  return p;
+}
+
+static int cache_put(void *p, size_t total) {
+  int stored = 0;
+  if (total > CACHE_MAX_BYTES / 2) return 0;
+  pthread_mutex_lock(&cache_mu);
+  if (cache_bytes + total <= CACHE_MAX_BYTES) {
+    for (int i = 0; i < CACHE_SLOTS; i++) {
+      if (seg_cache[i].p == NULL) {
+        seg_cache[i].p = p;
+        seg_cache[i].total = total;
+        cache_bytes += total;
+        stored = 1;
+        break;
+      }
+    }
+  }
+  pthread_mutex_unlock(&cache_mu);
+  return stored;
+}
+
 static void *blk_alloc(size_t size, int zero) {
   size_t total = size + HDR;
   blk_hdr *h;
   if (size >= BIG_THRESHOLD) {
-    void *p = mmap(NULL, total, PROT_READ | PROT_WRITE,
-                   MAP_SHARED | MAP_ANONYMOUS, -1, 0);
+    void *p = cache_take(total);
+    if (p != NULL) {
+      h = (blk_hdr *)p;
+      /* h->total still holds the full mapping size */
+      h->magic = MAGIC_MMAP;
+      if (zero) memset((char *)p + HDR, 0, size);
+      return (char *)p + HDR;
+    }
+    p = mmap(NULL, total, PROT_READ | PROT_WRITE,
+             MAP_SHARED | MAP_ANONYMOUS, -1, 0);
     if (p != MAP_FAILED) {
       h = (blk_hdr *)p;
       h->magic = MAGIC_MMAP;
@@ -59,7 +120,7 @@ static void blk_free(void *ptr) {
   if (ptr == NULL) return;
   h = (blk_hdr *)((char *)ptr - HDR);
   if (h->magic == MAGIC_MMAP) {
-    munmap(h, h->total);
+    if (!cache_put(h, h->total)) munmap(h, h->total);
   } else {
     free(h);
   }
