@@ -618,16 +618,9 @@ def call_variants(
     cs = sam_header.contigs()
     valid_contigs = set(cs) if cs else None
 
-    import os as _os
-    import sys as _sys
-    import time as _time
-    _trace = _os.environ.get("ELPREP_TPU_HC_TRACE")
+    from .parallel import make_tracer
 
-    def _tr(fmt, *a):
-        if _trace:
-            print("[hc %.3f] " % (_time.perf_counter() - _tr0) + fmt % a,
-                  file=_sys.stderr, flush=True)
-    _tr0 = _time.perf_counter()
+    _tr = make_tracer("hc")
 
     def _iter_units():
         """Yield one work unit per (contig, span): the per-contig

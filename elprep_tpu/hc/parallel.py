@@ -51,6 +51,22 @@ PAIRHMM_MAX_PENDINGS = 64
 MAX_INFLIGHT = int(os.environ.get("ELPREP_TPU_MAX_INFLIGHT", "8"))
 
 
+def make_tracer(tag: str):
+    """ELPREP_TPU_HC_TRACE-gated stderr tracer with a per-call-site
+    clock (shared by the driver, the region runs, and the CLI)."""
+    import sys as _sys
+    import time as _time
+
+    if not os.environ.get("ELPREP_TPU_HC_TRACE"):
+        return lambda fmt, *a: None
+    t0 = _time.perf_counter()
+
+    def _tr(fmt, *a):
+        print("[%s %.3f] " % (tag, _time.perf_counter() - t0) + fmt % a,
+              file=_sys.stderr, flush=True)
+    return _tr
+
+
 def _worker_main(wid: int, req_q, res_q) -> None:
     os.environ["ELPREP_TPU_PLATFORM"] = "cpu"
     from .. import native as _native
@@ -926,23 +942,13 @@ class _RegionRun:
 
     def __init__(self, pool: HCWorkerPool, gen, params, regions,
                  use_device_pairhmm):
-        import sys as _sys
-        import time as _time
-
         from collections import deque
 
         self.pool = pool
         self.gen = gen
         self.regions = regions
         self.use_device_pairhmm = use_device_pairhmm
-        _trace = os.environ.get("ELPREP_TPU_HC_TRACE")
-        _tr0 = _time.perf_counter()
-
-        def _tr(fmt, *a):
-            if _trace:
-                print("[pr %.3f] " % (_time.perf_counter() - _tr0) + fmt % a,
-                      file=_sys.stderr, flush=True)
-        self._tr = _tr
+        self._tr = make_tracer("pr")
 
         n = self.n = len(regions)
         # results per rid
