@@ -286,3 +286,66 @@ def test_parallel_pool_redo_path_on_deletions_carry():
     a = [format_variant(v) for v in expand_variants(serial)]
     b = [format_variant(v) for v in expand_variants(pooled)]
     assert a == b and a
+
+
+def test_parallel_pool_matches_serial_multispan_bed():
+    """Pooled == serial with multiple BED spans per contig plus a second
+    contig: exercises the cross-span pre-start (regions of span k+1
+    prepare while span k drains), the per-contig reference refcounting
+    (one broadcast for both chr1 spans, dropped after the second), and
+    the deletions carry within a span."""
+    rng = np.random.RandomState(41)
+    ref1 = _mkref(rng, 9000)
+    ref2 = _mkref(rng, 5000)
+    refs = {"chr1": ref1, "chr2": ref2}
+    hap_del = ref1[:2000] + ref1[2150:]          # 150bp deletion @2000
+    snp2 = b"G" if ref1[6004:6005] != b"G" else b"T"
+    hap_b = ref1[:6004] + snp2 + ref1[6005:]
+    snp3 = b"C" if ref2[2504:2505] != b"C" else b"A"
+    hap_c = ref2[:2504] + snp3 + ref2[2505:]
+    reads = {"chr1": [], "chr2": []}
+    for i in range(90):
+        hap = (hap_del, ref1, hap_b)[i % 3]
+        start = (1850 + (i * 7) % 300) if i % 3 != 2 else (5870 + (i * 11) % 250)
+        seq = hap[start : start + 120]
+        flag = 0x63 if i % 2 == 0 else 0x93
+        reads["chr1"].append(ClipRead(
+            flag=flag, pos=start + 1, pnext=start + 151,
+            tlen=300 if i % 2 == 0 else -300, mapq=60,
+            cigar=[(len(seq), "M")], seq=seq, qual=bytes([35]) * len(seq),
+            rname=b"chr1", rnext=b"=", qname=b"ms%04d" % i))
+    for i in range(40):
+        hap = hap_c if i % 2 == 0 else ref2
+        start = 2380 + (i * 9) % 220
+        seq = hap[start : start + 120]
+        flag = 0x63 if i % 2 == 0 else 0x93
+        reads["chr2"].append(ClipRead(
+            flag=flag, pos=start + 1, pnext=start + 151,
+            tlen=300 if i % 2 == 0 else -300, mapq=60,
+            cigar=[(len(seq), "M")], seq=seq, qual=bytes([35]) * len(seq),
+            rname=b"chr2", rnext=b"=", qname=b"mt%04d" % i))
+    for c in reads:
+        reads[c].sort(key=lambda r: r.pos)
+    hdr = Header()
+    hdr.hd = {"VN": "1.6", "SO": "coordinate"}
+    hdr.sq = [{"SN": "chr1", "LN": str(len(ref1))},
+              {"SN": "chr2", "LN": str(len(ref2))}]
+    bed = {"chr1": [(1500, 2600), (5600, 6500)], "chr2": [(2200, 2900)]}
+
+    def run(nw):
+        p = make_hc_params("GVCF", command_line="t")
+        p.max_region_size = 60
+        p.min_region_size = 20
+        _, out = driver.call_variants(
+            p, hdr, {c: list(v) for c, v in reads.items()},
+            lambda c: refs[c], sample_name="s1", bed_regions=bed,
+            use_device_pairhmm=False, nr_workers=nw)
+        return out
+
+    from elprep_tpu.hc.refconf import expand_variants
+    from elprep_tpu.io.vcf import format_variant
+
+    a = [format_variant(v) for v in expand_variants(run(1))]
+    b = [format_variant(v) for v in expand_variants(run(3))]
+    assert a == b
+    assert a  # fixture produced records
