@@ -133,15 +133,40 @@ def _e2e_bench() -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _accelerator_alive(timeout_s: float = 90.0) -> bool:
+    """Probe backend init in a SUBPROCESS: a dead axon tunnel makes
+    jax.devices() hang forever, which must not take the benchmark down
+    with it (the CPU-platform pipeline is identical below the dispatch
+    crossover)."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return p.returncode == 0
+    except Exception:
+        return False
+
+
 def main() -> None:
     from elprep_tpu import native as _native
 
     _native.tune_malloc()
+    platform = "accelerator"
+    if not _accelerator_alive():
+        # dead/hung tunnel: fall back to the CPU platform so the run
+        # still produces an honest end-to-end number
+        os.environ["ELPREP_TPU_PLATFORM"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback"
     import jax
 
     # persistent compilation cache: first run pays the axon remote
     # compile, subsequent driver runs start hot
-    import os
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -261,6 +286,7 @@ def main() -> None:
         "e2e_reads": E2E_READS,
         "device_step_reads_per_sec": round(reads_per_sec, 1),
         "pairhmm_gcups": round(gcups, 3),
+        "platform": platform,
     }))
 
 
