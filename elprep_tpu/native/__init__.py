@@ -27,7 +27,7 @@ _tried = False
 
 
 def _build() -> bool:
-    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++20"]
     # -fopenmp only enables the parallel stable sort (its use is
     # _OPENMP-guarded); retry without it on toolchains lacking OpenMP
     for extra in (["-fopenmp"], []):

@@ -21,6 +21,7 @@
 #include <map>
 #include <set>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -255,13 +256,30 @@ struct Kseq {
   bool is_ref;
 };
 
+struct SvHash {
+  using is_transparent = void;
+  size_t operator()(std::string_view s) const {
+    return std::hash<std::string_view>{}(s);
+  }
+  size_t operator()(const std::string& s) const {
+    return std::hash<std::string_view>{}(s);
+  }
+};
+struct SvEq {
+  using is_transparent = void;
+  bool operator()(std::string_view a, std::string_view b) const {
+    return a == b;
+  }
+};
+
 struct Graph {
   int64_t vertices_id = 0;
   int kmer_size;
   std::map<int64_t, AVert*> vertices;
-  std::unordered_map<std::string, AVert*> unique_kmers;
-  std::unordered_set<std::string> non_unique_kmers;
-  std::map<int64_t, std::vector<AEdge*>> out_edges, in_edges;
+  std::unordered_map<std::string, AVert*, SvHash, SvEq> unique_kmers;
+  std::unordered_set<std::string, SvHash, SvEq> non_unique_kmers;
+  // point-accessed only (the one iteration, partial_copy, sorts after)
+  std::unordered_map<int64_t, std::vector<AEdge*>> out_edges, in_edges;
   std::deque<AVert> vpool;
   std::deque<AEdge> epool;
 
@@ -481,11 +499,16 @@ struct Graph {
   // -- graph construction --
 
   void determine_non_unique_kmers(const Kseq& seq) {
-    std::unordered_set<std::string> seen;
+    std::unordered_set<std::string, SvHash, SvEq> seen;
     const int k = kmer_size;
     for (int64_t i = 0; i <= seq.stop - k; i++) {
-      std::string km((const char*)seq.bases + i, k);
-      if (!seen.insert(km).second) non_unique_kmers.insert(km);
+      std::string_view km((const char*)seq.bases + i, k);
+      if (seen.find(km) != seen.end()) {
+        if (non_unique_kmers.find(km) == non_unique_kmers.end())
+          non_unique_kmers.emplace(km);
+      } else {
+        seen.emplace(km);
+      }
     }
   }
 
@@ -493,23 +516,23 @@ struct Graph {
     if (seq.is_ref) return 0;
     const int k = kmer_size;
     for (int64_t i = seq.start; i < seq.stop - k; i++) {
-      std::string km((const char*)seq.bases + i, k);
+      std::string_view km((const char*)seq.bases + i, k);
       if (non_unique_kmers.find(km) == non_unique_kmers.end()) return i;
     }
     return -1;
   }
 
-  AVert* new_kmer_vertex(const std::string& kmer_seq) {
-    AVert* v = make_vert(kmer_seq);
+  AVert* new_kmer_vertex(std::string_view kmer_seq) {
+    AVert* v = make_vert(std::string(kmer_seq));
     add_vertex(v);
     if (non_unique_kmers.find(kmer_seq) == non_unique_kmers.end() &&
         unique_kmers.find(kmer_seq) == unique_kmers.end())
-      unique_kmers[kmer_seq] = v;
+      unique_kmers.emplace(kmer_seq, v);
     return v;
   }
 
   AVert* get_kmer_vertex(const Kseq& seq, int64_t start) {
-    std::string km((const char*)seq.bases + start, kmer_size);
+    std::string_view km((const char*)seq.bases + start, kmer_size);
     auto it = unique_kmers.find(km);
     if (it != unique_kmers.end()) return it->second;
     return new_kmer_vertex(km);
@@ -517,8 +540,8 @@ struct Graph {
 
   AVert* get_kmer_vertex_but_not_ref_source(const std::string& ref_source,
                                             const Kseq& seq, int64_t start) {
-    std::string km((const char*)seq.bases + start, kmer_size);
-    if (km == ref_source) return new_kmer_vertex(km);
+    std::string_view km((const char*)seq.bases + start, kmer_size);
+    if (km == std::string_view(ref_source)) return new_kmer_vertex(km);
     auto it = unique_kmers.find(km);
     if (it != unique_kmers.end()) return it->second;
     return new_kmer_vertex(km);
