@@ -236,17 +236,20 @@ constexpr int64_t ASM_MATCH = 25, ASM_MISMATCH = -50, ASM_OPEN = -110, ASM_EXT =
 // Kmer graph (assembly.py KmerGraph)
 // ---------------------------------------------------------------------------
 
-struct AEdge {
-  int64_t id;
-  int64_t mult;
-  bool is_ref;
-};
+struct AEdge;
 
 struct AVert {
   int64_t id = 0;  // -1 = deleted
   std::string bases;
+  std::vector<AEdge*> out, in;  // adjacency lives on the vertex
   uint8_t suffix() const { return (uint8_t)bases.back(); }
   bool deleted() const { return id == -1; }
+};
+
+struct AEdge {
+  AVert* nbr;  // the OTHER endpoint (target for out, source for in)
+  int64_t mult;
+  bool is_ref;
 };
 
 struct Kseq {
@@ -278,8 +281,6 @@ struct Graph {
   std::map<int64_t, AVert*> vertices;
   std::unordered_map<std::string, AVert*, SvHash, SvEq> unique_kmers;
   std::unordered_set<std::string, SvHash, SvEq> non_unique_kmers;
-  // point-accessed only (the one iteration, partial_copy, sorts after)
-  std::unordered_map<int64_t, std::vector<AEdge*>> out_edges, in_edges;
   std::deque<AVert> vpool;
   std::deque<AEdge> epool;
 
@@ -289,23 +290,15 @@ struct Graph {
     vpool.push_back(AVert{0, std::move(bases)});
     return &vpool.back();
   }
-  AEdge* make_edge(int64_t id, int64_t mult, bool is_ref) {
-    epool.push_back(AEdge{id, mult, is_ref});
+  AEdge* make_edge(AVert* nbr, int64_t mult, bool is_ref) {
+    epool.push_back(AEdge{nbr, mult, is_ref});
     return &epool.back();
   }
 
-  const std::vector<AEdge*>& outs(int64_t id) const {
-    static const std::vector<AEdge*> empty;
-    auto it = out_edges.find(id);
-    return it == out_edges.end() ? empty : it->second;
-  }
-  const std::vector<AEdge*>& inns(int64_t id) const {
-    static const std::vector<AEdge*> empty;
-    auto it = in_edges.find(id);
-    return it == in_edges.end() ? empty : it->second;
-  }
-  int64_t out_degree(const AVert* v) const { return (int64_t)outs(v->id).size(); }
-  int64_t in_degree(const AVert* v) const { return (int64_t)inns(v->id).size(); }
+  static const std::vector<AEdge*>& outs(const AVert* v) { return v->out; }
+  static const std::vector<AEdge*>& inns(const AVert* v) { return v->in; }
+  int64_t out_degree(const AVert* v) const { return (int64_t)v->out.size(); }
+  int64_t in_degree(const AVert* v) const { return (int64_t)v->in.size(); }
 
   void add_vertex(AVert* v) {
     vertices_id++;
@@ -318,58 +311,37 @@ struct Graph {
     const int64_t old = v->id;
     vertices_id++;
     const int64_t nid = vertices_id;
-    for (AEdge* incoming : inns(old))
-      for (AEdge* outgoing : outs(incoming->id))
-        if (outgoing->id == old) outgoing->id = nid;
-    for (AEdge* outgoing : outs(old))
-      for (AEdge* incoming : inns(outgoing->id))
-        if (incoming->id == old) incoming->id = nid;
-    {
-      auto it = in_edges.find(old);
-      if (it != in_edges.end()) {
-        in_edges[nid] = std::move(it->second);
-        in_edges.erase(it);
-      }
-    }
-    {
-      auto it = out_edges.find(old);
-      if (it != out_edges.end()) {
-        out_edges[nid] = std::move(it->second);
-        out_edges.erase(it);
-      }
-    }
+    // neighbors reference v by pointer, so only the id map rekeys
     v->id = nid;
     vertices.erase(old);
     vertices[nid] = v;
   }
 
   void set_out_edges(AVert* v, std::vector<AEdge*> edges) {
-    if (edges.empty()) out_edges.erase(v->id);
-    else out_edges[v->id] = std::move(edges);
+    v->out = std::move(edges);
   }
   void set_in_edges(AVert* v, std::vector<AEdge*> edges) {
-    if (edges.empty()) in_edges.erase(v->id);
-    else in_edges[v->id] = std::move(edges);
+    v->in = std::move(edges);
   }
 
   AEdge* get_out_edge(const AVert* source, const AVert* target) const {
-    for (AEdge* e : outs(source->id))
-      if (e->id == target->id) return e;
+    for (AEdge* e : source->out)
+      if (e->nbr == target) return e;
     return nullptr;
   }
 
   std::pair<AEdge*, AEdge*> add_edge(AVert* v1, AVert* v2, int64_t mult,
                                      bool is_ref) {
     if (get_out_edge(v1, v2) != nullptr) return {nullptr, nullptr};
-    AEdge* incoming = make_edge(v1->id, mult, is_ref);
-    in_edges[v2->id].push_back(incoming);
-    AEdge* outgoing = make_edge(v2->id, mult, is_ref);
-    out_edges[v1->id].push_back(outgoing);
+    AEdge* incoming = make_edge(v1, mult, is_ref);
+    v2->in.push_back(incoming);
+    AEdge* outgoing = make_edge(v2, mult, is_ref);
+    v1->out.push_back(outgoing);
     return {incoming, outgoing};
   }
 
   AEdge* heaviest_out_edge(const AVert* v) const {
-    const auto& edges = outs(v->id);
+    const auto& edges = outs(v);
     AEdge* best = edges[0];
     for (size_t i = 1; i < edges.size(); i++)
       if (edges[i]->mult > best->mult) best = edges[i];
@@ -391,15 +363,15 @@ struct Graph {
   void remove_edge_raw(AVert* source, AVert* target) {
     {
       std::vector<AEdge*> keep;
-      for (AEdge* e : outs(source->id))
-        if (e->id != target->id) keep.push_back(e);
-      set_out_edges(source, std::move(keep));
+      for (AEdge* e : source->out)
+        if (e->nbr != target) keep.push_back(e);
+      source->out = std::move(keep);
     }
     {
       std::vector<AEdge*> keep;
-      for (AEdge* e : inns(target->id))
-        if (e->id != source->id) keep.push_back(e);
-      set_in_edges(target, std::move(keep));
+      for (AEdge* e : target->in)
+        if (e->nbr != source) keep.push_back(e);
+      target->in = std::move(keep);
     }
   }
 
@@ -411,28 +383,28 @@ struct Graph {
   }
 
   void remove_all_out_edges(AVert* source) {
-    for (AEdge* e : outs(source->id)) {
-      AVert* target = vertices[e->id];
+    for (AEdge* e : source->out) {
+      AVert* target = e->nbr;
       std::vector<AEdge*> keep;
-      for (AEdge* x : inns(target->id))
-        if (x->id != source->id) keep.push_back(x);
-      set_in_edges(target, std::move(keep));
+      for (AEdge* x : target->in)
+        if (x->nbr != source) keep.push_back(x);
+      target->in = std::move(keep);
       if (is_singleton(target)) remove_singleton(target);
     }
-    out_edges.erase(source->id);
+    source->out.clear();
     if (is_singleton(source) && vertices.size() != 1) remove_singleton(source);
   }
 
   void remove_all_in_edges(AVert* target) {
-    for (AEdge* e : inns(target->id)) {
-      AVert* source = vertices[e->id];
+    for (AEdge* e : target->in) {
+      AVert* source = e->nbr;
       std::vector<AEdge*> keep;
-      for (AEdge* x : outs(source->id))
-        if (x->id != target->id) keep.push_back(x);
-      set_out_edges(source, std::move(keep));
+      for (AEdge* x : source->out)
+        if (x->nbr != target) keep.push_back(x);
+      source->out = std::move(keep);
       if (is_singleton(source)) remove_singleton(source);
     }
-    in_edges.erase(target->id);
+    target->in.clear();
     if (is_singleton(target) && vertices.size() != 1) remove_singleton(target);
   }
 
@@ -453,25 +425,25 @@ struct Graph {
 
   bool vertex_is_reference_source(const AVert* v) const {
     if (vertices.size() == 1) return true;
-    for (AEdge* e : inns(v->id))
+    for (AEdge* e : inns(v))
       if (e->is_ref) return false;
-    for (AEdge* e : outs(v->id))
+    for (AEdge* e : outs(v))
       if (e->is_ref) return true;
     return false;
   }
   bool vertex_is_reference_sink(const AVert* v) const {
     if (vertices.size() == 1) return true;
-    for (AEdge* e : outs(v->id))
+    for (AEdge* e : outs(v))
       if (e->is_ref) return false;
-    for (AEdge* e : inns(v->id))
+    for (AEdge* e : inns(v))
       if (e->is_ref) return true;
     return false;
   }
   bool vertex_is_reference_node(const AVert* v) const {
     if (vertices.size() == 1) return true;
-    for (AEdge* e : inns(v->id))
+    for (AEdge* e : inns(v))
       if (e->is_ref) return true;
-    for (AEdge* e : outs(v->id))
+    for (AEdge* e : outs(v))
       if (e->is_ref) return true;
     return false;
   }
@@ -480,9 +452,9 @@ struct Graph {
   bool vertex_is_linear_chain_start(const AVert* v) const {
     if (out_degree(v) != 1) return false;
     if (in_degree(v) != 1) return true;
-    const auto& incoming = inns(v->id);
+    const auto& incoming = inns(v);
     return incoming.size() == 1 &&
-           (int64_t)outs(incoming[0]->id).size() > 1;
+           (int64_t)outs(incoming[0]->nbr).size() > 1;
   }
 
   AVert* reference_source() const {
@@ -548,15 +520,15 @@ struct Graph {
   }
 
   void increment_out_multiplicity(const AVert* frm, const AVert* to) {
-    for (AEdge* e : outs(frm->id))
-      if (e->id == to->id) {
+    for (AEdge* e : outs(frm))
+      if (e->nbr->id == to->id) {
         e->mult++;
         return;
       }
   }
   void increment_in_multiplicity(const AVert* frm, const AVert* to) {
-    for (AEdge* e : inns(to->id))
-      if (e->id == frm->id) {
+    for (AEdge* e : inns(to))
+      if (e->nbr->id == frm->id) {
         e->mult++;
         return;
       }
@@ -567,8 +539,8 @@ struct Graph {
     AVert* vertex = original;
     for (int64_t offset = kmer_size - 2; offset >= 0; offset--) {
       if (in_degree(vertex) != 1) return;
-      AEdge* e = inns(vertex->id)[0];
-      AVert* previous = vertices[e->id];
+      AEdge* e = inns(vertex)[0];
+      AVert* previous = e->nbr;
       if (previous->suffix() != (uint8_t)original->bases[offset]) return;
       e->mult++;
       increment_out_multiplicity(previous, vertex);
@@ -580,8 +552,8 @@ struct Graph {
                              const Kseq& seq, int64_t i) {
     const int64_t next_pos = i + kmer_size - 1;
     const uint8_t last_base = seq.bases[next_pos];
-    for (AEdge* e : outs(vertex->id)) {
-      AVert* connecting = vertices[e->id];
+    for (AEdge* e : outs(vertex)) {
+      AVert* connecting = e->nbr;
       if (last_base == connecting->suffix()) {
         e->mult++;
         increment_in_multiplicity(vertex, connecting);
@@ -644,8 +616,8 @@ struct Graph {
         int64_t i = (int64_t)path.size() - 1;
         while (i >= 0) {
           bool found = false;
-          for (AEdge* e : outs(path[i]->id))
-            if (e->id == v->id) {
+          for (AEdge* e : outs(path[i]))
+            if (e->nbr == v) {
               found = true;
               break;
             }
@@ -656,8 +628,8 @@ struct Graph {
         path.push_back(v);
       }
       bool cycle = false;
-      for (AEdge* e : outs(v->id)) {
-        AVert* target = vertices[e->id];
+      for (AEdge* e : outs(v)) {
+        AVert* target = e->nbr;
         auto it = seen.find(target->id);
         if (it != seen.end()) {
           bool in_path = false;
@@ -689,15 +661,15 @@ struct Graph {
   // -- chains & pruning --
 
   std::vector<AEdge> find_chain(const AVert* start, const AEdge* edge) const {
-    const AVert* end = vertices.at(edge->id);
-    std::vector<AEdge> chain{AEdge{edge->id, edge->mult, edge->is_ref}};
+    const AVert* end = edge->nbr;
+    std::vector<AEdge> chain{AEdge{edge->nbr, edge->mult, edge->is_ref}};
     for (;;) {
       if (in_degree(end) > 1 || start == end) return chain;
-      const auto& end_edges = outs(end->id);
+      const auto& end_edges = outs(end);
       if (end_edges.size() != 1) return chain;
       const AEdge* nxt = end_edges[0];
-      chain.push_back(AEdge{nxt->id, nxt->mult, nxt->is_ref});
-      end = vertices.at(nxt->id);
+      chain.push_back(AEdge{nxt->nbr, nxt->mult, nxt->is_ref});
+      end = nxt->nbr;
     }
   }
 
@@ -714,10 +686,10 @@ struct Graph {
     while (!sources.empty()) {
       AVert* source = sources.back();
       sources.pop_back();
-      for (AEdge* e : outs(source->id)) {
+      for (AEdge* e : outs(source)) {
         chains.emplace_back(source, find_chain(source, e));
-        const int64_t last_id = chains.back().second.back().id;
-        if (seen.insert(last_id).second) sources.push_back(vertices[last_id]);
+        AVert* last = chains.back().second.back().nbr;
+        if (seen.insert(last->id).second) sources.push_back(last);
       }
     }
     for (auto& sc : chains) {
@@ -730,15 +702,21 @@ struct Graph {
       if (!all_low) continue;
       AVert* s = sc.first;
       for (const AEdge& e : sc.second) {
-        auto it = vertices.find(e.id);
-        AVert* t = it != vertices.end() ? it->second : nullptr;
+        AVert* t = e.nbr->deleted() ? nullptr : e.nbr;
         if (t != nullptr && s->id != -1) remove_edge_raw(s, t);
         s = t;
         if (s == nullptr) break;
       }
-      for (AVert* v : all_vertices()) {
+      // only this chain's vertices can have BECOME singletons (earlier
+      // chains already swept theirs), so the oracle's full-graph sweep
+      // reduces to the chain — same removals, same order by id below
+      std::vector<AVert*> touched{sc.first};
+      for (const AEdge& e : sc.second) touched.push_back(e.nbr);
+      std::sort(touched.begin(), touched.end(),
+                [](const AVert* a, const AVert* b) { return a->id < b->id; });
+      for (AVert* v : touched) {
         if (vertices.size() == 1) break;
-        if (is_singleton(v)) remove_singleton(v);
+        if (!v->deleted() && is_singleton(v)) remove_singleton(v);
       }
     }
   }
@@ -753,8 +731,8 @@ struct Graph {
     path.clear();
     AVert* current = vertex;
     while (in_degree(current) == 1 && out_degree(current) < 2) {
-      AEdge* edge = inns(current->id)[0];
-      AVert* target = vertices[edge->id];
+      AEdge* edge = inns(current)[0];
+      AVert* target = edge->nbr;
       if (edge->mult < MIN_PRUNING_FACTOR) path.clear();
       else path.push_back(current);
       current = target;
@@ -769,18 +747,18 @@ struct Graph {
 
   std::vector<AVert*> find_reference_path(const std::vector<AVert*>& path) {
     AVert* vertex = path[0];
-    const auto& edges0 = inns(path[1]->id);
+    const auto& edges0 = inns(path[1]);
     AEdge* max_edge = edges0[0];
     for (size_t i = 1; i < edges0.size(); i++)
       if (edges0[i]->mult > max_edge->mult) max_edge = edges0[i];
-    if (max_edge->id == vertex->id)
+    if (max_edge->nbr == vertex)
       max_edge = get_out_edge(vertex, path[1]);
     else
       max_edge = nullptr;
     std::vector<AVert*> out;
     for (;;) {
       out.push_back(vertex);
-      const auto& edges = outs(vertex->id);
+      const auto& edges = outs(vertex);
       if (edges.empty()) return out;
       AEdge* ref_edge = nullptr;
       for (AEdge* e : edges)
@@ -789,12 +767,12 @@ struct Graph {
           break;
         }
       if (ref_edge != nullptr) {
-        vertex = vertices[ref_edge->id];
+        vertex = ref_edge->nbr;
         continue;
       }
       if (max_edge == nullptr) {
         if (edges.size() == 1) {
-          vertex = vertices[edges[0]->id];
+          vertex = edges[0]->nbr;
           continue;
         }
         return out;
@@ -803,7 +781,7 @@ struct Graph {
       bool too_many = false;
       for (AEdge* e : edges) {
         if (e != max_edge) {
-          if (next_vertex == nullptr) next_vertex = vertices[e->id];
+          if (next_vertex == nullptr) next_vertex = e->nbr;
           else {
             too_many = true;
             break;
@@ -899,8 +877,8 @@ struct Graph {
     path.clear();
     AVert* current = vertex;
     while (!vertex_is_reference_node(current) && out_degree(current) == 1) {
-      AEdge* edge = outs(current->id)[0];
-      AVert* target = vertices[edge->id];
+      AEdge* edge = outs(current)[0];
+      AVert* target = edge->nbr;
       if (edge->mult < MIN_PRUNING_FACTOR) path.clear();
       else path.push_back(current);
       current = target;
@@ -919,8 +897,8 @@ struct Graph {
     for (;;) {
       new_path.push_back(vertex);
       bool advanced = false;
-      for (AEdge* e : inns(vertex->id)) {
-        vertex = vertices[e->id];
+      for (AEdge* e : inns(vertex)) {
+        vertex = e->nbr;
         if (vertex_is_reference_node(vertex)) {
           advanced = true;
           break;
@@ -959,7 +937,7 @@ struct Graph {
         ref_source_seq.substr(0, n_nodes) + dangling_source->bases;
     AEdge* source_edge = heaviest_out_edge(dangling_source);
     const int64_t se_mult = source_edge->mult;
-    AVert* source_target = vertices[source_edge->id];
+    AVert* source_target = source_edge->nbr;
     remove_edge(dangling_source, source_target);
     for (int64_t i = n_nodes; i >= 1; i--) {
       const int64_t end = std::min<int64_t>(i + kmer_size, (int64_t)seq_to_extend.size());
@@ -1018,7 +996,7 @@ struct Graph {
         AVert* v = stack.back();
         stack.pop_back();
         if (!from_source.insert(v->id).second) continue;
-        for (AEdge* e : outs(v->id)) stack.push_back(vertices[e->id]);
+        for (AEdge* e : outs(v)) stack.push_back(e->nbr);
       }
     }
     AVert* ref_sink = reference_sink();
@@ -1029,7 +1007,7 @@ struct Graph {
         AVert* v = stack.back();
         stack.pop_back();
         if (!from_sink.insert(v->id).second) continue;
-        for (AEdge* e : inns(v->id)) stack.push_back(vertices[e->id]);
+        for (AEdge* e : inns(v)) stack.push_back(e->nbr);
       }
     }
     for (AVert* v : all_vertices())
@@ -1050,8 +1028,8 @@ struct Graph {
       AVert* v = stack.back();
       stack.pop_back();
       if (!visited.insert(v->id).second) continue;
-      for (AEdge* e : inns(v->id)) stack.push_back(vertices[e->id]);
-      for (AEdge* e : outs(v->id)) stack.push_back(vertices[e->id]);
+      for (AEdge* e : inns(v)) stack.push_back(e->nbr);
+      for (AEdge* e : outs(v)) stack.push_back(e->nbr);
     }
     for (AVert* v : all_vertices())
       if (!visited.count(v->id)) remove_vertex(v);
@@ -1060,27 +1038,23 @@ struct Graph {
   // -- simplification --
 
   void merge_out_edges_of(AVert* v1, AVert* v2) {
-    std::vector<AEdge*> edges2;
-    {
-      auto it = out_edges.find(v2->id);
-      if (it != out_edges.end()) edges2 = it->second;
-    }
+    std::vector<AEdge*> edges2 = v2->out;
     for (AEdge* e : edges2) {
-      auto& incoming = in_edges[e->id];
+      auto& incoming = e->nbr->in;
       for (size_t i = 0; i < incoming.size(); i++) {
-        if (incoming[i]->id == v2->id) {
+        if (incoming[i]->nbr == v2) {
           AEdge* ie = incoming[i];
-          ie->id = v1->id;
+          ie->nbr = v1;
           incoming.erase(incoming.begin() + i);
           incoming.push_back(ie);
           break;
         }
       }
     }
-    for (AEdge* e : inns(v1->id)) {
-      auto& outgoing = out_edges[e->id];
+    for (AEdge* e : v1->in) {
+      auto& outgoing = e->nbr->out;
       for (size_t i = 0; i < outgoing.size(); i++) {
-        if (outgoing[i]->id == v1->id) {
+        if (outgoing[i]->nbr == v1) {
           AEdge* oe = outgoing[i];
           outgoing.erase(outgoing.begin() + i);
           outgoing.push_back(oe);
@@ -1088,9 +1062,9 @@ struct Graph {
         }
       }
     }
-    set_out_edges(v1, std::move(edges2));
-    out_edges.erase(v2->id);
-    in_edges.erase(v2->id);
+    v1->out = std::move(edges2);
+    v2->out.clear();
+    v2->in.clear();
     remove_singleton(v2);
   }
 
@@ -1106,9 +1080,9 @@ struct Graph {
       if (vertex->deleted() || !vertex_is_linear_chain_start(vertex)) continue;
       const bool prev_is_ref = vertex_is_reference_node(vertex);
       for (;;) {
-        const auto& edges = outs(vertex->id);
+        const auto& edges = outs(vertex);
         if (edges.size() != 1) break;
-        AVert* next_vertex = vertices[edges[0]->id];
+        AVert* next_vertex = edges[0]->nbr;
         if (vertex == next_vertex || in_degree(next_vertex) != 1 ||
             prev_is_ref != vertex_is_reference_node(next_vertex))
           break;
@@ -1162,38 +1136,31 @@ struct Graph {
     AVert* prefix_vertex = make_vert(prefix);
     add_vertex(prefix_vertex);
     bool any_ref = false;
-    for (AEdge* oe : outs(top->id)) {
+    for (AEdge* oe : outs(top)) {
       if (oe->is_ref) any_ref = true;
-      for (AEdge* ie : inns(oe->id))
-        if (ie->id == top->id) ie->id = prefix_vertex->id;
+      for (AEdge* ie : inns(oe->nbr))
+        if (ie->nbr == top) ie->nbr = prefix_vertex;
     }
-    {
-      auto it = out_edges.find(top->id);
-      if (it != out_edges.end()) {
-        out_edges[prefix_vertex->id] = std::move(it->second);
-        out_edges.erase(it);
-      } else {
-        out_edges.erase(prefix_vertex->id);
-      }
-    }
+    prefix_vertex->out = std::move(top->out);
+    top->out.clear();
     add_edge(top, prefix_vertex, 1, any_ref);
     return prefix_vertex;
   }
 
   bool merge_diamond(AVert* vertex) {
     std::vector<AVert*> middles;
-    for (AEdge* e : outs(vertex->id)) middles.push_back(vertices[e->id]);
+    for (AEdge* e : outs(vertex)) middles.push_back(e->nbr);
     if (middles.size() <= 1) return false;
     AVert* bottom = nullptr;
     for (AVert* middle : middles) {
       if (out_degree(middle) < 1 || in_degree(middle) != 1) return false;
-      for (AEdge* e : outs(middle->id)) {
-        AVert* target = vertices[e->id];
+      for (AEdge* e : outs(middle)) {
+        AVert* target = e->nbr;
         if (bottom == nullptr) bottom = target;
         else if (bottom != target) return false;
       }
     }
-    if ((int64_t)inns(bottom->id).size() != (int64_t)middles.size()) return false;
+    if ((int64_t)inns(bottom).size() != (int64_t)middles.size()) return false;
     return merge_diamond_sequences(vertex, bottom, middles);
   }
 
@@ -1210,36 +1177,29 @@ struct Graph {
       suffix_vertex = make_vert(suffix);
       add_vertex(suffix_vertex);
       bool any_ref = false;
-      for (AEdge* ie : inns(bottom->id)) {
+      for (AEdge* ie : inns(bottom)) {
         if (ie->is_ref) any_ref = true;
-        for (AEdge* oe : outs(ie->id))
-          if (oe->id == bottom->id) oe->id = suffix_vertex->id;
+        for (AEdge* oe : outs(ie->nbr))
+          if (oe->nbr == bottom) oe->nbr = suffix_vertex;
       }
-      {
-        auto it = in_edges.find(bottom->id);
-        if (it != in_edges.end()) {
-          in_edges[suffix_vertex->id] = std::move(it->second);
-          in_edges.erase(it);
-        } else {
-          in_edges.erase(suffix_vertex->id);
-        }
-      }
+      suffix_vertex->in = std::move(bottom->in);
+      bottom->in.clear();
       add_edge(suffix_vertex, bottom, 1, any_ref);
     }
     std::vector<AEdge*> new_incoming, new_outgoing;
     AEdge* direct_in = nullptr;
     AEdge* direct_out = nullptr;
-    std::vector<AEdge*> prefix_outs = outs(prefix_vertex->id);  // copy
+    std::vector<AEdge*> prefix_outs = outs(prefix_vertex);  // copy
     for (AEdge* e : prefix_outs) {
-      AVert* middle = vertices[e->id];
+      AVert* middle = e->nbr;
       std::string remaining =
           without_prefix_suffix(middle->bases, prefix.size(), suffix.size());
       if (!remaining.empty()) {
         middle->bases = remaining;
         new_outgoing.push_back(e);
       } else {
-        AEdge* incoming = in_edges[middle->id][0];
-        AEdge* outgoing = out_edges[middle->id][0];
+        AEdge* incoming = middle->in[0];
+        AEdge* outgoing = middle->out[0];
         const int64_t mult = incoming->mult + outgoing->mult;
         const bool is_ref = incoming->is_ref || outgoing->is_ref;
         if (direct_out == nullptr) {
@@ -1256,20 +1216,19 @@ struct Graph {
             direct_out->is_ref = true;
           }
         }
-        in_edges.erase(middle->id);
-        out_edges.erase(middle->id);
+        middle->in.clear();
+        middle->out.clear();
         vertices.erase(middle->id);
         middle->id = -1;
       }
     }
-    for (AEdge* e : inns(suffix_vertex->id)) {
-      auto it = vertices.find(e->id);
-      AVert* middle = it != vertices.end() ? it->second : nullptr;
+    for (AEdge* e : inns(suffix_vertex)) {
+      AVert* middle = e->nbr->deleted() ? nullptr : e->nbr;
       if (middle != nullptr && middle->id != prefix_vertex->id)
         new_incoming.push_back(e);
     }
-    out_edges[prefix_vertex->id] = std::move(new_outgoing);
-    in_edges[suffix_vertex->id] = std::move(new_incoming);
+    prefix_vertex->out = std::move(new_outgoing);
+    suffix_vertex->in = std::move(new_incoming);
     return true;
   }
 
@@ -1290,7 +1249,7 @@ struct Graph {
 
   bool merge_tail(AVert* vertex) {
     std::vector<AVert*> tails;
-    for (AEdge* e : outs(vertex->id)) tails.push_back(vertices[e->id]);
+    for (AEdge* e : outs(vertex)) tails.push_back(e->nbr);
     if (tails.size() <= 1) return false;
     for (AVert* t : tails)
       if (out_degree(t) != 0 || in_degree(t) > 1) return false;
@@ -1309,7 +1268,7 @@ struct Graph {
       if (!remaining.empty()) {
         tail->bases = remaining;
       } else {
-        AEdge* incoming = in_edges[tail->id][0];
+        AEdge* incoming = tail->in[0];
         if (incoming->is_ref) any_ref = true;
         multiplicity += incoming->mult;
         remove_edge(prefix_vertex, tail);
@@ -1336,14 +1295,14 @@ struct Graph {
   }
 
   bool safe_to_split(const AVert* bottom, const std::vector<AVert*>& tops) const {
-    const auto& bottom_connections = outs(bottom->id);
+    const auto& bottom_connections = outs(bottom);
     for (const AVert* top : tops) {
       if (top->id == bottom->id) return false;
-      const auto& middle_edges = outs(top->id);
-      if (middle_edges.size() != 1 || middle_edges[0]->id != bottom->id)
+      const auto& middle_edges = outs(top);
+      if (middle_edges.size() != 1 || middle_edges[0]->nbr != bottom)
         return false;
       for (const AEdge* e : bottom_connections)
-        if (e->id == top->id) return false;
+        if (e->nbr->id == top->id) return false;
     }
     return true;
   }
@@ -1387,14 +1346,14 @@ struct Graph {
   }
 
   bool split_common_suffixes_of_vertex(AVert* vertex) {
-    std::vector<AEdge*> incoming_edges = inns(vertex->id);  // copy like list()
+    std::vector<AEdge*> incoming_edges = inns(vertex);  // copy like list()
     std::vector<AVert*> tops;
-    for (AEdge* e : incoming_edges) tops.push_back(vertices[e->id]);
+    for (AEdge* e : incoming_edges) tops.push_back(e->nbr);
     std::string suffix;
     if (!common_suffix_of(vertex, tops, &suffix)) return false;
     for (AEdge* top_edge : incoming_edges) {
-      AVert* top = vertices[top_edge->id];
-      AEdge* out = out_edges[top->id][0];
+      AVert* top = top_edge->nbr;
+      AEdge* out = top->out[0];
       const int64_t top_multiplicity = top_edge->mult;
       const bool out_is_ref = out->is_ref;
       AVert* suffix_vertex = make_vert(suffix);
@@ -1412,8 +1371,8 @@ struct Graph {
         add_edge(target_vertex, suffix_vertex, 1, out_is_ref);
       }
       add_edge(suffix_vertex, vertex, top_multiplicity, out_is_ref);
-      for (AEdge* e : inns(top->id))
-        add_edge(vertices[e->id], target_vertex, e->mult, e->is_ref);
+      for (AEdge* e : inns(top))
+        add_edge(e->nbr, target_vertex, e->mult, e->is_ref);
       remove_vertex(top);
     }
     return true;
@@ -1441,26 +1400,26 @@ struct Graph {
 
   bool merge_common_sequences(AVert* bottom) {
     std::vector<AVert*> tops;
-    for (AEdge* e : inns(bottom->id)) tops.push_back(vertices[e->id]);
+    for (AEdge* e : inns(bottom)) tops.push_back(e->nbr);
     if (tops.empty()) return false;
     const std::string seq = tops[0]->bases;
     for (AVert* top : tops) {
       if (top->bases != seq || out_degree(top) != 1 || in_degree(top) == 0 ||
-          outs(top->id)[0]->id != bottom->id)
+          outs(top)[0]->nbr != bottom)
         return false;
     }
     bottom->bases = seq + bottom->bases;
     update_vertex_id(bottom);
     for (AVert* top : tops) {
-      std::vector<AEdge*> top_in = inns(top->id);  // copy: remove_vertex mutates
+      std::vector<AEdge*> top_in = inns(top);  // copy: remove_vertex mutates
       for (AEdge* e : top_in)
-        add_edge(vertices[e->id], bottom, e->mult, e->is_ref);
+        add_edge(e->nbr, bottom, e->mult, e->is_ref);
       remove_vertex(top);
     }
-    for (AEdge* e : outs(bottom->id)) {
-      auto& incoming = in_edges[e->id];
+    for (AEdge* e : outs(bottom)) {
+      auto& incoming = e->nbr->in;
       for (size_t i = 0; i < incoming.size(); i++) {
-        if (incoming[i]->id == bottom->id) {
+        if (incoming[i]->nbr == bottom) {
           AEdge* ie = incoming[i];
           incoming.erase(incoming.begin() + i);
           incoming.push_back(ie);
@@ -1505,11 +1464,13 @@ struct Graph {
   PartialCopy partial_copy() const {
     PartialCopy pc;
     pc.n_vertices = vertices.size();
-    for (const auto& kv : vertices) pc.vertex_bases.insert(kv.second->bases);
-    for (const auto& kv : out_edges)
-      for (const AEdge* e : kv.second) pc.out_pairs.emplace_back(kv.first, e->id);
-    for (const auto& kv : in_edges)
-      for (const AEdge* e : kv.second) pc.in_pairs.emplace_back(kv.first, e->id);
+    for (const auto& kv : vertices) {
+      pc.vertex_bases.insert(kv.second->bases);
+      for (const AEdge* e : kv.second->out)
+        pc.out_pairs.emplace_back(kv.first, e->nbr->id);
+      for (const AEdge* e : kv.second->in)
+        pc.in_pairs.emplace_back(kv.first, e->nbr->id);
+    }
     std::sort(pc.out_pairs.begin(), pc.out_pairs.end());
     std::sort(pc.in_pairs.begin(), pc.in_pairs.end());
     return pc;
@@ -1613,7 +1574,7 @@ struct Graph {
       }
       const int count = vertex_counts[vertex_to_extend]++;
       if (count >= MAX_HAPLOTYPES) continue;
-      const auto& edges = outs(vertex_to_extend->id);
+      const auto& edges = outs(vertex_to_extend);
       int64_t total = 0;
       for (const AEdge* e : edges) total += e->mult;
       if (total <= 0) continue;
@@ -1625,7 +1586,7 @@ struct Graph {
         else
           ext = -INFINITY;
         std::vector<AVert*> np = item.path;
-        np.push_back(vertices[e->id]);
+        np.push_back(e->nbr);
         enqueue(HeapItem{ext, std::move(np)});
       }
     }
