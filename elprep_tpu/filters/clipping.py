@@ -31,7 +31,7 @@ def reference_length_from_cigar(cigar: CigarOps) -> int:
     return sum(l for l, o in cigar if o in _REF_CONS)
 
 
-@dataclass
+@dataclass(slots=True)
 class ClipRead:
     """Mutable per-read view for clipping (mirrors the Alignment fields
     the reference clipping code touches)."""
