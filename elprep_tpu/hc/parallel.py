@@ -980,6 +980,7 @@ class _RegionRun:
             self.wtasks[self.owner[rids[0]]].append(t)
         self.inflight = [0] * pool.n
         self.preps_outstanding = len(tasks)
+        self.preps_unconsumed = len(tasks)
         self.pending_batch: List[int] = []
         self.ph_pool = None
         self.ph_futures: List = []
@@ -1104,9 +1105,12 @@ class _RegionRun:
                 msg = pool._recv_routed(("prep_done", "geno_done"), gen,
                                         extra_check=self.check_pairhmm_errors)
                 if msg[0] == "prep_done":
-                    # flow control already ran at receipt (note_prep_done)
+                    # flow control already ran at receipt (note_prep_done);
+                    # the force condition tracks CONSUMPTION so the final
+                    # PairHMM batch is not split across the buffered tail
                     _, _, wid, task_id, out = msg
-                    if self.preps_outstanding == 0 and not self.tasks_remaining():
+                    self.preps_unconsumed -= 1
+                    if self.preps_unconsumed == 0:
                         self._tr("all preps done (emit=%d/%d)", emit, n)
                     for item in out:
                         rid = item[0]
@@ -1115,9 +1119,7 @@ class _RegionRun:
                         else:
                             self.pend_inputs[rid] = (item[2], item[3], item[4])
                             self.pending_batch.append(rid)
-                    self.dispatch_pairhmm(
-                        force=self.preps_outstanding == 0
-                        and not self.tasks_remaining())
+                    self.dispatch_pairhmm(force=self.preps_unconsumed == 0)
                 elif msg[0] == "geno_done":
                     _, _, rid, variants, outgoing = msg
                     geno[rid] = (variants, outgoing)
