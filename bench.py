@@ -145,7 +145,9 @@ def _accelerator_alive(timeout_s: float = 90.0) -> bool:
             [sys.executable, "-c",
              "import jax; jax.devices(); print(jax.default_backend())"],
             capture_output=True, timeout=timeout_s, text=True)
-        return p.returncode == 0
+        # a silent CPU fallback inside jax (e.g. missing plugin path)
+        # must not masquerade as an accelerator measurement
+        return p.returncode == 0 and p.stdout.strip() not in ("", "cpu")
     except Exception:
         return False
 

@@ -542,7 +542,7 @@ def write_vcf_header(params: HCParams, sam_header: Header, sample_name: str,
 def _iter_region_results_serial(params, regions, deletions, use_device_pairhmm,
                                 fill_reads):
     """Yield (region, variants, deletions) in order — single-process
-    version of HCWorkerPool.process_regions. Regions are prepared
+    version of the pool's region runs. Regions are prepared
     (assembled/trimmed) in groups so all their PairHMM pairs share ONE
     device dispatch; genotyping then runs in order (the deletions side
     channel is serial, reference: side-channel.go:26-132)."""

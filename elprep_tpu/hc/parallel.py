@@ -921,20 +921,6 @@ class HCWorkerPool:
         self._runs[gen] = run
         return run
 
-    def process_regions(self, gen, params, regions, deletions,
-                        use_device_pairhmm):
-        """Yield (region, variants, deletions) in region order.
-
-        ``deletions`` is the incoming carry for the first region; each
-        yielded tuple carries the updated list. The caller must have
-        created the span (new_span + distribute_span) first — regions
-        ship bare and the owning worker slices their reads from its
-        block. The span is dropped when the generator is exhausted.
-        """
-        return self.start_regions(gen, params, regions,
-                                  use_device_pairhmm).results(deletions)
-
-
 class _RegionRun:
     """One span's region-processing pipeline: prepare-task scheduling,
     batched PairHMM dispatch, speculative genotyping with the ordered
@@ -979,7 +965,7 @@ class _RegionRun:
         for t, rids in enumerate(tasks):
             self.wtasks[self.owner[rids[0]]].append(t)
         self.inflight = [0] * pool.n
-        self.preps_outstanding = len(tasks)
+        self.preps_received = 0
         self.preps_unconsumed = len(tasks)
         self.pending_batch: List[int] = []
         self.ph_pool = None
@@ -1011,13 +997,14 @@ class _RegionRun:
     def note_prep_done(self, wid: int) -> None:
         """Receipt-side flow control (called from the pool's recv path
         the moment a prep_done arrives, even when this run's results are
-        only being buffered)."""
+        only being buffered). The refill stops once too many results sit
+        unconsumed — a pre-started span must not buffer a whole contig's
+        prepared payloads in the main process."""
         self.inflight[wid] -= 1
-        self.preps_outstanding -= 1
-        self.send_tasks()
-
-    def tasks_remaining(self) -> bool:
-        return any(self.wtasks)
+        self.preps_received += 1
+        consumed = len(self.tasks) - self.preps_unconsumed
+        if self.preps_received - consumed < 8 * MAX_INFLIGHT:
+            self.send_tasks()
 
     def _run_pairhmm(self, batch, workloads):
         # off the event loop: jax/numpy release the GIL during the
@@ -1110,6 +1097,7 @@ class _RegionRun:
                     # PairHMM batch is not split across the buffered tail
                     _, _, wid, task_id, out = msg
                     self.preps_unconsumed -= 1
+                    self.send_tasks()  # receipt-side refill may be capped
                     if self.preps_unconsumed == 0:
                         self._tr("all preps done (emit=%d/%d)", emit, n)
                     for item in out:
