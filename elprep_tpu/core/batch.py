@@ -412,7 +412,11 @@ class ReadBatch:
         for nm, i in pool.items():
             names[i] = nm
         qname_width = max(p.qname.dtype.itemsize for p in parts)
+        # "_"-prefixed temps are per-batch caches (e.g. qname ranks)
+        # whose values are only meaningful relative to ONE batch — they
+        # survive select's row gather but must not concatenate
         temps_keys = set.intersection(*(set(p.temps) for p in parts)) if parts else set()
+        temps_keys = {k for k in temps_keys if not k.startswith("_")}
         return ReadBatch(
             qname=np.concatenate([p.qname.astype(f"S{qname_width}") for p in parts]),
             flag=np.concatenate([p.flag for p in parts]),

@@ -104,7 +104,7 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
     if order == SortingOrder.COORDINATE:
         if "REFID" not in batch.temps:
             raise ValueError("REFID not set (use the add_refid filter to fix this)")
-        qrank = sortkeys.qname_ranks(batch.qname)
+        qrank = sortkeys.qname_ranks_cached(batch)
         from ..ops.dispatch import routes_to_host
 
         if routes_to_host(n):
@@ -131,7 +131,7 @@ def sort_batch(batch: ReadBatch, order: SortingOrder) -> ReadBatch:
         perm = perm[perm < n]
         return batch.select(perm)
     if order == SortingOrder.QUERYNAME:
-        qrank = sortkeys.qname_ranks(batch.qname)
+        qrank = sortkeys.qname_ranks_cached(batch)
         from ..ops.dispatch import routes_to_host
 
         if routes_to_host(n):

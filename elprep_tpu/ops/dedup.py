@@ -386,7 +386,7 @@ def mark_duplicates_batch(batch, header):
 
     libid, upos, score, rev = dedup_columns(batch, header)
     refid = batch.temps["REFID"]
-    qrank = sortkeys.qname_ranks(batch.qname)
+    qrank = sortkeys.qname_ranks_cached(batch)
 
     # pad the batch to a power of two so runs share compiled programs
     # (ineligible UNMAPPED dummies cannot win or lose duels)

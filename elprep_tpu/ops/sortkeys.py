@@ -156,3 +156,16 @@ def qname_ranks(qnames: np.ndarray) -> np.ndarray:
     (Go string compare == numpy 'S' compare for ASCII)."""
     _, inverse = np.unique(qnames, return_inverse=True)
     return inverse.astype(np.int32)
+
+
+def qname_ranks_cached(batch) -> np.ndarray:
+    """qname_ranks memoized in a per-batch cache temp: dedup and the
+    coordinate sort both need the ranks of the same batch. The cache
+    survives select()'s row gather (a subset preserves relative rank
+    order, which is all either consumer compares) and is excluded from
+    ReadBatch.concat (ranks are batch-relative)."""
+    r = batch.temps.get("_QRANK")
+    if r is None:
+        r = qname_ranks(batch.qname)
+        batch.temps["_QRANK"] = r
+    return r
