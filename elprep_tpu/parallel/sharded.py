@@ -137,6 +137,24 @@ def _round_pow2(v: int) -> int:
     return n
 
 
+def _put(x, mesh, spec):
+    """Device-put ``x`` with a NamedSharding, multi-process aware.
+
+    Single-process: plain ``device_put``. Multi-process (multi-host): every
+    process holds the full host array (each parses the same input), so each
+    builds only the shards its local devices own — the TPU-native analog of
+    the reference's per-node split files (cmd/sfm.go:605-907) without any
+    cross-node file shipping."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    s = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+
 def sharded_sort_dedup_step(mesh):
     """ONE shard_mapped device program: duplicate verdicts + the
     post-dedup coordinate sort permutation, per shard."""
@@ -164,6 +182,20 @@ def sharded_sort_dedup_step(mesh):
     return jax.jit(step)
 
 
+def _fetch(x):
+    """Read a P('dp')-sharded global array back to host, multi-process
+    aware: cross-process all_gather when shards live on other hosts —
+    the collective replacing the reference's merge of per-node output
+    files (cmd/sfm.go:605-907)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def run_sharded_sort_dedup(batch: ReadBatch, header: Header, mesh,
                            do_sort: bool = True) -> Tuple[ReadBatch, dict]:
     """Sort + mark duplicates for a real ReadBatch over the mesh.
@@ -173,10 +205,7 @@ def run_sharded_sort_dedup(batch: ReadBatch, header: Header, mesh,
     pass) — byte-equal to the single-chip mark_duplicates_batch +
     sort_batch composition. ``do_sort=False`` applies duplicate flags
     only (the sort was elided by effective_sorting_order)."""
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..ops import sortkeys
+    from jax.sharding import PartitionSpec as P
 
     n_shards = int(np.prod(mesh.devices.shape))
     flat = _flat_mesh(mesh)
@@ -209,13 +238,10 @@ def run_sharded_sort_dedup(batch: ReadBatch, header: Header, mesh,
         stacked(aux["score"], 0),
     )
     step = sharded_sort_dedup_step(flat)
-    sharding = NamedSharding(flat, P("dp"))
-    import jax
-
-    dargs = [jax.device_put(jnp.asarray(c), sharding) for c in cols]
+    dargs = [_put(c, flat, P("dp")) for c in cols]
     dup, perm = step(*dargs)
-    dup = np.asarray(dup).reshape(n_shards, n_pad)
-    perm = np.asarray(perm).reshape(n_shards, n_pad)
+    dup = _fetch(dup).reshape(n_shards, n_pad)
+    perm = _fetch(perm).reshape(n_shards, n_pad)
 
     # apply home-row verdicts
     flag = np.asarray(batch.flag).copy()
@@ -265,8 +291,7 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
     ``recal`` is a filters.bqsr.BaseRecalibrator. Returns the same
     BaseRecalibratorTables as the single-chip path, exactly."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ..filters import bqsr as fbqsr
     from ..ops import bqsr_ops
@@ -340,14 +365,11 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
         local, mesh=flat,
         in_specs=(rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep),
         out_specs=([rep] * 6, rep),
-        check_vma=False,
     ))
-    args = [jnp.asarray(a) for a in (base, qual, seq_len, flag, pos, rg,
-                                     refoff, skip, op_class, op_len,
-                                     ref_classes)]
-    sharding = [NamedSharding(flat, sp) for sp in
-                (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)]
-    dargs = [jax.device_put(a, s) for a, s in zip(args, sharding)]
+    args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
+            op_len, ref_classes)
+    specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)
+    dargs = [_put(a, flat, sp) for a, sp in zip(args, specs)]
     reduced, max_abs_cycle = step(*dargs)
     qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism = map(np.asarray, reduced)
     if int(max_abs_cycle) > max_cycle:
