@@ -231,6 +231,25 @@ def main() -> None:
 
     reads_per_sec = n_reads / dt
 
+    # same fused step on the host CPU backend: the dispatch cost model's
+    # other side (tools/crossover.py sweeps the full curve; measured on
+    # the real chip the resident crossover is ~1.5-2M reads and the
+    # incl-transfer crossover is >=4M — see README)
+    host_step_reads_per_sec = None
+    if platform == "accelerator":
+        try:
+            cpu0 = jax.devices("cpu")[0]
+            with jax.default_device(cpu0):
+                hargs = [jax.device_put(np.asarray(a), cpu0) for a in args]
+                _sync(step(*hargs))
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    hout = step(*hargs)
+                _sync(hout)
+                host_step_reads_per_sec = n_reads / ((time.perf_counter() - t0) / iters)
+        except Exception:
+            pass
+
     # PairHMM GCUPS (the roofline metric from BASELINE): Pallas kernel,
     # realistic WES shapes — 152bp reads x 400bp haplotypes, 16K pairs,
     # uint8 inputs with on-device probability derivation
@@ -279,7 +298,47 @@ def main() -> None:
         if e2e["reads_per_sec"] > REFERENCE_READS_PER_SEC:
             break
 
-    print(json.dumps({
+    # device-engaged e2e sample: force the dispatch threshold to 0 so the
+    # accelerator path runs end-to-end (sort/dedup/BQSR programs + the
+    # cross-region Pallas PairHMM batch on-chip). Honest even where the
+    # host wins: the 120k fixture sits far below the measured crossover.
+    e2e_device = None
+    if platform == "accelerator":
+        try:
+            os.environ["ELPREP_TPU_DEVICE_MIN_READS"] = "1"
+            e2e_device = _e2e_bench()
+        except Exception:
+            e2e_device = None
+        finally:
+            os.environ.pop("ELPREP_TPU_DEVICE_MIN_READS", None)
+
+    # PairHMM dispatch crossover at a realistic HC batch (2048 pairs,
+    # incl. packing + transfer): host lax.scan vs Pallas TPU kernel
+    pairhmm_cross = None
+    try:
+        sys.path.insert(0, os.path.join(_REPO, "tools"))
+        from crossover import bench_pairhmm
+
+        pairhmm_cross = bench_pairhmm(2048, iters=2)
+    except Exception:
+        pairhmm_cross = None
+
+    # representative scale: 1M reads / 15 Mb / 8 contigs through the full
+    # 5-step CLI in a fresh subprocess (fixture cached under .bench_cache)
+    stress = None
+    try:
+        import subprocess
+
+        p = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "tools", "stress.py"),
+             "--reads", "1000000", "--json"],
+            capture_output=True, timeout=1200, text=True, cwd=_REPO)
+        if p.returncode == 0:
+            stress = json.loads(p.stdout.strip().splitlines()[-1])
+    except Exception:
+        stress = None
+
+    out = {
         "metric": "pipeline_e2e_reads_per_sec",
         "value": round(e2e["reads_per_sec"], 1),
         "unit": "reads/sec/chip",
@@ -289,7 +348,20 @@ def main() -> None:
         "device_step_reads_per_sec": round(reads_per_sec, 1),
         "pairhmm_gcups": round(gcups, 3),
         "platform": platform,
-    }))
+    }
+    if host_step_reads_per_sec is not None:
+        out["host_step_reads_per_sec"] = round(host_step_reads_per_sec, 1)
+    if e2e_device is not None:
+        out["e2e_device_engaged_reads_per_sec"] = round(e2e_device["reads_per_sec"], 1)
+    if pairhmm_cross is not None:
+        out["pairhmm_crossover_2048_host_s"] = pairhmm_cross.get("host_s")
+        out["pairhmm_crossover_2048_accel_s"] = pairhmm_cross.get("accel_s")
+    if stress is not None and stress.get("rc") == 0:
+        out["stress_1m_reads_per_sec"] = stress["reads_per_sec"]
+        out["stress_1m_maxrss_gb"] = stress["maxrss_gb"]
+        out["stress_1m_vs_baseline"] = round(
+            stress["reads_per_sec"] / REFERENCE_READS_PER_SEC, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

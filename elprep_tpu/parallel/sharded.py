@@ -109,10 +109,14 @@ def plan_shards(batch: ReadBatch, header: Header, n_shards: int):
     a_rows, b_rows = _cross_shard_pairs(np.asarray(batch.flag), libid, qrank,
                                         shard_of)
 
+    # one stable counting argsort replaces n_shards flatnonzero scans
+    order = np.argsort(shard_of, kind="stable")
+    counts = np.bincount(shard_of, minlength=n_shards)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
     shard_rows: List[np.ndarray] = []
     n_home: List[int] = []
     for s in range(n_shards):
-        home = np.flatnonzero(shard_of == s)
+        home = order[bounds[s] : bounds[s + 1]]
         # helpers: mates of home rows that live elsewhere
         helpers = np.concatenate([
             b_rows[shard_of[a_rows] == s],
@@ -223,20 +227,23 @@ def run_sharded_sort_dedup(batch: ReadBatch, header: Header, mesh,
             out[s * n_pad : s * n_pad + len(rows)] = col[rows]
         return out
 
-    cols = (
-        stacked(batch.flag, 0x4),          # dummies: unmapped, sort last
-        stacked(refid, INT32_MAX),
-        stacked(batch.pos, INT32_MAX),
-        stacked(batch.mapq, 0),
-        stacked(nrefid, INT32_MAX),
-        stacked(batch.pnext, INT32_MAX),
-        stacked(batch.tlen, 0),
-        stacked(qrank, INT32_MAX),
-        stacked(aux["libid"], -1),
-        stacked(aux["upos"], 0),
-        stacked((np.asarray(batch.flag) >> 4) & 1, 0),
-        stacked(aux["score"], 0),
+    from ..io.bgzf import _pool
+
+    specs = (
+        (batch.flag, 0x4),                 # dummies: unmapped, sort last
+        (refid, INT32_MAX),
+        (batch.pos, INT32_MAX),
+        (batch.mapq, 0),
+        (nrefid, INT32_MAX),
+        (batch.pnext, INT32_MAX),
+        (batch.tlen, 0),
+        (qrank, INT32_MAX),
+        (aux["libid"], -1),
+        (aux["upos"], 0),
+        ((np.asarray(batch.flag) >> 4) & 1, 0),
+        (aux["score"], 0),
     )
+    cols = tuple(_pool().map(lambda cf: stacked(*cf), specs))
     step = sharded_sort_dedup_step(flat)
     dargs = [_put(c, flat, P("dp")) for c in cols]
     dup, perm = step(*dargs)
@@ -312,9 +319,14 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
     spans = shard_spans(header, n_shards)
     shard_of = spans[np.where(refid >= 0, refid, len(spans) - 1)]
 
-    prep = [fbqsr.prep_recalibrate_columns(
-        recal, header, batch, np.flatnonzero(shard_of == s), max_cycle)
-        for s in range(n_shards)]
+    from ..io.bgzf import _pool
+
+    # per-shard host prep runs threaded: the clipping + covariate chain is
+    # native C++ (releases the GIL), so shards prep concurrently
+    prep = list(_pool().map(
+        lambda s: fbqsr.prep_recalibrate_columns(
+            recal, header, batch, np.flatnonzero(shard_of == s), max_cycle),
+        range(n_shards)))
     if not any(p["m"] for p in prep):
         return tables  # no eligible reads anywhere (matches bqsr.py:388)
     m = max(p["m"] for p in prep)
@@ -334,16 +346,19 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
                 out[s * m : s * m + len(v), : v.shape[1]] = v
         return out
 
-    base = stack("base", 0, np.uint8, L)
-    qual = stack("qual", 0, np.uint8, L)
-    skip = stack("skip", False, bool, L)
-    seq_len = stack("seq_len", 0, np.int32)
-    flag = stack("flag", 0, np.int32)
-    pos = stack("pos", 0, np.int32)
-    rg = stack("rg", 0, np.int32)
-    refoff = stack("refoff", 0, np.int64)
-    op_class = stack("op_class", bqsr_ops.OP_CLASS[ord("S")], np.int8, C)
-    op_len = stack("op_len", 0, np.int32, C)
+    (base, qual, skip, seq_len, flag, pos, rg, refoff, op_class,
+     op_len) = _pool().map(lambda a: stack(*a), [
+        ("base", 0, np.uint8, L),
+        ("qual", 0, np.uint8, L),
+        ("skip", False, bool, L),
+        ("seq_len", 0, np.int32),
+        ("flag", 0, np.int32),
+        ("pos", 0, np.int32),
+        ("rg", 0, np.int32),
+        ("refoff", 0, np.int64),
+        ("op_class", bqsr_ops.OP_CLASS[ord("S")], np.int8, C),
+        ("op_len", 0, np.int32, C),
+    ])
 
     n_rg = len(cov_names)
     ref_classes = np.asarray(recal.ref.classes)

@@ -65,6 +65,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=1_000_000)
     ap.add_argument("--timed", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON line at the end")
     args = ap.parse_args()
     cache = build_fixture(args.reads)
     from elprep_tpu import cli
@@ -91,6 +93,13 @@ def main() -> None:
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
         print("stress: %d reads in %.1fs = %.0f reads/s rc=%d maxrss=%.1fGB"
               % (args.reads, dt, args.reads / dt, rc, rss))
+        if args.json:
+            import json
+
+            print(json.dumps({
+                "reads": args.reads, "seconds": round(dt, 2),
+                "reads_per_sec": round(args.reads / dt, 1), "rc": rc,
+                "maxrss_gb": round(rss, 2)}))
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
