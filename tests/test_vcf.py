@@ -187,3 +187,28 @@ def test_scan_vcf_sites_matches_full_parse():
         expected.setdefault(v.chrom, []).append((v.pos - 1, v.end()))
     assert sites == expected
     assert sites == {"chr1": [(99, 103), (199, 260)], "chr2": [(4, 9)]}
+
+
+def test_parse_vcf_many_records_roundtrip():
+    """Bulk parse equivalence: format->parse over hundreds of variants
+    with mixed INFO/FORMAT shapes (the serial-by-design full parse; see
+    the parse_vcf design note re vcf-files.go:1425-1449)."""
+    hdr = VcfHeader()
+    hdr.infos.append(FormatInformation(id="DP", number=1, type="Integer", description="d"))
+    hdr.infos.append(FormatInformation(id="AF", number=vcf.NUMBER_A, type="Float", description="f"))
+    hdr.formats.append(FormatInformation(id="GT", number=1, type="String", description="g"))
+    hdr.formats.append(FormatInformation(id="PL", number=vcf.NUMBER_G, type="Integer", description="p"))
+    hdr.columns = vcf.DEFAULT_COLUMNS + ["FORMAT", "s1"]
+    variants = []
+    for i in range(401):
+        variants.append(Variant(
+            chrom="chr%d" % (1 + i % 3), pos=100 + i, ref="A",
+            alt=["T"] if i % 2 else ["T", "C"],
+            qual=None if i % 5 == 0 else i / 7.0,
+            filter=["PASS"], info={"DP": i, "AF": [0.5] if i % 2 else [0.25, 0.25]},
+            genotype_format=["GT", "PL"],
+            genotypes=[Genotype(gt=[0, 1], data={"PL": [i, 0, i + 1]})]))
+    data = vcf.format_vcf(hdr, variants)
+    hdr2, parsed = vcf.parse_vcf(data)
+    assert len(parsed) == 401
+    assert vcf.format_vcf(hdr2, parsed) == data
