@@ -675,12 +675,11 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             args.haplotypecaller,
             hcdriver.write_vcf_header(params, data.header, sample_box[0],
                                       get_reference)))
-        # PairHMM placement follows the same host-vs-accelerator cost
-        # model as the columnar phases: below the crossover
-        # (ELPREP_TPU_DEVICE_MIN_READS) the batched jitted dispatch runs
-        # on the host CPU backend instead of paying accelerator round
-        # trips (the Pallas kernel itself is benchmarked on-chip
-        # separately)
+        # PairHMM placement: small pipelines opt into the per-dispatch
+        # pair-count cost model (ELPREP_TPU_PAIRHMM_MIN_PAIRS, measured
+        # crossover ~128 pairs on the real chip) — batches above it run
+        # the Pallas kernel even when the columnar phases stay on the
+        # host (ELPREP_TPU_DEVICE_MIN_READS)
         from .ops.dispatch import offloads_to_host
         from .ops.pairhmm import set_pairhmm_host_offload
 

@@ -8,8 +8,11 @@ same program faster than the transfer+dispatch round trips alone. This
 module centralizes the decision: batches below ``ELPREP_TPU_DEVICE_MIN_READS``
 (default 4M reads) execute their jitted programs on the host CPU
 backend via ``jax.default_device``; larger batches use the configured
-accelerator. The batched PairHMM dispatch follows the same crossover
-(ops/pairhmm.set_pairhmm_host_offload, set once per run by the CLI).
+accelerator. The batched PairHMM dispatch has its own, per-dispatch
+crossover on PAIR count (~128 pairs measured on-chip including packing
+and transfer, ELPREP_TPU_PAIRHMM_MIN_PAIRS): small pipelines set
+ops/pairhmm.set_pairhmm_host_offload, and each dispatch above the pair
+threshold still runs the Pallas kernel.
 
 The integer sort/dedup/table programs are bit-identical across
 backends by construction. The PairHMM f32 likelihoods are the one

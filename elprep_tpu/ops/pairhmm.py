@@ -27,6 +27,7 @@ modifiedQuality = min(QUAL, MAPQ) with <18 -> 6 (pairhmm.go:77-86).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -329,6 +330,20 @@ def set_pairhmm_host_offload(flag: bool) -> None:
     _HOST_OFFLOAD[0] = bool(flag)
 
 
+def _device_min_pairs() -> int:
+    """Pair-count crossover for the PairHMM dispatch: measured on the
+    real chip (tools/crossover.py --pairhmm), the Pallas kernel beats
+    the host jitted scan INCLUDING per-dispatch packing and transfer
+    from ~128 pairs; below that, round-trip latency dominates."""
+    v = os.environ.get("ELPREP_TPU_PAIRHMM_MIN_PAIRS")
+    if v:
+        try:
+            return int(v)
+        except ValueError:
+            pass
+    return 128
+
+
 def pairhmm_logl_pairs(
     reads: Sequence[Tuple[bytes, np.ndarray, int]],
     haps: Sequence[bytes],
@@ -347,10 +362,13 @@ def pairhmm_logl_pairs(
         return np.zeros(0, np.float64)
 
     mesh = _MESH[0]
-    if _HOST_OFFLOAD[0] and mesh is None and jax.default_backend() != "cpu":
-        # dispatch cost model: run the same jitted program on the host
-        # CPU backend (small batches lose more to accelerator round
-        # trips than the kernel computes)
+    if (_HOST_OFFLOAD[0] and mesh is None and jax.default_backend() != "cpu"
+            and B < _device_min_pairs()):
+        # dispatch cost model, measured per-dispatch on PAIR count: the
+        # Pallas kernel beats the host including packing+transfer from
+        # ~128 pairs up (16x at 2048 — tools/crossover.py --pairhmm on
+        # the real chip), so only genuinely tiny dispatches stay on the
+        # host CPU backend
         with jax.default_device(jax.devices("cpu")[0]):
             return _pairhmm_logl_pairs_scan(reads, haps, pair_r, pair_h)
     if jax.default_backend() == "tpu" and (mesh is None or mesh.devices.size <= 1):

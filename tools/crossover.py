@@ -138,17 +138,22 @@ def bench_pairhmm(B: int, iters: int) -> dict:
     rng = np.random.RandomState(2)
     lr, lh = 152, 400
     n_reads, n_haps = max(1, B // 4), max(1, B // 64)
-    # reads must RESEMBLE the haplotypes (substrings + a few mismatches):
-    # random-vs-random pairs all underflow into the f64 host rescue,
+    # every read must RESEMBLE every haplotype, like a real assembly
+    # region (haps = same locus +- a few SNPs, reads = its substrings):
+    # unrelated pairs underflow into the per-pair f64 host rescue,
     # which is not what the HC pool dispatches
     acgt = np.frombuffer(b"ACGT", np.uint8)
-    hap_mat = acgt[rng.randint(0, 4, (n_haps, lh))]
-    haps = [hap_mat[i].tobytes() for i in range(n_haps)]
+    locus = acgt[rng.randint(0, 4, lh)]
+    haps = []
+    for i in range(n_haps):
+        h = locus.copy()
+        for _ in range(2):  # ~2 SNPs per haplotype
+            h[rng.randint(0, lh)] = acgt[rng.randint(0, 4)]
+        haps.append(h.tobytes())
     reads = []
     for i in range(n_reads):
-        src = hap_mat[i % n_haps]
         off = rng.randint(0, lh - lr)
-        seq = src[off : off + lr].copy()
+        seq = locus[off : off + lr].copy()
         for _ in range(3):  # ~3 mismatches per read
             seq[rng.randint(0, lr)] = acgt[rng.randint(0, 4)]
         qual = rng.randint(20, 40, lr).astype(np.uint8)
