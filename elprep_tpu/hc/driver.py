@@ -295,23 +295,33 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
     gvcf = params.confidence_mode != "NONE"
     variants: List[SingleVariant] = []
 
-    def ref_model_exit(target_region: AssemblyRegion):
+    def ref_model_exit(target_region: AssemblyRegion, finalized: bool = True):
+        """Every no-variation exit — inactive regions AND active regions
+        whose assembly/trim found no variation events — goes through the
+        native one-call columnar ref model when the block columns are
+        available (it recomputes finalize internally from the raw rows,
+        so the region's Python-finalized reads are bypassed; oracle:
+        finalize_assembly_region + reference_model_for_no_variation,
+        fuzz-pinned). Profiled at 1M reads, these exits were 97% of
+        active-region prepares and the Python path burned ~27 core-s in
+        finalize+refconf."""
         if params.confidence_mode == "NONE":
             return variants, None
+        if span_cols is not None and span_rows is not None:
+            got = native_ref_model_for_no_variation(
+                params, variants, target_region, span_cols, span_rows,
+                span_reference)
+            if got is not None:
+                return got, None
+        if not finalized:
+            finalize_assembly_region(target_region, params, preclip)
         reference_model_for_no_variation(params, variants, target_region, gvcf)
         return variants, None
 
     if not region.is_active or not region.reads:
         if params.confidence_mode == "NONE":
             return variants, None
-        if span_cols is not None and span_rows is not None:
-            got = native_ref_model_for_no_variation(
-                params, variants, region, span_cols, span_rows,
-                span_reference)
-            if got is not None:
-                return got, None
-        finalize_assembly_region(region, params, preclip)
-        return ref_model_exit(region)
+        return ref_model_exit(region, finalized=False)
     finalize_assembly_region(region, params, preclip)
 
     haplotypes = assemble_reads(
