@@ -100,6 +100,51 @@ def test_metrics_golden(tmp_path):
     assert got == expected
 
 
+def test_bqsr_recal_golden(tmp_path):
+    """GATKReport recalibration tables, hand-derived from the
+    documented BQSR covariate conventions (config-2 contract;
+    fixtures/bqsr_golden.in.sam over a committed 60bp reference).
+
+    Reads (RG u1):
+      bA  flag 99 (first-of-pair, fwd), pos 11, 10M, Q25 except
+          idx1=Q2 (below minInterestingQual 6 -> skipped), ONE
+          mismatch at idx4. Counted: 9 obs / 1 error. Cycles = 1+i
+          (fwd, first-of-pair): {1,3..10}, error at cycle 5. Contexts
+          = preceding 2-mer of the READ sequence: error context "TC".
+      bB  flag 147 (second-of-pair, rev), pos 31, 10M exact, Q20.
+          10 obs / 0 errors. Cycles NEGATED and counted from the
+          original 5' end (= stored 3' end): -10..-1. Contexts =
+          reverse-complement 2-mers; stored idx 9 (original first
+          base) has none -> AC x2, CG x2, AA, CC, GG, GT, TA.
+      bC  flag 1024 (duplicate) and bD MAPQ 0: ineligible, contribute
+          nothing (gate: MAPQ in 1..254, not dup/secondary/QC-fail,
+          mapped, RG present).
+      bE  flag 0, pos 1, 5S5M, Q30: soft clip hard-clipped first ->
+          5 obs, cycles 1..5, contexts AC,CG,GT,TA.
+
+    Totals: RecalTable0 u1 = 24 obs / 1 error, EstimatedQReported =
+    -10*log10((9*10^-2.5 + 10*10^-2 + 5*10^-3)/24) = 22.5486 (hand
+    computed); RecalTable1 rows (Q20 10/0, Q25 9/1, Q30 5/0); the
+    Quantized histogram counts 10@20, 9@25, 5@30. Every Observations/
+    Errors/CovariateValue cell in the vendored file was checked
+    against this derivation; the EmpiricalQuality column is
+    formula-pinned (Bayesian estimate, oracle-tested in
+    tests/test_bqsr.py) rather than hand-derived."""
+    ref = str(tmp_path / "ref.elfasta")
+    assert cli.main(["fasta-to-elfasta",
+                     os.path.join(FIXTURES, "bqsr_golden.ref.fasta"),
+                     ref]) == 0
+    out = str(tmp_path / "out.sam")
+    recal = str(tmp_path / "out.recal")
+    rc = cli.main([
+        "filter", os.path.join(FIXTURES, "bqsr_golden.in.sam"), out,
+        "--bqsr", recal, "--reference", ref,
+    ])
+    assert rc == 0
+    expected = _read(os.path.join(FIXTURES, "bqsr_golden.expected.recal"))
+    assert _read(recal) == expected
+
+
 def test_dedup_golden_sharded_matches(tmp_path):
     """The multi-chip path must reproduce the hand-verified golden."""
     out = str(tmp_path / "out.sam")
