@@ -256,6 +256,64 @@ def trim_haplotype(h: Haplotype, span_start: int, span_end: int) -> Optional[Hap
 # ---------------------------------------------------------------------------
 
 
+class _CombinerPump:
+    """Ordered combine/sink stage on its own thread.
+
+    The reference runs the GVCF variant combiner as a StrictOrd pipeline
+    stage concurrent with callRegion workers (haplotypecaller.go:907-944);
+    here the analogous decoupling puts the combiner on one thread fed by
+    a bounded queue so the main thread keeps polling worker results and
+    pre-starting the next span while runs merge/format/compress. A
+    single consumer preserves the strict region order. Errors are
+    sticky: the first failure re-raises on the next put/close."""
+
+    def __init__(self, combine_batch, flush_runs_batch, max_queue: int = 64):
+        import queue
+        import threading
+
+        self._combine = combine_batch
+        self._flush = flush_runs_batch
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._exc: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._exc is not None:
+                continue  # drain without combining after a failure
+            try:
+                if item[0] == "flush":
+                    self._flush()
+                else:
+                    self._combine(item[1], item[2], item[3])
+            except BaseException as e:
+                self._exc = e
+
+    def _check(self) -> None:
+        if self._exc is not None:
+            raise self._exc
+
+    def put_batch(self, contig, reference, region_variants) -> None:
+        self._check()
+        self._q.put(("batch", contig, reference, region_variants))
+
+    def put_flush(self) -> None:
+        self._check()
+        self._q.put(("flush",))
+
+    def close(self) -> None:
+        """Drain, join, and re-raise any pump failure. After close the
+        caller may touch the pump-owned state directly (the thread is
+        gone; the join gives the happens-before edge)."""
+        self._q.put(None)
+        self._t.join()
+        self._check()
+
+
 class PendingRegion:
     """A region that passed assembly/trimming and awaits PairHMM +
     genotyping (the device stage between prepare_region and
@@ -715,52 +773,69 @@ def call_variants(
     current_contig: Optional[str] = None
     deletions: List[Tuple[int, int]] = []
 
+    def _combine_batch(contig, reference, region_variants):
+        """One region batch through the GVCF combiner and the streaming
+        sink — runs ON THE PUMP THREAD, which owns out_variants /
+        run_buf / combiner. The heavy parts (native band-block scan,
+        block formatting, zlib) release the GIL, so combining overlaps
+        the main thread's result polling, PairHMM dispatch, and
+        cross-span pre-starts (those were measured serializing the
+        span pipeline at 1M reads)."""
+        nonlocal out_variants, run_len
+        for sv in region_variants:
+            if gvcf:
+                out_variants = combiner.set_contig(out_variants, contig)
+                if isinstance(sv, RefRun):
+                    # buffer position-adjacent runs: one vectorized
+                    # merge replaces thousands of per-region calls
+                    if run_buf and (run_buf[-1].pos0 + len(run_buf[-1])
+                                    != sv.pos0 or run_len > 1 << 17):
+                        out_variants = flush_runs(out_variants)
+                    run_buf.append(sv)
+                    run_len += len(sv)
+                else:
+                    out_variants = flush_runs(out_variants)
+                    out_variants = combiner.merge_variant(out_variants, sv)
+            else:
+                if sv.full_variant is not None:
+                    out_variants.append(sv.full_variant)
+                else:
+                    out_variants.append(
+                        reference_variant_to_full(contig, reference, sv))
+        # streaming writeback: emitted entries are final (the
+        # combiner's open block is not in the list yet), so the
+        # accumulated prefix can flush at any point
+        if variant_sink is not None and len(out_variants) >= 4096:
+            variant_sink.write_variants(out_variants)
+            out_variants = []
+
+    def _flush_runs_batch():
+        nonlocal out_variants
+        out_variants = flush_runs(out_variants)
+
+    pump = _CombinerPump(_combine_batch, _flush_runs_batch)
+
     def _consume_unit(u, results_iter, tick=None):
-        """Drive one span's ordered results through the GVCF combiner
-        and the streaming sink (shared by the pool and serial paths).
-        ``tick`` runs once per region batch — the pool path uses it to
-        pre-start the NEXT span's region run the moment its activity
-        results have all arrived."""
-        nonlocal out_variants, deletions, current_contig, run_len
+        """Drive one span's ordered results into the combiner pump
+        (shared by the pool and serial paths). ``tick`` runs once per
+        region batch — the pool path uses it to pre-start the NEXT
+        span's region run the moment its activity results have all
+        arrived."""
+        nonlocal deletions
         (contig, contig_length, reference, start, stop, *_rest) = u
         for _region, region_variants, deletions in results_iter:
             if tick is not None and not tick():
                 tick = None  # done (or nothing to pre-start)
-            for sv in region_variants:
-                if gvcf:
-                    out_variants = combiner.set_contig(out_variants, contig)
-                    if isinstance(sv, RefRun):
-                        # buffer position-adjacent runs: one vectorized
-                        # merge replaces thousands of per-region calls
-                        if run_buf and (run_buf[-1].pos0 + len(run_buf[-1])
-                                        != sv.pos0 or run_len > 1 << 17):
-                            out_variants = flush_runs(out_variants)
-                        run_buf.append(sv)
-                        run_len += len(sv)
-                    else:
-                        out_variants = flush_runs(out_variants)
-                        out_variants = combiner.merge_variant(out_variants, sv)
-                else:
-                    if sv.full_variant is not None:
-                        out_variants.append(sv.full_variant)
-                    else:
-                        out_variants.append(
-                            reference_variant_to_full(contig, reference, sv))
-            # streaming writeback: emitted entries are final (the
-            # combiner's open block is not in the list yet), so the
-            # accumulated prefix can flush at any point
-            if variant_sink is not None and len(out_variants) >= 4096:
-                variant_sink.write_variants(out_variants)
-                out_variants = []
+            pump.put_batch(contig, reference, region_variants)
         _tr("%s: regions consumed", contig)
 
     def _enter_contig(contig):
         # the run buffer must not cross a contig switch: its runs belong
         # to the combiner's current contig; the deletions carry is
         # per-contig
-        nonlocal out_variants, deletions, current_contig
+        nonlocal deletions, current_contig
         if contig != current_contig:
-            out_variants = flush_runs(out_variants)
+            pump.put_flush()
             deletions = []
             current_contig = contig
 
@@ -854,6 +929,7 @@ def call_variants(
 
             _consume_unit(u, _iter_region_results_serial(
                 params, regions, deletions, use_device_pairhmm, fill_reads))
+    pump.close()  # joins the combiner thread; re-raises its failure
     if gvcf and combiner is not None:
         out_variants = flush_runs(out_variants)
         final = combiner.finalize()
