@@ -49,6 +49,13 @@ PAIRHMM_PAIR_TARGET = 8192
 PAIRHMM_MAX_PENDINGS = 64
 # outstanding prepare tasks per worker before flow control kicks in
 MAX_INFLIGHT = int(os.environ.get("ELPREP_TPU_MAX_INFLIGHT", "8"))
+# receipt-side bound: how many prep results may sit unconsumed in the
+# main process before task refills pause — this is what limits how far
+# a PRE-STARTED next span can run ahead while the current span drains
+# (each buffered result is one task's terminal RefRuns or pending
+# payloads, so the bound also caps buffered memory)
+PRESTART_BUFFER = int(os.environ.get("ELPREP_TPU_PRESTART_BUFFER",
+                                     str(8 * MAX_INFLIGHT)))
 
 
 def make_tracer(tag: str):
@@ -1003,7 +1010,7 @@ class _RegionRun:
         self.inflight[wid] -= 1
         self.preps_received += 1
         consumed = len(self.tasks) - self.preps_unconsumed
-        if self.preps_received - consumed < 8 * MAX_INFLIGHT:
+        if self.preps_received - consumed < PRESTART_BUFFER:
             self.send_tasks()
 
     def _run_pairhmm(self, batch, workloads):
