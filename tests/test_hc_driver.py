@@ -349,3 +349,40 @@ def test_parallel_pool_matches_serial_multispan_bed():
     b = [format_variant(v) for v in expand_variants(run(3))]
     assert a == b
     assert a  # fixture produced records
+
+
+def test_combiner_pump_error_propagates():
+    """A failure inside the pump thread (combiner/sink work) must
+    re-raise on the producer side — sticky, not swallowed, no hang."""
+    import pytest
+
+    from elprep_tpu.hc.driver import _CombinerPump
+
+    def bad_combine(contig, reference, region_variants):
+        raise RuntimeError("combiner exploded")
+
+    pump = _CombinerPump(bad_combine, lambda: None, max_queue=4)
+    pump.put_batch("chr1", b"A", [object()])
+    with pytest.raises(RuntimeError, match="combiner exploded"):
+        # the failure lands on a later put or at close, whichever
+        # the producer reaches first
+        for _ in range(100):
+            pump.put_batch("chr1", b"A", [object()])
+        pump.close()
+    # sticky: close (again) keeps raising rather than resetting
+    with pytest.raises(RuntimeError, match="combiner exploded"):
+        pump.close()
+
+
+def test_combiner_pump_ordered_and_flush_markers():
+    from elprep_tpu.hc.driver import _CombinerPump
+
+    seen = []
+    pump = _CombinerPump(
+        lambda contig, ref, batch: seen.append(("b", contig, tuple(batch))),
+        lambda: seen.append(("f",)), max_queue=2)
+    pump.put_batch("chr1", b"", [1, 2])
+    pump.put_flush()
+    pump.put_batch("chr2", b"", [3])
+    pump.close()
+    assert seen == [("b", "chr1", (1, 2)), ("f",), ("b", "chr2", (3,))]
