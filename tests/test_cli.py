@@ -498,3 +498,34 @@ def test_merge_optical_duplicates_metrics_cli(workdir, tmp_path):
                 if l and not l.startswith("#")]
 
     assert body(merged) == body(whole_metrics)
+
+
+def test_bp_resolution_cli(workdir, tmp_path):
+    """--reference-confidence BP_RESOLUTION at the CLI level: one record
+    per covered position (no GVCF banding), <NON_REF> alt present
+    (reference: haplotypecaller.go:117-123,213-224)."""
+    wd = workdir
+    out = tmp_path / "bp.vcf.gz"
+    rc = cli.main([
+        "filter", str(wd / "in.sam"), str(tmp_path / "bp.bam"),
+        "--reference", str(wd / "ref.elfasta"),
+        "--haplotypecaller", str(out),
+        "--reference-confidence", "BP_RESOLUTION",
+        "--host-pairhmm",
+    ])
+    assert rc == 0
+    from elprep_tpu.io import vcf as vcfmod
+
+    vhdr, variants = vcfmod.read_vcf_file(str(out))
+    chr1 = [v for v in variants if v.chrom == "chr1"]
+    assert chr1
+    # per-position: positions are consecutive within covered spans and
+    # no record carries an END (banding) INFO key
+    assert all("END" not in v.info for v in chr1)
+    pos = [v.pos for v in chr1]
+    assert len(pos) == len(set(pos))
+    runs = sum(1 for a, b in zip(pos, pos[1:]) if b != a + 1)
+    assert runs <= 4  # a handful of covered spans, all base-resolved
+    # the het SNP is still called
+    v = next((v for v in chr1 if v.pos == 2001), None)
+    assert v is not None and sorted(v.genotypes[0].gt) == [0, 1]
