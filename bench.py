@@ -334,7 +334,10 @@ def main() -> None:
 
         from elprep_tpu import native
 
-        blob = (b"\x5a" * 1_000_000) * 50
+        # incompressible input: constant bytes deflate trivially fast
+        # and would hide host throttling
+        blob = np.random.RandomState(3).randint(
+            0, 255, 50_000_000, dtype=np.uint8).tobytes()
         t0 = _t.perf_counter()
         native.bgzf_compress(blob)
         return round(_t.perf_counter() - t0, 2)
