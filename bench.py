@@ -24,17 +24,9 @@ import numpy as np
 
 
 def _sync(out) -> float:
-    """Force real completion: block_until_ready does not synchronize
-    through the axon relay, so pull one device-reduced scalar to host."""
-    import jax
-    import jax.numpy as jnp
+    from __graft_entry__ import sync_scalar
 
-    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel") and l.size]
-    acc = None
-    for l in leaves:
-        v = l.ravel()[0].astype(jnp.float32)
-        acc = v if acc is None else acc + v
-    return float(acc) if acc is not None else 0.0
+    return sync_scalar(out)
 
 # elPrep 5 WES 5-step: ~100M-read exome in ~75 min on a 36-core node
 # (PLoS ONE 2021 paper, BASELINE.md) → ~22k reads/sec whole-node.
@@ -177,49 +169,11 @@ def main() -> None:
         pass
     import jax.numpy as jnp
 
-    from __graft_entry__ import _synthetic_columns
-    from elprep_tpu.ops.bqsr_ops import recalibrate_tables, apply_bqsr
-    from elprep_tpu.ops.dedup import mark_duplicates
-    from elprep_tpu.ops import sortkeys
+    from __graft_entry__ import fused_device_step, fused_step_columns
 
-    n_reads, read_len, ref_len = 1 << 17, 128, 1 << 20
-    max_cycle, n_rg = 512, 1
-    (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
-     ref_classes) = _synthetic_columns(n_reads, read_len, ref_len)
-    libid = np.zeros(n_reads, np.int32)
-    refid = np.zeros(n_reads, np.int32)
-    qrank = np.arange(n_reads, dtype=np.int32)
-
-    cond_prior = np.full((n_rg, 94), 30, np.int32)
-    d_cyc = np.zeros((n_rg, 94, 2 * max_cycle + 1), np.int32)
-    d_ctx = np.zeros((n_rg, 94, 17), np.int32)
-    quant_lut = np.arange(94, dtype=np.uint8)
-    sqq_lut = np.arange(255, dtype=np.uint8)
-
-    @jax.jit
-    def step(base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
-             skip, op_class, op_len, ref_classes):
-        perm = sortkeys.coordinate_sort_perm(
-            flag, refid, pos, jnp.full_like(pos, 60), refid, pos,
-            jnp.zeros_like(pos), qrank,
-        )
-        rev = (flag >> 4) & 1
-        score = jnp.sum(jnp.where(qual >= 15, qual.astype(jnp.int32), 0), axis=1)
-        dup = mark_duplicates(libid, refid, pos, rev, score, qrank, flag)
-        tabs = recalibrate_tables(
-            base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
-            jnp.asarray(ref_classes), max_cycle=max_cycle, n_rg=n_rg,
-        )
-        newq, _ = apply_bqsr(
-            base, qual, seq_len, flag, rg, jnp.ones(n_rg, bool),
-            jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
-            jnp.asarray(quant_lut), jnp.asarray(sqq_lut), max_cycle=max_cycle,
-        )
-        return perm, dup, newq, tabs[0]
-
-    args = [jnp.asarray(a) for a in (
-        base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
-        skip, op_class, op_len, ref_classes)]
+    n_reads = 1 << 17
+    step = fused_device_step(n_rg=1, max_cycle=512)
+    args = [jnp.asarray(a) for a in fused_step_columns(n_reads)]
 
     _sync(step(*args))  # compile + warm
     iters = 3
@@ -379,8 +333,10 @@ def main() -> None:
     if e2e_device is not None:
         out["e2e_device_engaged_reads_per_sec"] = round(e2e_device["reads_per_sec"], 1)
     if pairhmm_cross is not None:
-        out["pairhmm_crossover_2048_host_s"] = pairhmm_cross.get("host_s")
-        out["pairhmm_crossover_2048_accel_s"] = pairhmm_cross.get("accel_s")
+        if "host_s" in pairhmm_cross:
+            out["pairhmm_crossover_2048_host_s"] = pairhmm_cross["host_s"]
+        if "accel_s" in pairhmm_cross:
+            out["pairhmm_crossover_2048_accel_s"] = pairhmm_cross["accel_s"]
     if stress is not None and stress.get("rc") == 0:
         out["stress_1m_reads_per_sec"] = stress["reads_per_sec"]
         out["stress_1m_maxrss_gb"] = stress["maxrss_gb"]

@@ -675,15 +675,11 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             args.haplotypecaller,
             hcdriver.write_vcf_header(params, data.header, sample_box[0],
                                       get_reference)))
-        # PairHMM placement: small pipelines opt into the per-dispatch
-        # pair-count cost model (ELPREP_TPU_PAIRHMM_MIN_PAIRS, measured
-        # crossover ~128 pairs on the real chip) — batches above it run
-        # the Pallas kernel even when the columnar phases stay on the
-        # host (ELPREP_TPU_DEVICE_MIN_READS)
-        from .ops.dispatch import offloads_to_host
-        from .ops.pairhmm import set_pairhmm_host_offload
-
-        set_pairhmm_host_offload(offloads_to_host(len(batch)))
+        # PairHMM placement is a session property: a TPU session runs
+        # the Pallas kernel for EVERY dispatch (it wins from tiny batch
+        # sizes and per-dispatch switching would break serial==parallel
+        # byte equality; measured basis in CROSSOVER_r03.json) — so
+        # unlike the columnar phases there is no read-count offload here
         try:
             vcf_header, variants = hcdriver.call_variants(
                 params, data.header, reads_by_contig, get_reference,

@@ -861,74 +861,88 @@ def call_variants(
                                     regions)
         return regions
 
-    if pool is not None:
-        # lookahead-1 pipeline: the NEXT span's worker-side stages
-        # (reference broadcast, block distribution, activity) run while
-        # the CURRENT span's regions prepare/genotype/drain — matching
-        # the reference's fully-overlapped pargo pipeline
-        # (haplotypecaller.go:907-944) across contig boundaries too.
-        # Once the next span's activity has fully arrived (buffered),
-        # its regions build and its prepare tasks START mid-drain, so
-        # workers roll from one span's preps straight into the next's.
-        units = _iter_units()
-        u0 = next(units, None)
-        # launched entries: [unit, gen, bounds, prestarted_run_or_None]
-        launched = None if u0 is None else [u0, *_launch(u0), None]
-        while launched is not None:
-            u, gen, bounds, pre = launched
-            nxt = next(units, None)
-            launched = None if nxt is None else [nxt, *_launch(nxt), None]
+    def _consume_all_units():
+        if pool is not None:
+            # lookahead-1 pipeline: the NEXT span's worker-side stages
+            # (reference broadcast, block distribution, activity) run while
+            # the CURRENT span's regions prepare/genotype/drain — matching
+            # the reference's fully-overlapped pargo pipeline
+            # (haplotypecaller.go:907-944) across contig boundaries too.
+            # Once the next span's activity has fully arrived (buffered),
+            # its regions build and its prepare tasks START mid-drain, so
+            # workers roll from one span's preps straight into the next's.
+            units = _iter_units()
+            u0 = next(units, None)
+            # launched entries: [unit, gen, bounds, prestarted_run_or_None]
+            launched = None if u0 is None else [u0, *_launch(u0), None]
+            while launched is not None:
+                u, gen, bounds, pre = launched
+                nxt = next(units, None)
+                launched = None if nxt is None else [nxt, *_launch(nxt), None]
 
-            if pre is None:
-                results = pool.collect_activity(gen)
-                _tr("%s: activity done", u[0])
-                regions = _build_regions(u, bounds, results)
-                run = pool.start_regions(gen, params, regions,
-                                         use_device_pairhmm)
-            else:
-                regions, run = pre
-            _enter_contig(u[0])
+                if pre is None:
+                    results = pool.collect_activity(gen)
+                    _tr("%s: activity done", u[0])
+                    regions = _build_regions(u, bounds, results)
+                    run = pool.start_regions(gen, params, regions,
+                                             use_device_pairhmm)
+                else:
+                    regions, run = pre
+                _enter_contig(u[0])
 
-            def _tick(nxt=launched):
-                # pre-start the next span once its activity is complete
-                # (region building reads only activity arrays + params;
-                # the combiner state is untouched until consumption)
-                if nxt is None or nxt[3] is not None:
+                def _tick(nxt=launched):
+                    # pre-start the next span once its activity is complete
+                    # (region building reads only activity arrays + params;
+                    # the combiner state is untouched until consumption)
+                    if nxt is None or nxt[3] is not None:
+                        return False
+                    if not pool.activity_ready(nxt[1]):
+                        return True  # keep checking
+                    res2 = pool.collect_activity(nxt[1])
+                    _tr("%s: activity done (prefetched)", nxt[0][0])
+                    regions2 = _build_regions(nxt[0], nxt[2], res2)
+                    nxt[3] = (regions2, pool.start_regions(
+                        nxt[1], params, regions2, use_device_pairhmm))
                     return False
-                if not pool.activity_ready(nxt[1]):
-                    return True  # keep checking
-                res2 = pool.collect_activity(nxt[1])
-                _tr("%s: activity done (prefetched)", nxt[0][0])
-                regions2 = _build_regions(nxt[0], nxt[2], res2)
-                nxt[3] = (regions2, pool.start_regions(
-                    nxt[1], params, regions2, use_device_pairhmm))
-                return False
 
-            _consume_unit(u, run.results(deletions), tick=_tick)
-    else:
-        for u in _iter_units():
-            (contig, contig_length, reference, start, stop, max_ref_len,
-             region_block, region_reads, region_positions) = u
-            CHUNK = 1 << 18
-            bounds = [(cs, min(cs + CHUNK, stop))
-                      for cs in range(start, stop, CHUNK)]
-            results = [
-                compute_activity(
-                    aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
-                              max_ref_len, positions=region_positions)[0],
-                    reference, cs + 1, ce + 1, params)
-                for cs, ce in bounds]
-            _enter_contig(contig)
-            regions = _build_regions(u, bounds, results)
+                _consume_unit(u, run.results(deletions), tick=_tick)
+        else:
+            for u in _iter_units():
+                (contig, contig_length, reference, start, stop, max_ref_len,
+                 region_block, region_reads, region_positions) = u
+                CHUNK = 1 << 18
+                bounds = [(cs, min(cs + CHUNK, stop))
+                          for cs in range(start, stop, CHUNK)]
+                results = [
+                    compute_activity(
+                        aln_slice(region_reads, cs + 1 - max_ref_len, ce + 1,
+                                  max_ref_len, positions=region_positions)[0],
+                        reference, cs + 1, ce + 1, params)
+                    for cs, ce in bounds]
+                _enter_contig(contig)
+                regions = _build_regions(u, bounds, results)
 
-            def fill_reads(region, _reads=region_reads, _mrl=max_ref_len,
-                           _pos=region_positions):
-                region.reads, _ = aln_slice(_reads, region.padded_start(),
-                                            region.padded_end(), _mrl,
-                                            positions=_pos)
+                def fill_reads(region, _reads=region_reads, _mrl=max_ref_len,
+                               _pos=region_positions):
+                    region.reads, _ = aln_slice(_reads, region.padded_start(),
+                                                region.padded_end(), _mrl,
+                                                positions=_pos)
 
-            _consume_unit(u, _iter_region_results_serial(
-                params, regions, deletions, use_device_pairhmm, fill_reads))
+                _consume_unit(u, _iter_region_results_serial(
+                    params, regions, deletions, use_device_pairhmm, fill_reads))
+
+    try:
+        _consume_all_units()
+    except BaseException:
+        # stop the pump thread before propagating: a daemon thread
+        # blocked in q.get() would otherwise outlive this call, pinning
+        # its buffered payloads (the pump's own sticky error, if any,
+        # is subsumed by the in-flight exception)
+        try:
+            pump.close()
+        except BaseException:
+            pass
+        raise
     pump.close()  # joins the combiner thread; re-raises its failure
     if gvcf and combiner is not None:
         out_variants = flush_runs(out_variants)
@@ -940,3 +954,4 @@ def call_variants(
         out_variants = []
     _tr("call_variants returning")
     return vcf_header, out_variants
+

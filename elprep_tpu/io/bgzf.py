@@ -31,16 +31,10 @@ BGZF_EOF = bytes([
     0x00, 0x00, 0x00, 0x00,
 ])
 
-_shared_pool: Optional[ThreadPoolExecutor] = None
-
-
 def _pool() -> ThreadPoolExecutor:
-    global _shared_pool
-    if _shared_pool is None:
-        import os
+    from ..hostpool import shared_pool
 
-        _shared_pool = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 4))
-    return _shared_pool
+    return shared_pool()
 
 
 def _frame_blocks(data: bytes) -> List[range]:

@@ -8,11 +8,13 @@ same program faster than the transfer+dispatch round trips alone. This
 module centralizes the decision: batches below ``ELPREP_TPU_DEVICE_MIN_READS``
 (default 4M reads) execute their jitted programs on the host CPU
 backend via ``jax.default_device``; larger batches use the configured
-accelerator. The batched PairHMM dispatch has its own, per-dispatch
-crossover on PAIR count (~128 pairs measured on-chip including packing
-and transfer, ELPREP_TPU_PAIRHMM_MIN_PAIRS): small pipelines set
-ops/pairhmm.set_pairhmm_host_offload, and each dispatch above the pair
-threshold still runs the Pallas kernel.
+accelerator. The batched PairHMM dispatch is deliberately NOT part of
+this cost model: on a TPU session the Pallas kernel runs for every
+dispatch (measured to win from ~128 pairs including packing+transfer,
+16x at 2048 — CROSSOVER_r03.json — and to cost almost nothing below
+that), because a per-dispatch backend switch would give serial and
+pooled HC, which batch pairs differently, ulp-different likelihoods
+and break the byte-equality contract.
 
 The integer sort/dedup/table programs are bit-identical across
 backends by construction. The PairHMM f32 likelihoods are the one

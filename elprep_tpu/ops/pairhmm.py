@@ -327,21 +327,11 @@ def set_pairhmm_mesh(mesh) -> None:
 
 
 def set_pairhmm_host_offload(flag: bool) -> None:
+    """Retained for API compatibility; the PairHMM backend is now a pure
+    session property (TPU session -> Pallas for every dispatch) so that
+    serial and pooled HC, which batch pairs differently, produce
+    identical f32 likelihoods. See pairhmm_logl_pairs."""
     _HOST_OFFLOAD[0] = bool(flag)
-
-
-def _device_min_pairs() -> int:
-    """Pair-count crossover for the PairHMM dispatch: measured on the
-    real chip (tools/crossover.py --pairhmm), the Pallas kernel beats
-    the host jitted scan INCLUDING per-dispatch packing and transfer
-    from ~128 pairs; below that, round-trip latency dominates."""
-    v = os.environ.get("ELPREP_TPU_PAIRHMM_MIN_PAIRS")
-    if v:
-        try:
-            return int(v)
-        except ValueError:
-            pass
-    return 128
 
 
 def pairhmm_logl_pairs(
@@ -362,15 +352,15 @@ def pairhmm_logl_pairs(
         return np.zeros(0, np.float64)
 
     mesh = _MESH[0]
-    if (_HOST_OFFLOAD[0] and mesh is None and jax.default_backend() != "cpu"
-            and B < _device_min_pairs()):
-        # dispatch cost model, measured per-dispatch on PAIR count: the
-        # Pallas kernel beats the host including packing+transfer from
-        # ~128 pairs up (16x at 2048 — tools/crossover.py --pairhmm on
-        # the real chip), so only genuinely tiny dispatches stay on the
-        # host CPU backend
-        with jax.default_device(jax.devices("cpu")[0]):
-            return _pairhmm_logl_pairs_scan(reads, haps, pair_r, pair_h)
+    # Backend choice must be a SESSION property, never a per-dispatch
+    # one: serial HC dispatches small per-region-group batches while the
+    # pooled path batches ~8192 pairs, so any batch-size crossover would
+    # give the same (read, hap) pair ulp-different f32 likelihoods
+    # across run modes — violating the serial==parallel (and sfm==
+    # whole-file) byte-equality contract. On a TPU session the Pallas
+    # kernel therefore runs for EVERY dispatch; the measured cost is
+    # negligible even at 64 pairs (33 ms vs 26 ms host) and it wins 16x
+    # at the pooled batch sizes (CROSSOVER_r03.json).
     if jax.default_backend() == "tpu" and (mesh is None or mesh.devices.size <= 1):
         from .pairhmm_pallas import pairhmm_pallas_pairs
 

@@ -79,7 +79,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = p.parse_args(own)
     if not rest:
         p.error("missing filter command after --")
-    if any(a == "--haplotypecaller" for a in rest):
+    # match --haplotypecaller, --haplotypecaller=x, and the unambiguous
+    # argparse prefix abbreviations (--ha, --hap, ...) the downstream
+    # parser would accept (--h alone is ambiguous with --host-pairhmm
+    # and rejected there)
+    def _is_hc_flag(a: str) -> bool:
+        flag = a.split("=", 1)[0]
+        return (a.startswith("--ha") and
+                "--haplotypecaller".startswith(flag))
+
+    if any(_is_hc_flag(a) for a in rest if a.startswith("--")):
         p.error("HaplotypeCaller is not multi-host yet (run it via sfm "
                 "per-shard or single-host)")
     if "--sharded" not in rest:

@@ -227,7 +227,7 @@ def run_sharded_sort_dedup(batch: ReadBatch, header: Header, mesh,
             out[s * n_pad : s * n_pad + len(rows)] = col[rows]
         return out
 
-    from ..io.bgzf import _pool
+    from ..hostpool import shared_pool as _pool
 
     specs = (
         (batch.flag, 0x4),                 # dummies: unmapped, sort last
@@ -319,7 +319,7 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
     spans = shard_spans(header, n_shards)
     shard_of = spans[np.where(refid >= 0, refid, len(spans) - 1)]
 
-    from ..io.bgzf import _pool
+    from ..hostpool import shared_pool as _pool
 
     # per-shard host prep runs threaded: the clipping + covariate chain is
     # native C++ (releases the GIL), so shards prep concurrently

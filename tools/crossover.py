@@ -32,62 +32,23 @@ sys.path.insert(0, _REPO)
 
 
 def _sync(out) -> float:
-    import jax
-    import jax.numpy as jnp
+    from __graft_entry__ import sync_scalar
 
-    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ravel") and l.size]
-    acc = None
-    for l in leaves:
-        v = l.ravel()[0].astype(jnp.float32)
-        acc = v if acc is None else acc + v
-    return float(acc) if acc is not None else 0.0
+    return sync_scalar(out)
 
 
 def _build_step(n_rg: int, max_cycle: int, n_reads: int):
-    import jax
-    import jax.numpy as jnp
+    # the SAME jitted program bench.py times — one definition so the
+    # published crossover always measures the benchmarked step
+    from __graft_entry__ import fused_device_step
 
-    from elprep_tpu.ops import sortkeys
-    from elprep_tpu.ops.bqsr_ops import apply_bqsr, recalibrate_tables
-    from elprep_tpu.ops.dedup import mark_duplicates
-
-    cond_prior = np.full((n_rg, 94), 30, np.int32)
-    d_cyc = np.zeros((n_rg, 94, 2 * max_cycle + 1), np.int32)
-    d_ctx = np.zeros((n_rg, 94, 17), np.int32)
-    quant_lut = np.arange(94, dtype=np.uint8)
-    sqq_lut = np.arange(255, dtype=np.uint8)
-
-    @jax.jit
-    def step(base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
-             skip, op_class, op_len, ref_classes):
-        perm = sortkeys.coordinate_sort_perm(
-            flag, refid, pos, jnp.full_like(pos, 60), refid, pos,
-            jnp.zeros_like(pos), qrank)
-        rev = (flag >> 4) & 1
-        score = jnp.sum(jnp.where(qual >= 15, qual.astype(jnp.int32), 0), axis=1)
-        dup = mark_duplicates(libid, refid, pos, rev, score, qrank, flag)
-        tabs = recalibrate_tables(
-            base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
-            jnp.asarray(ref_classes), max_cycle=max_cycle, n_rg=n_rg)
-        newq, _ = apply_bqsr(
-            base, qual, seq_len, flag, rg, jnp.ones(n_rg, bool),
-            jnp.asarray(cond_prior), jnp.asarray(d_cyc), jnp.asarray(d_ctx),
-            jnp.asarray(quant_lut), jnp.asarray(sqq_lut), max_cycle=max_cycle)
-        return perm, dup, newq, tabs[0]
-
-    return step
+    return fused_device_step(n_rg=n_rg, max_cycle=max_cycle)
 
 
 def _columns(n_reads: int):
-    from __graft_entry__ import _synthetic_columns
+    from __graft_entry__ import fused_step_columns
 
-    (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
-     ref_classes) = _synthetic_columns(n_reads, 128, 1 << 20)
-    libid = np.zeros(n_reads, np.int32)
-    refid = np.zeros(n_reads, np.int32)
-    qrank = np.arange(n_reads, dtype=np.int32)
-    return [base, qual, seq_len, flag, pos, libid, refid, qrank, rg, refoff,
-            skip, op_class, op_len, ref_classes]
+    return fused_step_columns(n_reads)
 
 
 def bench_size(n_reads: int, iters: int) -> dict:
