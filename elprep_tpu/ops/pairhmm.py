@@ -27,7 +27,6 @@ modifiedQuality = min(QUAL, MAPQ) with <18 -> 6 (pairhmm.go:77-86).
 from __future__ import annotations
 
 import functools
-import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -315,23 +314,9 @@ def _round_up(v: int, m: int) -> int:
 # shards its B axis over the mesh instead of running single-device.
 _MESH: list = [None]
 
-# Host offload (dispatch cost model): when True, the batched pair
-# dispatch runs its jitted lax.scan formulation on the host CPU backend
-# instead of the accelerator — set by the CLI for batches below the
-# dispatch-latency crossover (ops/dispatch.py).
-_HOST_OFFLOAD: list = [False]
-
 
 def set_pairhmm_mesh(mesh) -> None:
     _MESH[0] = mesh
-
-
-def set_pairhmm_host_offload(flag: bool) -> None:
-    """Retained for API compatibility; the PairHMM backend is now a pure
-    session property (TPU session -> Pallas for every dispatch) so that
-    serial and pooled HC, which batch pairs differently, produce
-    identical f32 likelihoods. See pairhmm_logl_pairs."""
-    _HOST_OFFLOAD[0] = bool(flag)
 
 
 def pairhmm_logl_pairs(
