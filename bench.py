@@ -302,11 +302,19 @@ def main() -> None:
         import subprocess
 
         health = _host_health()
+        # the stress figure characterizes the HOST pipeline at
+        # representative scale: pin the CPU platform so the number is
+        # not hostage to axon-tunnel stalls (a 1M-read run sits below
+        # the columnar dispatch crossover anyway; the accelerator story
+        # is carried by the e2e/device/crossover keys above)
+        env = dict(os.environ)
+        env["ELPREP_TPU_PLATFORM"] = "cpu"
         for _ in range(2):
             p = subprocess.run(
                 [sys.executable, os.path.join(_REPO, "tools", "stress.py"),
                  "--reads", "1000000", "--json"],
-                capture_output=True, timeout=1200, text=True, cwd=_REPO)
+                capture_output=True, timeout=1200, text=True, cwd=_REPO,
+                env=env)
             if p.returncode == 0:
                 r = json.loads(p.stdout.strip().splitlines()[-1])
                 if r.get("rc") == 0:

@@ -104,6 +104,9 @@ def _build_filter_parser() -> argparse.ArgumentParser:
     p.add_argument("--haplotypecaller", default="")
     p.add_argument("--reference-confidence", default="GVCF",
                    choices=["GVCF", "BP_RESOLUTION", "NONE"])
+    p.add_argument("--assembly-region-padding", type=int, default=100,
+                   help="padding around assembly regions during variant "
+                        "calling (only with --haplotypecaller)")
     p.add_argument("--sample-name", default="")
     p.add_argument("--target-regions", default="")
     p.add_argument("--spread-file", default="")
