@@ -611,7 +611,9 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
     sample_box = [args.sample_name]
     data = run_pipeline(data, [filter_reads_by_sample_name(sample_box),
                                haplotype_call_aln], post_sort)
-    params = make_hc_params(args.reference_confidence, command_line=command_line)
+    params = make_hc_params(args.reference_confidence,
+                            assembly_region_padding=args.assembly_region_padding,
+                            command_line=command_line)
     # carried in params so spawned HC workers see the mode too
     params.randomized_qd = bool(getattr(args, "randomized_qd", False))
     if args.random_seed_file and os.path.exists(args.random_seed_file):

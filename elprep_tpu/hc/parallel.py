@@ -623,7 +623,10 @@ class HCWorkerPool:
 
         while True:
             try:
-                msg = self.res_q.get(timeout=60)
+                # short timeout: the empty branch is also the worker
+                # failure detector, and 10s bounds how long a crashed
+                # worker can leave the main process waiting
+                msg = self.res_q.get(timeout=10)
             except _queue.Empty:
                 if extra_check is not None:
                     extra_check()

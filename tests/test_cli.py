@@ -529,3 +529,42 @@ def test_bp_resolution_cli(workdir, tmp_path):
     # the het SNP is still called
     v = next((v for v in chr1 if v.pos == 2001), None)
     assert v is not None and sorted(v.genotypes[0].gt) == [0, 1]
+
+
+def test_assembly_region_padding_flag(workdir, tmp_path, monkeypatch):
+    """--assembly-region-padding reaches HCParams.padding (region
+    extension; reference: cmd/filter.go:468, default 100) and the
+    pipeline still calls the het SNP with a non-default value."""
+    wd = workdir
+    seen = []
+    from elprep_tpu.hc import activity as hact
+
+    real = hact.make_hc_params
+
+    def spy(*a, **kw):
+        p = real(*a, **kw)
+        seen.append(p.padding)
+        return p
+
+    monkeypatch.setattr("elprep_tpu.cli.make_hc_params", spy, raising=False)
+    import elprep_tpu.cli as cli_mod
+
+    # cli imports make_hc_params inside the function; patch the source
+    monkeypatch.setattr(hact, "make_hc_params", spy)
+
+    out = tmp_path / "pad60.vcf.gz"
+    rc = cli.main([
+        "filter", str(wd / "in.sam"), str(tmp_path / "pad60.bam"),
+        "--reference", str(wd / "ref.elfasta"),
+        "--haplotypecaller", str(out),
+        "--reference-confidence", "NONE",
+        "--assembly-region-padding", "60",
+        "--host-pairhmm",
+    ])
+    assert rc == 0
+    assert 60 in seen
+    from elprep_tpu.io import vcf as vcfmod
+
+    _, variants = vcfmod.read_vcf_file(str(out))
+    s = next(v for v in variants if v.pos == 2001)
+    assert sorted(s.genotypes[0].gt) == [0, 1]
