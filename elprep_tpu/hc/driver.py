@@ -12,6 +12,7 @@ reference's side channel would deliver it; the heavy per-region math
 from __future__ import annotations
 
 import math
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -339,6 +340,7 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
                    span_cols: "dict | None" = None,
                    span_rows: "np.ndarray | None" = None,
                    span_reference: bytes = b"",
+                   fill_reads=None,
                    ) -> Tuple[Optional[List[SingleVariant]],
                               Optional[PendingRegion]]:
     """Host stage of call_region up to the PairHMM inputs: finalize,
@@ -349,9 +351,20 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
     ``span_cols``/``span_rows``/``span_reference`` (the worker block's
     columnar post-preclip arrays plus this region's candidate row
     indices) enable the native one-call ref model on no-variation
-    regions (native.refconf_region; hc/refconf.py is the oracle)."""
+    regions and the native columnar finalize feeding assembly
+    (hc/refconf.py and activity.finalize_assembly_region are the
+    oracles). ``fill_reads(region)`` lazily materializes region.reads —
+    with the columnar fast paths most active regions never build
+    Python read objects at all."""
     gvcf = params.confidence_mode != "NONE"
     variants: List[SingleVariant] = []
+    reads_ready = fill_reads is None
+
+    def ensure_reads():
+        nonlocal reads_ready
+        if not reads_ready:
+            fill_reads(region)
+            reads_ready = True
 
     def ref_model_exit(target_region: AssemblyRegion, finalized: bool = True):
         """Every no-variation exit — inactive regions AND active regions
@@ -372,19 +385,47 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
             if got is not None:
                 return got, None
         if not finalized:
+            ensure_reads()
             finalize_assembly_region(target_region, params, preclip)
         reference_model_for_no_variation(params, variants, target_region, gvcf)
         return variants, None
 
-    if not region.is_active or not region.reads:
+    if span_rows is not None:
+        no_candidates = len(span_rows) == 0
+    else:
+        ensure_reads()
+        no_candidates = not region.reads
+    if not region.is_active or no_candidates:
         if params.confidence_mode == "NONE":
             return variants, None
         return ref_model_exit(region, finalized=False)
-    finalize_assembly_region(region, params, preclip)
+
+    # columnar finalize: the assembly input (sorted, region-clipped,
+    # pair-reconciled seq/qual) comes straight from the block columns in
+    # one native call — most active regions never materialize Python
+    # read objects (oracle: finalize_assembly_region + the list
+    # comprehension below; fuzzed in tests/test_assembly.py)
+    finalized = False
+    reads_sq = None
+    if span_cols is not None and span_rows is not None and \
+            not os.environ.get("ELPREP_TPU_NO_NATIVE_FINALIZE"):
+        from .. import native
+
+        fin = native.finalize_region_seq_quals(
+            span_rows, span_cols, region.padded_start(), region.padded_end())
+        if fin is not None:
+            offs, seq_c, qual_c = fin
+            reads_sq = [(seq_c[offs[k]:offs[k + 1]].tobytes(),
+                         qual_c[offs[k]:offs[k + 1]].tobytes())
+                        for k in range(len(offs) - 1)]
+    if reads_sq is None:
+        ensure_reads()
+        finalize_assembly_region(region, params, preclip)
+        finalized = True
+        reads_sq = [(r.seq, r.qual) for r in region.reads]
 
     haplotypes = assemble_reads(
-        region.reference_bases(), region.padded_start(),
-        [(r.seq, r.qual) for r in region.reads],
+        region.reference_bases(), region.padded_start(), reads_sq,
         min_base_qual=params.min_base_qual,
     )
 
@@ -397,7 +438,14 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
 
     trimming = trim(params, region, variation_events)
     if not trimming.needs_trimming:
-        return ref_model_exit(region)
+        return ref_model_exit(region, finalized=finalized)
+    if not finalized:
+        # the genotyping path consumes region.reads (trim_region, flank
+        # ref models): run the Python finalize now — semantics identical
+        # to the native one above (fuzz-pinned)
+        ensure_reads()
+        finalize_assembly_region(region, params, preclip)
+        finalized = True
 
     if params.confidence_mode == "NONE":
         region_for_genotyping = trim_region(

@@ -494,10 +494,19 @@ def _worker_loop(wid: int, req_q, res_q) -> None:
                 for rid, region, i in rest:
                     rows = st.slice_rows(region.padded_start(),
                                          region.padded_end())
-                    region.reads = st.region_reads(rows)
+                    if st.span_cols is not None:
+                        # lazy: with the columnar finalize + ref-model
+                        # fast paths most regions never materialize
+                        # Python read objects
+                        fill = (lambda r, _rows=rows:
+                                setattr(r, "reads", st.region_reads(_rows)))
+                    else:
+                        region.reads = st.region_reads(rows)
+                        fill = None
                     terminal, pending = prepare_region(
                         st.params, region, st.preclip, span_cols=st.span_cols,
-                        span_rows=rows, span_reference=st.reference)
+                        span_rows=rows, span_reference=st.reference,
+                        fill_reads=fill)
                     if pending is None:
                         out.append((rid, "term", terminal))
                     else:

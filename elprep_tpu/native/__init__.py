@@ -850,6 +850,51 @@ def refconf_region(rows, cols: dict, padded_start: int, padded_end: int,
     return ad_ref, ad_nonref, pls.reshape(n_pos, 3), gq
 
 
+def finalize_region_seq_quals(rows, cols: dict, padded_start: int,
+                              padded_end: int):
+    """Columnar finalize for an ACTIVE region's candidate rows: region
+    clip + coordinate sort + overlapping-mate reconciliation in one
+    native call, returning the assembly engine's input — concatenated
+    (seq, qual) buffers + offsets over the kept reads in sorted order
+    (oracle: finalize_assembly_region + the [(r.seq, r.qual)]
+    comprehension in hc/driver.prepare_region). Returns
+    (offs int64 [n+1], seq_concat u8, qual_concat u8) or None when the
+    native lib is unavailable or the oracle path would raise."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "finalize_region_reads"):
+        return None
+    if lib.finalize_region_reads.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.finalize_region_reads.restype = L
+        lib.finalize_region_reads.argtypes = (
+            [L, P] + [P] * 17 + [L, L] + [P, P, L, P])
+    rows = np.ascontiguousarray(rows, np.int64)
+    n = len(rows)
+    if n == 0:
+        return np.zeros(1, np.int64), np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    cap = int(np.asarray(cols["blen"])[rows].sum())
+    out_seq = np.empty(cap, np.uint8)
+    out_qual = np.empty(cap, np.uint8)
+    out_offs = np.zeros(n + 1, np.int64)
+    n_kept = lib.finalize_region_reads(
+        n, rows.ctypes.data,
+        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
+        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
+        cols["mapq"].ctypes.data, cols["qrank"].ctypes.data,
+        cols["bad_mate"].ctypes.data, cols["n_ops"].ctypes.data,
+        cols["cig_base"].ctypes.data, cols["lens"].ctypes.data,
+        cols["ops"].ctypes.data, cols["seq_data"].ctypes.data,
+        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
+        cols["qual_off"].ctypes.data, cols["bstart"].ctypes.data,
+        cols["blen"].ctypes.data,
+        padded_start, padded_end,
+        out_seq.ctypes.data, out_qual.ctypes.data, cap, out_offs.ctypes.data)
+    if n_kept < 0:
+        return None
+    return out_offs[: n_kept + 1], out_seq, out_qual
+
+
 def refconf_regions_batch(regions, out_off, positions, ends,
                           max_ref_len: int, cols: dict, ref: bytes,
                           params_i: dict, tables_d: dict):

@@ -745,9 +745,135 @@ void rc_one_to_one(const RcRead& r, std::vector<uint8_t>& ob,
   }
 }
 
+// finalize_assembly_region's columnar core over preclipped block rows:
+// region clip + coordinate sort + overlapping-mate reconciliation
+// (activity.py:1056-1103; reference haplotypecaller.go:410-443,
+// haploutils.go:368-430). Shared by the refconf region engine and the
+// standalone finalize export that feeds the assembly engine. Returns
+// false when the oracle path would raise (caller falls back to Python).
+bool rc_finalize(
+    int64_t n_sel, const int64_t* rows, const int32_t* flag,
+    const int64_t* pos, const int32_t* pnext, const int32_t* tlen,
+    const int32_t* mapq, const int32_t* qrank, const uint8_t* bad_mate,
+    const int32_t* cig_n_ops, const int64_t* cig_base,
+    const int32_t* cig_len, const uint8_t* cig_op, const uint8_t* seq_data,
+    const int64_t* seq_off, const uint8_t* qual_data, const int64_t* qual_off,
+    const int64_t* bstart, const int64_t* blen, int64_t padded_start,
+    int64_t padded_end, std::vector<RcRead>* out) {
+  std::vector<RcRead>& reads = *out;
+  reads.clear();
+  reads.reserve((size_t)n_sel);
+  for (int64_t s = 0; s < n_sel; s++) {
+    int64_t i = rows[s];
+    RcRead rr;
+    Rd& r = rr.rd;
+    r.flag = flag[i];
+    r.pos = pos[i];
+    r.pnext = pnext[i];
+    r.tlen = tlen[i];
+    r.mapq = mapq[i];
+    r.qual0 = qual_data + qual_off[i];
+    r.bstart = bstart[i];
+    r.blen = blen[i];
+    r.rname_star = false;
+    r.rnext_star = false;
+    r.err = false;
+    int64_t b = cig_base[i];
+    int64_t m = cig_n_ops[i];
+    r.cig.clear();
+    for (int64_t c = 0; c < m; c++)
+      r.cig.push_back({(int64_t)cig_len[b + c], (char)cig_op[b + c]});
+    // finalize's preclip-template skip (activity.py:995-996)
+    if (r.blen == 0 || read_length_from_cigar(r.cig) == 0) continue;
+    hard_clip_to_region(r, padded_start, padded_end);
+    if (r.err) return false;
+    // read_overlaps_region (activity.py:254-260)
+    if (r.blen == 0) continue;
+    int64_t e = read_end(r);
+    if (r.pos > e || r.pos > padded_end || e < padded_start) continue;
+    rr.seq0 = seq_data + seq_off[i];
+    rr.qrank = qrank[i];
+    rr.bad_mate = bad_mate[i];
+    reads.push_back(std::move(rr));
+  }
+
+  // coordinate sort (activity.py:1031-1042)
+  std::stable_sort(reads.begin(), reads.end(),
+                   [](const RcRead& a, const RcRead& b) {
+    if (a.rd.pos != b.rd.pos) return a.rd.pos < b.rd.pos;
+    bool ra = (a.rd.flag & REVERSED) != 0, rb = (b.rd.flag & REVERSED) != 0;
+    if (ra != rb) return rb;
+    if (a.qrank != b.qrank) return a.qrank < b.qrank;
+    if (a.rd.flag != b.rd.flag) return a.rd.flag < b.rd.flag;
+    if (a.rd.mapq != b.rd.mapq) return a.rd.mapq < b.rd.mapq;
+    if (a.rd.pnext != b.rd.pnext) return a.rd.pnext < b.rd.pnext;
+    return a.rd.tlen < b.rd.tlen;
+  });
+
+  // overlapping-mate reconciliation (activity.py:966-978)
+  {
+    std::unordered_map<int32_t, size_t> pending;
+    for (size_t k = 0; k < reads.size(); k++) {
+      Rd& r2 = reads[k].rd;
+      if (!(r2.flag & MULTIPLE) || (r2.flag & NEXT_UNMAPPED) ||
+          r2.pnext == 0 || r2.pnext > read_end(r2))
+        continue;
+      auto it = pending.find(reads[k].qrank);
+      if (it != pending.end()) {
+        size_t j = it->second;
+        pending.erase(it);
+        if (!rc_clean_overlapping_pair(&reads[j], &reads[k])) return false;
+      } else {
+        pending[reads[k].qrank] = k;
+      }
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Standalone columnar finalize for ACTIVE regions: emits the finalized
+// reads' (seq, qual) in coordinate-sorted order as concatenated buffers
+// + offsets — exactly the assembly engine's input format (assembly_try),
+// so active regions assemble without materializing Python read objects.
+// Oracle: finalize_assembly_region (activity.py:1056-1103) followed by
+// the [(r.seq, r.qual)] comprehension in prepare_region.
+// Returns n_kept >= 0, or -1 when the oracle would raise / the output
+// capacity is insufficient (caller falls back to the Python path).
+int64_t finalize_region_reads(
+    int64_t n_sel, const int64_t* rows,
+    const int32_t* flag, const int64_t* pos, const int32_t* pnext,
+    const int32_t* tlen, const int32_t* mapq, const int32_t* qrank,
+    const uint8_t* bad_mate,
+    const int32_t* cig_n_ops, const int64_t* cig_base,
+    const int32_t* cig_len, const uint8_t* cig_op,
+    const uint8_t* seq_data, const int64_t* seq_off,
+    const uint8_t* qual_data, const int64_t* qual_off,
+    const int64_t* bstart, const int64_t* blen,
+    int64_t padded_start, int64_t padded_end,
+    // outputs: concatenated seq + qual (shared offsets), capacity cap
+    uint8_t* out_seq, uint8_t* out_qual, int64_t cap, int64_t* out_offs) {
+  std::vector<RcRead> reads;
+  if (!rc_finalize(n_sel, rows, flag, pos, pnext, tlen, mapq, qrank,
+                   bad_mate, cig_n_ops, cig_base, cig_len, cig_op, seq_data,
+                   seq_off, qual_data, qual_off, bstart, blen, padded_start,
+                   padded_end, &reads))
+    return -1;
+  int64_t off = 0;
+  out_offs[0] = 0;
+  for (size_t k = 0; k < reads.size(); k++) {
+    const RcRead& r = reads[k];
+    if (off + r.rd.blen > cap) return -1;
+    std::memcpy(out_seq + off, r.seq(), (size_t)r.rd.blen);
+    std::memcpy(out_qual + off, r.qual(), (size_t)r.rd.blen);
+    off += r.rd.blen;
+    out_offs[k + 1] = off;
+  }
+  return (int64_t)reads.size();
+}
 
 // Returns 0 on success, -1 when the oracle path would raise (caller
 // falls back to the Python engine, which raises identically).
@@ -781,74 +907,14 @@ int64_t refconf_region_columnar(
   const int64_t n_pos = high - low;
   if (n_pos <= 0) return 0;
 
-  // 1. finalize: region clip over preclipped templates
+  // 1-3. finalize: region clip + coordinate sort + overlapping-mate
+  // reconciliation (shared helper, also behind finalize_region_reads)
   std::vector<RcRead> reads;
-  reads.reserve((size_t)n_sel);
-  for (int64_t s = 0; s < n_sel; s++) {
-    int64_t i = rows[s];
-    RcRead rr;
-    Rd& r = rr.rd;
-    r.flag = flag[i];
-    r.pos = pos[i];
-    r.pnext = pnext[i];
-    r.tlen = tlen[i];
-    r.mapq = mapq[i];
-    r.qual0 = qual_data + qual_off[i];
-    r.bstart = bstart[i];
-    r.blen = blen[i];
-    r.rname_star = false;
-    r.rnext_star = false;
-    r.err = false;
-    int64_t b = cig_base[i];
-    int64_t m = cig_n_ops[i];
-    r.cig.clear();
-    for (int64_t c = 0; c < m; c++)
-      r.cig.push_back({(int64_t)cig_len[b + c], (char)cig_op[b + c]});
-    // finalize's preclip-template skip (activity.py:995-996)
-    if (r.blen == 0 || read_length_from_cigar(r.cig) == 0) continue;
-    hard_clip_to_region(r, padded_start, padded_end);
-    if (r.err) return -1;
-    // read_overlaps_region (activity.py:254-260)
-    if (r.blen == 0) continue;
-    int64_t e = read_end(r);
-    if (r.pos > e || r.pos > padded_end || e < padded_start) continue;
-    rr.seq0 = seq_data + seq_off[i];
-    rr.qrank = qrank[i];
-    rr.bad_mate = bad_mate[i];
-    reads.push_back(std::move(rr));
-  }
-
-  // 2. coordinate sort (activity.py:1031-1042)
-  std::stable_sort(reads.begin(), reads.end(),
-                   [](const RcRead& a, const RcRead& b) {
-    if (a.rd.pos != b.rd.pos) return a.rd.pos < b.rd.pos;
-    bool ra = (a.rd.flag & REVERSED) != 0, rb = (b.rd.flag & REVERSED) != 0;
-    if (ra != rb) return rb;
-    if (a.qrank != b.qrank) return a.qrank < b.qrank;
-    if (a.rd.flag != b.rd.flag) return a.rd.flag < b.rd.flag;
-    if (a.rd.mapq != b.rd.mapq) return a.rd.mapq < b.rd.mapq;
-    if (a.rd.pnext != b.rd.pnext) return a.rd.pnext < b.rd.pnext;
-    return a.rd.tlen < b.rd.tlen;
-  });
-
-  // 3. overlapping-mate reconciliation (activity.py:966-978)
-  {
-    std::unordered_map<int32_t, size_t> pending;
-    for (size_t k = 0; k < reads.size(); k++) {
-      Rd& r2 = reads[k].rd;
-      if (!(r2.flag & MULTIPLE) || (r2.flag & NEXT_UNMAPPED) ||
-          r2.pnext == 0 || r2.pnext > read_end(r2))
-        continue;
-      auto it = pending.find(reads[k].qrank);
-      if (it != pending.end()) {
-        size_t j = it->second;
-        pending.erase(it);
-        if (!rc_clean_overlapping_pair(&reads[j], &reads[k])) return -1;
-      } else {
-        pending[reads[k].qrank] = k;
-      }
-    }
-  }
+  if (!rc_finalize(n_sel, rows, flag, pos, pnext, tlen, mapq, qrank,
+                   bad_mate, cig_n_ops, cig_base, cig_len, cig_op, seq_data,
+                   seq_off, qual_data, qual_off, bstart, blen, padded_start,
+                   padded_end, &reads))
+    return -1;
 
   // 4. filterNonPassingReads (activity.py:1045-1059)
   {

@@ -187,3 +187,45 @@ def test_batch_matches_per_region(mode):
         assert _flatten(got) == _flatten(want)
         n_checked += 1
     assert n_checked == 40
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_finalize_region_seq_quals_matches_python(seed):
+    """native.finalize_region_seq_quals (the assembly-input columnar
+    finalize) must emit exactly the (seq, qual) list the Python
+    finalize_assembly_region + comprehension produces — same reads,
+    same sorted order, same region-clipped windows, same
+    pair-reconciled quals."""
+    import random
+
+    reference, block = _mk_block(seed)
+    params = make_hc_params("GVCF")
+    block_reads = block.materialize()
+    preclip, cols = preclip_block(block, block_reads, params)
+    assert cols is not None
+    positions = block.pos
+    ends = block.ends()
+    mrl = block.max_reference_length()
+    rng = random.Random(seed)
+    n_nonempty = 0
+    for _ in range(60):
+        start = rng.randrange(1, 29_000)
+        end = min(start + rng.randrange(1, 400), 29_999)
+        region = AssemblyRegion(
+            contig="chr1", reference=reference, start=start, end=end,
+            extension=100, contig_length=30_000, is_active=True)
+        rows = _slice_rows(block, positions, ends, mrl,
+                           region.padded_start(), region.padded_end())
+        fin = native.finalize_region_seq_quals(
+            rows, cols, region.padded_start(), region.padded_end())
+        assert fin is not None
+        offs, seq_c, qual_c = fin
+        got = [(seq_c[offs[k]:offs[k + 1]].tobytes(),
+                qual_c[offs[k]:offs[k + 1]].tobytes())
+               for k in range(len(offs) - 1)]
+        region.reads = [block_reads[i] for i in rows]
+        finalize_assembly_region(region, params, preclip)
+        want = [(r.seq, r.qual) for r in region.reads]
+        assert got == want
+        n_nonempty += bool(want)
+    assert n_nonempty > 30  # the sweep must actually exercise reads
