@@ -404,7 +404,8 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
     # pair-reconciled seq/qual) comes straight from the block columns in
     # one native call — most active regions never materialize Python
     # read objects (oracle: finalize_assembly_region + the list
-    # comprehension below; fuzzed in tests/test_assembly.py)
+    # comprehension below; fuzz-pinned byte-equal in
+    # tests/test_refconf_native.py::test_finalize_region_seq_quals_matches_python)
     finalized = False
     reads_sq = None
     if span_cols is not None and span_rows is not None and \

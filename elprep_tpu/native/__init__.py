@@ -797,6 +797,18 @@ def good_cigar_mask(cigar_len, cigar_op):
     return out.astype(bool)
 
 
+# the rc_finalize-based C exports (refconf_region_columnar,
+# refconf_regions_batch, finalize_region_reads) share this exact column
+# order — ONE list kept in sync with clipping_native.cpp's signatures
+_RC_COLS = ("flag", "pos", "pnext", "tlen", "mapq", "qrank", "bad_mate",
+            "n_ops", "cig_base", "lens", "ops", "seq_data", "seq_off",
+            "qual_data", "qual_off", "bstart", "blen")
+
+
+def _rc_col_ptrs(cols: dict):
+    return [cols[k].ctypes.data for k in _RC_COLS]
+
+
 def refconf_region(rows, cols: dict, padded_start: int, padded_end: int,
                    low: int, high: int, ref: bytes, params_i: dict,
                    tables_d: dict):
@@ -825,15 +837,7 @@ def refconf_region(rows, cols: dict, padded_start: int, padded_end: int,
     gq = np.zeros(n_pos, np.int64)
     rc = lib.refconf_region_columnar(
         len(rows), rows.ctypes.data,
-        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
-        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
-        cols["mapq"].ctypes.data, cols["qrank"].ctypes.data,
-        cols["bad_mate"].ctypes.data, cols["n_ops"].ctypes.data,
-        cols["cig_base"].ctypes.data, cols["lens"].ctypes.data,
-        cols["ops"].ctypes.data, cols["seq_data"].ctypes.data,
-        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
-        cols["qual_off"].ctypes.data, cols["bstart"].ctypes.data,
-        cols["blen"].ctypes.data,
+        *_rc_col_ptrs(cols),
         padded_start, padded_end, low, high, ref, len(ref),
         params_i["max_indel"], params_i["min_read_len"],
         params_i["min_mapq"], params_i["max_informative"],
@@ -879,15 +883,7 @@ def finalize_region_seq_quals(rows, cols: dict, padded_start: int,
     out_offs = np.zeros(n + 1, np.int64)
     n_kept = lib.finalize_region_reads(
         n, rows.ctypes.data,
-        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
-        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
-        cols["mapq"].ctypes.data, cols["qrank"].ctypes.data,
-        cols["bad_mate"].ctypes.data, cols["n_ops"].ctypes.data,
-        cols["cig_base"].ctypes.data, cols["lens"].ctypes.data,
-        cols["ops"].ctypes.data, cols["seq_data"].ctypes.data,
-        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
-        cols["qual_off"].ctypes.data, cols["bstart"].ctypes.data,
-        cols["blen"].ctypes.data,
+        *_rc_col_ptrs(cols),
         padded_start, padded_end,
         out_seq.ctypes.data, out_qual.ctypes.data, cap, out_offs.ctypes.data)
     if n_kept < 0:
@@ -937,15 +933,7 @@ def refconf_regions_batch(regions, out_off, positions, ends,
         rhi.ctypes.data, out_off.ctypes.data,
         positions.ctypes.data, ends.ctypes.data, len(positions),
         max_ref_len,
-        cols["flag"].ctypes.data, cols["pos"].ctypes.data,
-        cols["pnext"].ctypes.data, cols["tlen"].ctypes.data,
-        cols["mapq"].ctypes.data, cols["qrank"].ctypes.data,
-        cols["bad_mate"].ctypes.data, cols["n_ops"].ctypes.data,
-        cols["cig_base"].ctypes.data, cols["lens"].ctypes.data,
-        cols["ops"].ctypes.data, cols["seq_data"].ctypes.data,
-        cols["seq_off"].ctypes.data, cols["qual_data"].ctypes.data,
-        cols["qual_off"].ctypes.data, cols["bstart"].ctypes.data,
-        cols["blen"].ctypes.data,
+        *_rc_col_ptrs(cols),
         ref, len(ref),
         params_i["max_indel"], params_i["min_read_len"],
         params_i["min_mapq"], params_i["max_informative"],

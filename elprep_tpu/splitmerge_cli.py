@@ -288,7 +288,8 @@ def sfm_command(argv: List[str]) -> int:
                     return rc
             hc_extra = copy_flags(("--reference-confidence", "--sample-name",
                                    "--activity-profile", "--assembly-regions",
-                                   "--random-seed-file", "--target-regions"))
+                                   "--random-seed-file", "--target-regions",
+                                   "--assembly-region-padding"))
             jobs = []
             for gf in group_files:
                 base = os.path.basename(gf)

@@ -546,9 +546,6 @@ def test_assembly_region_padding_flag(workdir, tmp_path, monkeypatch):
         seen.append(p.padding)
         return p
 
-    monkeypatch.setattr("elprep_tpu.cli.make_hc_params", spy, raising=False)
-    import elprep_tpu.cli as cli_mod
-
     # cli imports make_hc_params inside the function; patch the source
     monkeypatch.setattr(hact, "make_hc_params", spy)
 
@@ -568,3 +565,50 @@ def test_assembly_region_padding_flag(workdir, tmp_path, monkeypatch):
     _, variants = vcfmod.read_vcf_file(str(out))
     s = next(v for v in variants if v.pos == 2001)
     assert sorted(s.genotypes[0].gt) == [0, 1]
+
+
+def test_sfm_bqsr_hc_forwards_assembly_region_padding(workdir, tmp_path):
+    """sfm's phase-2 per-group HC jobs must forward
+    --assembly-region-padding (they are rebuilt from an allowlist, not
+    the raw argv): sfm == whole-file with a non-default padding (0)."""
+    import gzip
+
+    wd = workdir
+    common = ["--mark-duplicates", "--sorting-order", "coordinate",
+              "--bqsr-tables-only", "", "--reference", str(wd / "ref.elfasta"),
+              "--reference-confidence", "GVCF",
+              "--assembly-region-padding", "0"]
+    # whole-file run (bqsr via filter needs --bqsr; use the plain pair)
+    assert cli.main(["filter", str(wd / "in.sam"), str(tmp_path / "w.bam"),
+                     "--mark-duplicates", "--sorting-order", "coordinate",
+                     "--bqsr", str(tmp_path / "w.recal"),
+                     "--known-sites", str(wd / "sites.elsites"),
+                     "--reference", str(wd / "ref.elfasta"),
+                     "--haplotypecaller", str(tmp_path / "w.vcf.gz"),
+                     "--reference-confidence", "GVCF",
+                     "--assembly-region-padding", "0"]) == 0
+    assert cli.main(["sfm", str(wd / "in.sam"), str(tmp_path / "s.bam"),
+                     "--mark-duplicates", "--sorting-order", "coordinate",
+                     "--bqsr", str(tmp_path / "s.recal"),
+                     "--known-sites", str(wd / "sites.elsites"),
+                     "--reference", str(wd / "ref.elfasta"),
+                     "--haplotypecaller", str(tmp_path / "s.vcf.gz"),
+                     "--reference-confidence", "GVCF",
+                     "--assembly-region-padding", "0",
+                     "--contig-group-size", "1",
+                     "--tmp-path", str(tmp_path / "t")]) == 0
+    w = [l for l in gzip.open(tmp_path / "w.vcf.gz", "rt") if not l.startswith("#")]
+    s = [l for l in gzip.open(tmp_path / "s.vcf.gz", "rt") if not l.startswith("#")]
+    assert w == s
+    # and a padding-100 whole-file run must NOT equal the padding-0 one
+    # (otherwise this test could pass vacuously)
+    assert cli.main(["filter", str(wd / "in.sam"), str(tmp_path / "w100.bam"),
+                     "--mark-duplicates", "--sorting-order", "coordinate",
+                     "--bqsr", str(tmp_path / "w100.recal"),
+                     "--known-sites", str(wd / "sites.elsites"),
+                     "--reference", str(wd / "ref.elfasta"),
+                     "--haplotypecaller", str(tmp_path / "w100.vcf.gz"),
+                     "--reference-confidence", "GVCF"]) == 0
+    w100 = [l for l in gzip.open(tmp_path / "w100.vcf.gz", "rt")
+            if not l.startswith("#")]
+    assert w100 != w
