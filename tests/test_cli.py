@@ -612,3 +612,40 @@ def test_sfm_bqsr_hc_forwards_assembly_region_padding(workdir, tmp_path):
     w100 = [l for l in gzip.open(tmp_path / "w100.vcf.gz", "rt")
             if not l.startswith("#")]
     assert w100 != w
+
+
+def test_cli_corrupt_input_errors(workdir, tmp_path, capsys):
+    """Corrupt inputs produce one-line CLI errors, never tracebacks
+    (reference failure policy: log.Panic-wrapped helpers,
+    internal/files.go:89-141; here: ValueError -> one stderr line,
+    rc=1)."""
+    wd = workdir
+    # 1. plain gzip (not BGZF): missing FEXTRA flag
+    import gzip as _gz
+
+    plain_gz = tmp_path / "plain.gz"
+    with _gz.open(plain_gz, "wb") as f:
+        f.write(b"not a bam")
+    rc = cli.main(["filter", str(plain_gz), str(tmp_path / "o1.sam")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert ("FEXTRA" in err or "BGZF" in err) and "Traceback" not in err
+
+    # 2. missing input file
+    rc = cli.main(["filter", str(tmp_path / "nope.sam"),
+                   str(tmp_path / "o2.sam")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "not found" in err
+
+    # 3. SAM alignment line missing mandatory fields
+    bad = tmp_path / "bad.sam"
+    bad.write_text("@HD\tVN:1.6\n@SQ\tSN:c\tLN:100\nr1\t0\tc\t1\n")
+    rc = cli.main(["filter", str(bad), str(tmp_path / "o3.sam")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "elprep_tpu filter:" in err and "Traceback" not in err
+
+    # 4. unknown command
+    assert cli.main(["frobnicate"]) == 1
+    assert "unknown command" in capsys.readouterr().err
