@@ -21,6 +21,7 @@
 
 #include <pthread.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 #include <sys/mman.h>
 
@@ -37,15 +38,33 @@ typedef struct {
 /* Free-list of MAP_SHARED segments: a reused mapping's pages are
  * already faulted in, so repeated large allocations (the per-chunk
  * padded columns, parse temporaries) cost ~nothing instead of a full
- * refault per allocation. Bounded slots + bytes keep RSS in check. */
+ * refault per allocation. Bounded slots + bytes keep RSS in check.
+ *
+ * The byte bound should exceed the largest RECURRING column or those
+ * never cache (the old 1 GiB bound capped single allocations at 512 MB,
+ * below the ~600 MB columns of a 4M-read run). Measured effect of
+ * raising it at that scale was small (~4%): the biggest columns are
+ * allocated once per phase, so the dominant 4M-scale cost is memory
+ * bandwidth, not refaults. Default 6 GiB,
+ * ELPREP_TPU_NPALLOC_CACHE_MB overrides (0 disables caching). */
 #define CACHE_SLOTS 16
-#define CACHE_MAX_BYTES ((size_t)1 << 30) /* 1 GiB */
+#define CACHE_DEFAULT_BYTES ((size_t)6 << 30) /* 6 GiB */
+static size_t cache_max_bytes = CACHE_DEFAULT_BYTES;
 static pthread_mutex_t cache_mu = PTHREAD_MUTEX_INITIALIZER;
 static struct {
   void *p;
   size_t total;
 } seg_cache[CACHE_SLOTS];
 static size_t cache_bytes = 0;
+
+__attribute__((constructor)) static void cache_init_from_env(void) {
+  const char *v = getenv("ELPREP_TPU_NPALLOC_CACHE_MB");
+  if (v && *v) {
+    char *end = NULL;
+    unsigned long long mb = strtoull(v, &end, 10);
+    if (end && *end == '\0') cache_max_bytes = (size_t)mb << 20;
+  }
+}
 
 static void *cache_take(size_t total_need) {
   int best = -1;
@@ -69,9 +88,9 @@ static void *cache_take(size_t total_need) {
 
 static int cache_put(void *p, size_t total) {
   int stored = 0;
-  if (total > CACHE_MAX_BYTES / 2) return 0;
+  if (total > cache_max_bytes / 2) return 0;
   pthread_mutex_lock(&cache_mu);
-  if (cache_bytes + total <= CACHE_MAX_BYTES) {
+  if (cache_bytes + total <= cache_max_bytes) {
     for (int i = 0; i < CACHE_SLOTS; i++) {
       if (seg_cache[i].p == NULL) {
         seg_cache[i].p = p;
