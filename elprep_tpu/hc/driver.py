@@ -276,6 +276,7 @@ class _CombinerPump:
         self._flush = flush_runs_batch
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._exc: Optional[BaseException] = None
+        self._tb = None
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
@@ -292,18 +293,23 @@ class _CombinerPump:
                 else:
                     self._combine(item[1], item[2], item[3])
             except BaseException as e:
+                self._tb = e.__traceback__
                 self._exc = e
 
-    def _check(self) -> None:
+    def check(self) -> None:
+        """Raise the sticky failure (callable from any polling loop).
+
+        Re-raising resets the traceback to its capture-time snapshot so
+        repeated checks do not accrete raise-site frames."""
         if self._exc is not None:
-            raise self._exc
+            raise self._exc.with_traceback(self._tb)
 
     def put_batch(self, contig, reference, region_variants) -> None:
-        self._check()
+        self.check()
         self._q.put(("batch", contig, reference, region_variants))
 
     def put_flush(self) -> None:
-        self._check()
+        self.check()
         self._q.put(("flush",))
 
     def close(self) -> None:
@@ -312,7 +318,7 @@ class _CombinerPump:
         gone; the join gives the happens-before edge)."""
         self._q.put(None)
         self._t.join()
-        self._check()
+        self.check()
 
 
 class PendingRegion:
@@ -954,7 +960,8 @@ def call_variants(
                         nxt[1], params, regions2, use_device_pairhmm))
                     return False
 
-                _consume_unit(u, run.results(deletions), tick=_tick)
+                _consume_unit(u, run.results(deletions, health=pump.check),
+                              tick=_tick)
         else:
             for u in _iter_units():
                 (contig, contig_length, reference, start, stop, max_ref_len,

@@ -76,6 +76,11 @@ def make_tracer(tag: str):
 
 def _worker_main(wid: int, req_q, res_q) -> None:
     os.environ["ELPREP_TPU_PLATFORM"] = "cpu"
+    # Workers handle per-region slices, not the big batch columns: cap the
+    # npalloc MAP_SHARED segment cache well below the main process's 6 GiB
+    # default so an N-worker pool cannot retain N*6 GiB of faulted pages.
+    # An explicit user setting (inherited through spawn) still wins.
+    os.environ.setdefault("ELPREP_TPU_NPALLOC_CACHE_MB", "512")
     from .. import native as _native
 
     _native.tune_malloc()
@@ -1065,9 +1070,12 @@ class _RegionRun:
                     raise exc
                 self.ph_futures.remove(f)
 
-    def results(self, deletions):
+    def results(self, deletions, health=None):
         """Yield (region, variants, deletions) in region order; drops
-        the span when exhausted."""
+        the span when exhausted. ``health`` (optional zero-arg callable
+        that raises) is polled alongside the PairHMM error check so a
+        downstream-sink failure surfaces here instead of after more
+        dispatch work."""
         from concurrent.futures import ThreadPoolExecutor
 
         pool, gen, n = self.pool, self.gen, self.n
@@ -1108,8 +1116,16 @@ class _RegionRun:
                 if emit >= n:
                     break
                 self.check_pairhmm_errors()
+                if health is not None:
+                    health()
+
+                def _chk():
+                    self.check_pairhmm_errors()
+                    if health is not None:
+                        health()
+
                 msg = pool._recv_routed(("prep_done", "geno_done"), gen,
-                                        extra_check=self.check_pairhmm_errors)
+                                        extra_check=_chk)
                 if msg[0] == "prep_done":
                     # flow control already ran at receipt (note_prep_done);
                     # the force condition tracks CONSUMPTION so the final

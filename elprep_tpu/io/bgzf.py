@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional
+from typing import List
 
 MAX_BLOCK_SIZE = 65536
 
@@ -31,7 +30,7 @@ BGZF_EOF = bytes([
     0x00, 0x00, 0x00, 0x00,
 ])
 
-def _pool() -> ThreadPoolExecutor:
+def _pool():
     from ..hostpool import shared_pool
 
     return shared_pool()
