@@ -16,6 +16,6 @@ SURVEY §2.9 P8). The TPU-native equivalents here ride the device mesh:
 """
 
 from .mesh import make_mesh
-from .pipeline import distributed_pipeline_step, pairhmm_sharded
+from .pipeline import pairhmm_sharded
 
-__all__ = ["make_mesh", "distributed_pipeline_step", "pairhmm_sharded"]
+__all__ = ["make_mesh", "pairhmm_sharded"]

@@ -16,51 +16,53 @@ def mesh8():
     return make_mesh(8)
 
 
-def test_sharded_pipeline_matches_single_device(mesh8):
+def test_sharded_sort_dedup_step_matches_single_device(mesh8):
+    """The SHIPPED shard_mapped program (parallel/sharded.py — the one
+    `filter --sharded` jits) must give each shard the same verdicts and
+    permutation the single-device kernels give that shard's rows."""
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    import sys
+    from elprep_tpu.ops import sortkeys
+    from elprep_tpu.ops.dedup import mark_duplicates
+    from elprep_tpu.parallel.sharded import (DUPLICATE, _flat_mesh,
+                                             sharded_sort_dedup_step)
 
-    sys.path.insert(0, "/root/repo")
-    from __graft_entry__ import _synthetic_columns
-    from elprep_tpu.parallel import distributed_pipeline_step, make_mesh
-    from elprep_tpu.ops.bqsr_ops import recalibrate_tables
+    flat = _flat_mesh(mesh8)
+    n_dev = flat.devices.size
+    per = 16
+    n = per * n_dev
+    rng = np.random.RandomState(5)
+    flag = np.where(rng.rand(n) < 0.5, 0x63, 0x93).astype(np.int32)
+    refid = np.repeat(np.arange(n_dev, dtype=np.int32), per)
+    pos = rng.randint(1, 500, n).astype(np.int32)  # small range: collisions
+    mapq = np.full(n, 60, np.int32)
+    qrank = rng.permutation(n).astype(np.int32)
+    libid = np.zeros(n, np.int32)
+    upos = pos.copy()
+    rev = (flag >> 4) & 1
+    score = rng.randint(0, 3000, n).astype(np.int32)
+    cols = (flag, refid, pos, mapq, refid, pos, np.zeros(n, np.int32), qrank,
+            libid, upos, rev, score)
 
-    mesh = mesh8
-    dp, gn = mesh.devices.shape
-    max_cycle, n_rg = 128, 1
-    n_reads, read_len, ref_len = 16 * dp, 64, 512 * gn
-    cols = _synthetic_columns(n_reads, read_len, ref_len, seed=5)
-    (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
-     ref_classes) = cols
-    libid = np.zeros(n_reads, np.int32)
-    refid = np.zeros(n_reads, np.int32)
-    qrank = np.arange(n_reads, dtype=np.int32)
-    cond_prior = np.full((n_rg, 94), 30, np.int32)
-    d_cyc = np.zeros((n_rg, 94, 2 * max_cycle + 1), np.int32)
-    d_ctx = np.zeros((n_rg, 94, 17), np.int32)
-    quant_lut = np.arange(94, dtype=np.uint8)
-    sqq_lut = np.arange(255, dtype=np.uint8)
-    rg_present = np.ones(n_rg, bool)
+    step = sharded_sort_dedup_step(flat)
+    dargs = [jax.device_put(c, NamedSharding(flat, P("dp"))) for c in cols]
+    dup, perm = step(*dargs)
+    dup = np.asarray(dup).reshape(n_dev, per)
+    perm = np.asarray(perm).reshape(n_dev, per)
 
-    step = distributed_pipeline_step(mesh, max_cycle=max_cycle, n_rg=n_rg)
-    rd, rd2, gsh, rep = P("dp"), P("dp", None), P("gn"), P()
-    args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
-            ref_classes, libid, refid, qrank,
-            cond_prior, d_cyc, d_ctx, quant_lut, sqq_lut, rg_present)
-    specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, gsh, rd, rd, rd,
-             rep, rep, rep, rep, rep, rep)
-    dargs = [jax.device_put(a, NamedSharding(mesh, s)) for a, s in zip(args, specs)]
-    perm, dup, newq, tables = step(*dargs)
-
-    # single-device reference: the reduced tables must equal the
-    # unsharded accumulation over the full batch
-    import jax.numpy as jnp
-
-    tabs_full = recalibrate_tables(
-        *(jnp.asarray(c) for c in cols), max_cycle=max_cycle, n_rg=n_rg)
-    for got, want in zip(tables, tabs_full[:6]):
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for s in range(n_dev):
+        sl = slice(s * per, (s + 1) * per)
+        want_dup = np.asarray(mark_duplicates(
+            *(jnp.asarray(c[sl]) for c in (libid, refid, upos, rev, score,
+                                           qrank, flag))))
+        np.testing.assert_array_equal(dup[s], want_dup)
+        flag2 = flag[sl] | want_dup.astype(np.int32) * DUPLICATE
+        want_perm = np.asarray(sortkeys.coordinate_sort_perm(
+            jnp.asarray(flag2), jnp.asarray(refid[sl]), jnp.asarray(pos[sl]),
+            jnp.asarray(mapq[sl]), jnp.asarray(refid[sl]), jnp.asarray(pos[sl]),
+            jnp.zeros(per, jnp.int32), jnp.asarray(qrank[sl])))
+        np.testing.assert_array_equal(perm[s], want_perm)
 
 
 def test_pairhmm_sharded_matches_host(mesh8):
