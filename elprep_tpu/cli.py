@@ -662,22 +662,73 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             nr_workers = int(os.environ["ELPREP_TPU_HC_WORKERS"])
         # multi-chip PairHMM: the batched pair dispatch shards over the
         # same mesh as the sort/dedup/BQSR phases (cleared otherwise —
-        # the module state must not leak into later non-sharded runs)
+        # the module state must not leak into later non-sharded runs).
+        # Multi-host: LOCAL chips only — PairHMM dispatch composition
+        # depends on worker-pool drain timing, which is nondeterministic
+        # across processes, so no collective may ride inside it.
         from .ops.pairhmm import set_pairhmm_mesh
 
+        mh_pid, mh_n = 0, 1
         if getattr(args, "sharded", False):
-            from .parallel.mesh import make_mesh
+            import jax
 
-            set_pairhmm_mesh(make_mesh())
+            mh_n = jax.process_count()
+            mh_pid = jax.process_index()
+            if mh_n > 1:
+                from jax.sharding import Mesh
+
+                local = np.asarray(jax.local_devices())
+                set_pairhmm_mesh(
+                    Mesh(local, ("dp",)) if local.size > 1 else None)
+            else:
+                from .parallel.mesh import make_mesh
+
+                set_pairhmm_mesh(make_mesh())
         else:
             set_pairhmm_mesh(None)
+        # multi-host: contig-partitioned calling with an ordered VCF
+        # gather — the TPU-native analog of the reference's per-node sfm
+        # HC jobs + CombineVcfOutputs (cmd/sfm.go:769-876,
+        # haploutils.go:481-499). Every process derives the identical
+        # contiguous partition from the replicated batch, calls variants
+        # on its slice only, writes a shard VCF to the shared
+        # filesystem, barriers, and gathers all shards in contig order
+        # into identical final outputs.
+        hc_out = args.haplotypecaller
+        mh_shards = None
+        mh_restrict = None
+        if mh_n > 1:
+            from .parallel.multihost import hc_contig_partition
+
+            # partition ALL header contigs (zero-coverage GVCF bands are
+            # emitted per @SQ contig, so read-less contigs need an owner
+            # too), weighted by read count
+            sq_names = [sq["SN"] for sq in data.header.sq]
+            owner = hc_contig_partition(
+                [len(reads_by_contig.get(nm, ())) for nm in sq_names], mh_n)
+            mh_restrict = {nm for i, nm in enumerate(sq_names)
+                           if owner[i] == mh_pid}
+            reads_by_contig = {nm: blk for nm, blk in reads_by_contig.items()
+                               if nm in mh_restrict}
+            # shard exchange rides the shared filesystem (the reference's
+            # multi-node recipe assumes the same for its split files,
+            # README.md:679-682). Default: the output's directory; when
+            # each process writes to its own output dir, point every
+            # process at one shared dir via ELPREP_TPU_HC_SHARD_DIR.
+            shard_dir = os.environ.get(
+                "ELPREP_TPU_HC_SHARD_DIR",
+                os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".")
+            base = os.path.basename(args.haplotypecaller)
+            mh_shards = [os.path.join(shard_dir, "%s.mh%03d.part" % (base, p))
+                         for p in range(mh_n)]
+            hc_out = mh_shards[mh_pid]
         # streaming writeback: the VCF header must be written before any
         # variants, so write it from a first pass of the header builder,
         # then flush records incrementally as call_variants emits them
         os.makedirs(os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".",
                     exist_ok=True)
         sink = vcfmod.AsyncVariantSink(vcfmod.StreamingVcfWriter(
-            args.haplotypecaller,
+            hc_out,
             hcdriver.write_vcf_header(params, data.header, sample_box[0],
                                       get_reference)))
         # PairHMM placement is a session property: a TPU session runs
@@ -692,6 +743,7 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
                 use_device_pairhmm=not args.host_pairhmm,
                 activity_profile=ap, assembly_regions_out=ar,
                 nr_workers=nr_workers, variant_sink=sink,
+                restrict_contigs=mh_restrict,
             )
         finally:
             if os.environ.get("ELPREP_TPU_HC_TRACE"):
@@ -702,12 +754,30 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
                       % (_t.perf_counter() - _c0), file=sys.stderr, flush=True)
             else:
                 sink.close()
+        if mh_shards is not None:
+            # all shard VCFs visible -> gather in contig order (process
+            # p owns the p-th contiguous contig slice, so shard order IS
+            # contig order) -> every process writes an identical final
+            # VCF -> barrier again before shard cleanup so no process
+            # deletes a shard a peer is still reading
+            from .parallel.multihost import hc_gather_barrier
+            from .splitmerge_cli import _combine_vcf_outputs
+
+            hc_gather_barrier("elprep-hc-shards")
+            _combine_vcf_outputs(mh_shards, args.haplotypecaller)
+            hc_gather_barrier("elprep-hc-gathered")
+            try:
+                os.remove(mh_shards[mh_pid])
+            except OSError:
+                pass
     finally:
         if ap:
             ap.close()
         if ar:
             ar.close()
-    if args.random_seed_file:
+    if args.random_seed_file and mh_pid == 0:
+        # multi-host: only process 0 writes (the shared-filesystem path
+        # would race; per-slice LCG streams mirror sfm's per-job seeds)
         with open(args.random_seed_file, "w") as f:
             f.write(str(params.random.reflect_seed()))
 

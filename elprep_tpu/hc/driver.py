@@ -704,12 +704,16 @@ def call_variants(
     assembly_regions_out=None,
     nr_workers: int = 1,
     variant_sink=None,
+    restrict_contigs: Optional[set] = None,
 ) -> Tuple[VcfHeader, List[Variant]]:
     """Run the full HaplotypeCaller over coordinate-sorted reads.
 
     ``reads_by_contig`` maps contig name -> coordinate-sorted ClipReads;
     ``get_reference(contig) -> bytes`` supplies the (upper/N-normalized)
-    reference sequence. Returns (vcf header, variants)."""
+    reference sequence. ``restrict_contigs`` limits calling (including
+    the zero-coverage GVCF bands) to the named contigs — the multi-host
+    contig-partition hook (parallel/multihost.py); None means all header
+    contigs. Returns (vcf header, variants)."""
     vcf_header = write_vcf_header(params, sam_header, sample_name, get_reference, now)
     if assembly_regions_out is not None:
         assembly_regions_out.write("#track graphType=line\n")
@@ -753,6 +757,8 @@ def call_variants(
         for sq in sam_header.sq:
             contig = sq["SN"]
             if valid_contigs is not None and contig not in valid_contigs:
+                continue
+            if restrict_contigs is not None and contig not in restrict_contigs:
                 continue
             contig_length = sam_header.sq_ln(sq)
             contig_src = reads_by_contig.get(contig, [])

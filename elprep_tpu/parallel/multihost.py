@@ -26,10 +26,20 @@ Run one worker per host::
 
 The ``--local-devices`` flag forces D virtual CPU devices per process
 (test topology); on real TPU pods the plugin reports the local chips.
-The HaplotypeCaller phase is intentionally not multi-host yet: its
-PairHMM dispatch order depends on worker-pool drain timing, which is not
-deterministic across processes, so its collectives could misalign.  Run
-HC per-shard via sfm, or single-host.
+
+The HaplotypeCaller phase is contig-partitioned: each process calls
+variants on a contiguous slice of the contig list (balanced by read
+count — a deterministic plan every process computes identically from
+the replicated batch), its PairHMM batches shard over the process's
+LOCAL chips only (no cross-process collectives ride inside the
+worker-pool drain, whose timing is nondeterministic), and the per-
+process shard VCFs gather in contig order through the shared
+filesystem — the direct analog of the reference's per-node sfm HC
+jobs + CombineVcfOutputs (reference: cmd/sfm.go:769-876,
+haploutils.go:481-499).  Like the reference's sfm mode, each contig
+slice starts a fresh Java-LCG stream (cli.py seeds per process), so
+equality with a whole-file run holds exactly when the downsampler does
+not fire — the same contract the sfm tests pin.
 """
 
 from __future__ import annotations
@@ -37,6 +47,31 @@ from __future__ import annotations
 import os
 import sys
 from typing import List, Optional
+
+import numpy as np
+
+
+def hc_contig_partition(read_counts, n_procs: int) -> "np.ndarray":
+    """Contiguous contig->process assignment balanced by read count.
+
+    Same span formula as ``sharded.shard_spans`` (cut points at equal
+    cumulative-weight fractions), so every process derives the identical
+    plan from the replicated post-BQSR batch. Returns int32
+    [n_contigs] of owning process ids (monotone nondecreasing)."""
+    counts = np.asarray(read_counts, np.int64)
+    if len(counts) == 0:
+        return np.zeros(0, np.int32)
+    cum = np.cumsum(counts) - counts
+    total = max(int(counts.sum()), 1)
+    return np.minimum((cum * n_procs) // total, n_procs - 1).astype(np.int32)
+
+
+def hc_gather_barrier(name: str) -> None:
+    """Block until every process reaches this point (shard VCFs are
+    visible on the shared filesystem before any process gathers)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def initialize(coordinator: str, num_processes: int, process_id: int,
@@ -79,18 +114,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = p.parse_args(own)
     if not rest:
         p.error("missing filter command after --")
-    # match --haplotypecaller, --haplotypecaller=x, and the unambiguous
-    # argparse prefix abbreviations (--ha, --hap, ...) the downstream
-    # parser would accept (--h alone is ambiguous with --host-pairhmm
-    # and rejected there)
-    def _is_hc_flag(a: str) -> bool:
-        flag = a.split("=", 1)[0]
-        return (a.startswith("--ha") and
-                "--haplotypecaller".startswith(flag))
-
-    if any(_is_hc_flag(a) for a in rest if a.startswith("--")):
-        p.error("HaplotypeCaller is not multi-host yet (run it via sfm "
-                "per-shard or single-host)")
     if "--sharded" not in rest:
         rest = rest + ["--sharded"]
 

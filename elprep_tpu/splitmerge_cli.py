@@ -350,8 +350,13 @@ def _combine_vcf_outputs(paths: List[str], output: str) -> None:
     out = (header or b"") + (b"\n".join(bodies) + b"\n" if bodies else b"")
     if output.endswith(".gz"):
         out = bgzf.compress(out)
-    with open(output, "wb") as f:
+    # atomic replace: under multi-host every process gathers the same
+    # final VCF, possibly onto one shared output path (identical bytes,
+    # but partial interleaved writes must never be observable)
+    tmp = "%s.tmp.%d" % (output, os.getpid())
+    with open(tmp, "wb") as f:
         f.write(out)
+    os.replace(tmp, output)
 
 
 def merge_metrics_command(argv: List[str]) -> int:

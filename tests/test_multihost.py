@@ -129,3 +129,82 @@ def test_multihost_two_process_byte_equal(tmp_path):
         assert (out / "out.recal").read_text() == \
             (plain / "out.recal").read_text()
         assert _metrics(out / "metrics.txt") == _metrics(plain / "metrics.txt")
+
+
+def _vcf_records(p):
+    """Decompressed VCF lines minus ## meta (embeds the differing argv)."""
+    data = gzip.open(p, "rb").read() if str(p).endswith(".gz") else p.read_bytes()
+    return [l for l in data.split(b"\n") if not l.startswith(b"##")]
+
+
+@pytest.mark.slow
+def test_multihost_haplotypecaller_contig_partitioned(tmp_path):
+    """Full 5-step incl. GVCF HaplotypeCaller across 2 processes: each
+    calls variants on its contiguous contig slice and gathers the shard
+    VCFs in contig order (parallel/multihost.py) — the analog of the
+    reference's per-node sfm HC jobs (cmd/sfm.go:769-876). Outputs must
+    be identical across processes and record-equal to whole-file."""
+    genome = samgen.make_genome(CONTIGS, seed=23)
+    header = samgen.make_header_lines(
+        CONTIGS, rgs=[{"ID": "rg1", "LB": "lib1", "SM": "s1", "PU": "u1"}])
+    lines = samgen.reads_from_genome(900, CONTIGS, genome, seed=29,
+                                     rg_ids=["rg1"])
+    sam_in = tmp_path / "in.sam"
+    sam_in.write_bytes(("\n".join(header + lines) + "\n").encode())
+    fasta = tmp_path / "ref.fasta"
+    with open(fasta, "w") as f:
+        for name, _ in CONTIGS:
+            f.write(">%s\n%s\n" % (name, genome[name].decode()))
+    elfasta = tmp_path / "ref.elfasta"
+    assert cli.main(["fasta-to-elfasta", str(fasta), str(elfasta)]) == 0
+
+    def hc_args(out_dir, extra=()):
+        return _filter_args(sam_in, out_dir, elfasta, [
+            "--haplotypecaller", str(out_dir / "out.vcf.gz"),
+            "--reference-confidence", "GVCF"] + list(extra))
+
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    assert cli.main(hc_args(plain)) == 0
+
+    port = _free_port()
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # per-process output dirs (so outputs byte-compare), one shared
+    # shard-exchange dir (the shared-filesystem contract)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    env["ELPREP_TPU_HC_SHARD_DIR"] = str(shard_dir)
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"host{pid}"
+        out.mkdir()
+        outs.append(out)
+        cmd = [sys.executable, "-m", "elprep_tpu.parallel.multihost",
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num-processes", "2", "--process-id", str(pid),
+               "--local-devices", "4", "--"] + hc_args(out, ["--sharded"])
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    fail = []
+    for pid, pr in enumerate(procs):
+        try:
+            out_bytes, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            pytest.fail(f"multihost worker {pid} timed out")
+        if pr.returncode != 0:
+            fail.append((pid, pr.returncode, out_bytes.decode(errors="replace")))
+    assert not fail, f"worker failures: {fail}"
+
+    ref_records = _vcf_records(plain / "out.vcf.gz")
+    assert len(ref_records) > 10  # real GVCF content, not an empty file
+    for out in outs:
+        assert _vcf_records(out / "out.vcf.gz") == ref_records
+        assert _body(out / "out.sam") == _body(plain / "out.sam")
+    assert not list(shard_dir.glob("*.part")), "shard VCFs must be cleaned up"
+    # byte-identical final VCFs across processes (same gather everywhere)
+    assert (outs[0] / "out.vcf.gz").read_bytes() == \
+        (outs[1] / "out.vcf.gz").read_bytes()
