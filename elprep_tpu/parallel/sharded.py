@@ -31,6 +31,7 @@ Correctness structure:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -159,9 +160,14 @@ def _put(x, mesh, spec):
     return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_sort_dedup_step(mesh):
     """ONE shard_mapped device program: duplicate verdicts + the
-    post-dedup coordinate sort permutation, per shard."""
+    post-dedup coordinate sort permutation, per shard.
+
+    Memoized per mesh: rebuilding the jit object per call would retrace
+    the program every invocation (measured 0.5-0.9 s/call at 500k reads
+    on 2 virtual devices — the round-3 1->2 scaling-efficiency gap)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -288,6 +294,35 @@ def _flat_mesh(mesh):
     return jax.sharding.Mesh(devs, ("dp",))
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_recal_step(mesh, max_cycle: int, n_rg: int):
+    """Memoized psum-reduced covariate-table program (see
+    sharded_sort_dedup_step for why: per-call jit rebuilds retrace)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import bqsr_ops
+
+    def local(base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
+              op_len, ref_classes):
+        out = bqsr_ops.recalibrate_tables(
+            base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
+            op_len, ref_classes, max_cycle=max_cycle, n_rg=n_rg)
+        # the gob-merge replacement: sum per-shard tables over the mesh
+        reduced = [jax.lax.psum(t, "dp") for t in out[:6]]
+        max_abs_cycle = jax.lax.pmax(out[6], "dp")
+        return reduced, max_abs_cycle
+
+    rd = P("dp")
+    rd2 = P("dp", None)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep),
+        out_specs=([rep] * 6, rep),
+    ))
+
+
 def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
                         mesh):
     """BQSR table build over the mesh: per-shard dense covariate inputs,
@@ -363,26 +398,12 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
     n_rg = len(cov_names)
     ref_classes = np.asarray(recal.ref.classes)
 
-    def local(base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
-              op_len, ref_classes):
-        out = bqsr_ops.recalibrate_tables(
-            base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
-            op_len, ref_classes, max_cycle=max_cycle, n_rg=n_rg)
-        # the gob-merge replacement: sum per-shard tables over the mesh
-        reduced = [jax.lax.psum(t, "dp") for t in out[:6]]
-        max_abs_cycle = jax.lax.pmax(out[6], "dp")
-        return reduced, max_abs_cycle
-
+    step = _sharded_recal_step(flat, max_cycle, n_rg)
+    args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
+            op_len, ref_classes)
     rd = P("dp")
     rd2 = P("dp", None)
     rep = P()
-    step = jax.jit(jax.shard_map(
-        local, mesh=flat,
-        in_specs=(rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep),
-        out_specs=([rep] * 6, rep),
-    ))
-    args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
-            op_len, ref_classes)
     specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)
     dargs = [_put(a, flat, sp) for a, sp in zip(args, specs)]
     reduced, max_abs_cycle = step(*dargs)
