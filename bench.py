@@ -262,12 +262,17 @@ def main() -> None:
     e2e_device = None
     if platform == "accelerator":
         try:
+            # bypass BOTH cost-model gates (read count + measured link):
+            # this sample diagnoses the forced on-chip path, not the
+            # shipped routing
             os.environ["ELPREP_TPU_DEVICE_MIN_READS"] = "1"
+            os.environ["ELPREP_TPU_LINK_MBPS"] = "1e9"
             e2e_device = _e2e_bench()
         except Exception:
             e2e_device = None
         finally:
             os.environ.pop("ELPREP_TPU_DEVICE_MIN_READS", None)
+            os.environ.pop("ELPREP_TPU_LINK_MBPS", None)
 
     # PairHMM dispatch crossover at a realistic HC batch (2048 pairs,
     # incl. packing + transfer): host lax.scan vs Pallas TPU kernel
@@ -328,6 +333,44 @@ def main() -> None:
     except Exception:
         stress = None
 
+    # WGS-trajectory scale curve with PAIRED host-vs-accelerator runs:
+    # at each scale one CPU-platform run (host twins end to end) and one
+    # default-platform run (accelerator session: Pallas PairHMM on every
+    # HC dispatch; columnar phases routed by the measured-link cost
+    # model) back to back, so the comparison shares one host-oscillation
+    # window. ELPREP_TPU_BENCH_SCALE=0 skips (adds ~8 min).
+    scale_curve = []
+    if os.environ.get("ELPREP_TPU_BENCH_SCALE", "1") != "0":
+        import subprocess
+
+        for n in (1_000_000, 2_000_000, 4_000_000):
+            row = {"reads": n, "health_bgzf_50mb_s": _host_health()}
+            for tag, plat in (("host", "cpu"), ("accel", None)):
+                if plat is None and platform != "accelerator":
+                    continue
+                env = dict(os.environ)
+                if plat:
+                    env["ELPREP_TPU_PLATFORM"] = plat
+                else:
+                    env.pop("ELPREP_TPU_PLATFORM", None)
+                try:
+                    p = subprocess.run(
+                        [sys.executable,
+                         os.path.join(_REPO, "tools", "stress.py"),
+                         "--reads", str(n), "--json"],
+                        capture_output=True, timeout=1200, text=True,
+                        cwd=_REPO, env=env)
+                    if p.returncode == 0:
+                        r = json.loads(p.stdout.strip().splitlines()[-1])
+                        if r.get("rc") == 0:
+                            row[f"{tag}_s"] = r["seconds"]
+                            row[f"{tag}_reads_per_sec"] = r["reads_per_sec"]
+                except Exception:
+                    pass
+            if "host_s" in row and "accel_s" in row:
+                row["accel_wins"] = bool(row["accel_s"] < row["host_s"])
+            scale_curve.append(row)
+
     out = {
         "metric": "pipeline_e2e_reads_per_sec",
         "value": round(e2e["reads_per_sec"], 1),
@@ -349,6 +392,8 @@ def main() -> None:
             out["pairhmm_crossover_2048_host_s"] = pairhmm_cross["host_s"]
         if "accel_s" in pairhmm_cross:
             out["pairhmm_crossover_2048_accel_s"] = pairhmm_cross["accel_s"]
+    if scale_curve:
+        out["scale_curve"] = scale_curve
     if stress is not None and stress.get("rc") == 0:
         out["stress_1m_reads_per_sec"] = stress["reads_per_sec"]
         out["stress_1m_maxrss_gb"] = stress["maxrss_gb"]
