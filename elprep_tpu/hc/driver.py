@@ -281,20 +281,32 @@ class _CombinerPump:
         self._t.start()
 
     def _loop(self) -> None:
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            if self._exc is not None:
-                continue  # drain without combining after a failure
-            try:
-                if item[0] == "flush":
-                    self._flush()
-                else:
-                    self._combine(item[1], item[2], item[3])
-            except BaseException as e:
-                self._tb = e.__traceback__
-                self._exc = e
+        prof = None
+        prof_path = os.environ.get("ELPREP_TPU_PUMP_PROFILE")
+        if prof_path:
+            import cProfile
+
+            prof = cProfile.Profile()
+            prof.enable()
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                if self._exc is not None:
+                    continue  # drain without combining after a failure
+                try:
+                    if item[0] == "flush":
+                        self._flush()
+                    else:
+                        self._combine(item[1], item[2], item[3])
+                except BaseException as e:
+                    self._tb = e.__traceback__
+                    self._exc = e
+        finally:
+            if prof is not None:
+                prof.disable()
+                prof.dump_stats(prof_path)
 
     def check(self) -> None:
         """Raise the sticky failure (callable from any polling loop).
