@@ -104,7 +104,7 @@ def main() -> None:
         if p.returncode != 0:
             print("single-process failed:\n" + p.stderr[-2000:], file=sys.stderr)
             raise SystemExit(1)
-        row["single_phases"] = _parse_timed(p.stdout)
+        row["single_phases"] = _parse_timed(p.stdout + p.stderr)
 
         # N processes x D/N local devices
         s = socket.socket()
