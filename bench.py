@@ -370,6 +370,9 @@ def main() -> None:
             if "host_s" in row and "accel_s" in row:
                 row["accel_wins"] = bool(row["accel_s"] < row["host_s"])
             scale_curve.append(row)
+            # stream rows as they land: a killed run still leaves data
+            print("scale_curve_row: " + json.dumps(row), file=sys.stderr,
+                  flush=True)
 
     out = {
         "metric": "pipeline_e2e_reads_per_sec",

@@ -47,6 +47,51 @@ ACT_CHUNK = 1 << 16
 # amortize per-dispatch latency, which dominates on high-latency links)
 PAIRHMM_PAIR_TARGET = 8192
 PAIRHMM_MAX_PENDINGS = 64
+
+
+def _dispatch_tuning():
+    """(pair_target, max_pendings, dispatch_workers), link-aware.
+
+    The per-pair likelihoods are padding- and batch-invariant, so batch
+    size and dispatch concurrency are pure performance knobs: on a CPU
+    session one dispatch thread avoids contending with the HC workers;
+    on an accelerator session two pipelined dispatches hide normal
+    round-trip latency, and when the measured link latency is
+    relay-class (>= 0.25 s — the shared tunnel oscillates 0.1-2 s,
+    bench r04 measured 1M-read HC paying ~340 s of serialized
+    round-trips) the batcher quadruples the pair target and triples the
+    in-flight dispatches so latency amortizes over 4x the work.
+    ELPREP_TPU_PAIRHMM_PAIR_TARGET / _PAIRHMM_DISPATCH_WORKERS
+    override. Cached per process."""
+    if _TUNING:
+        return _TUNING[0]
+    target = PAIRHMM_PAIR_TARGET
+    pendings = PAIRHMM_MAX_PENDINGS
+    workers = 1
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            from ..ops.dispatch import probe_link_latency_s
+
+            workers = 2
+            if probe_link_latency_s() >= 0.25:
+                target *= 4
+                pendings *= 4
+                workers = 3
+    except Exception:
+        pass
+    v = os.environ.get("ELPREP_TPU_PAIRHMM_PAIR_TARGET")
+    if v:
+        target = int(v)
+    v = os.environ.get("ELPREP_TPU_PAIRHMM_DISPATCH_WORKERS")
+    if v:
+        workers = int(v)
+    _TUNING.append((target, pendings, workers))
+    return _TUNING[0]
+
+
+_TUNING: list = []
 # outstanding prepare tasks per worker before flow control kicks in
 MAX_INFLIGHT = int(os.environ.get("ELPREP_TPU_MAX_INFLIGHT", "8"))
 # receipt-side bound: how many prep results may sit unconsumed in the
@@ -1051,8 +1096,9 @@ class _RegionRun:
     def dispatch_pairhmm(self, force=False) -> None:
         if not self.pending_batch:
             return
-        if not force and self._batch_pairs() < PAIRHMM_PAIR_TARGET \
-                and len(self.pending_batch) < PAIRHMM_MAX_PENDINGS:
+        pair_target, max_pendings, _ = _dispatch_tuning()
+        if not force and self._batch_pairs() < pair_target \
+                and len(self.pending_batch) < max_pendings:
             return
         batch = self.pending_batch[:]
         del self.pending_batch[:]
@@ -1082,7 +1128,7 @@ class _RegionRun:
         regions = self.regions
         term, geno = self.term, self.geno
         redo_sent = self.redo_sent
-        self.ph_pool = ThreadPoolExecutor(max_workers=1)
+        self.ph_pool = ThreadPoolExecutor(max_workers=_dispatch_tuning()[2])
         emit = 0
         try:
             while emit < n:

@@ -81,6 +81,46 @@ def _probe_link_mbps() -> float:
     return _LINK_MBPS[0]
 
 
+_LINK_LATENCY = [None]
+
+
+def probe_link_latency_s() -> float:
+    """Measured per-dispatch round-trip latency of the accelerator link
+    (tiny put + scalar fetch, best of 2). Cached per session; override
+    with ELPREP_TPU_LINK_LATENCY_S. PCIe chips measure ~1-5 ms; the
+    shared relay oscillates 0.1-2 s — the HC PairHMM batcher uses this
+    to size its dispatches (hc/parallel._dispatch_tuning)."""
+    if _LINK_LATENCY[0] is not None:
+        return _LINK_LATENCY[0]
+    v = os.environ.get("ELPREP_TPU_LINK_LATENCY_S")
+    if v:
+        try:
+            _LINK_LATENCY[0] = float(v)
+            return _LINK_LATENCY[0]
+        except ValueError:
+            pass
+    import time
+
+    import numpy as np
+
+    try:
+        import jax
+
+        a = np.ones(128, np.uint8)
+        d = jax.device_put(a)
+        float(np.asarray(d[:1])[0])  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            d = jax.device_put(a)
+            float(np.asarray(d[:1])[0])
+            best = min(best, time.perf_counter() - t0)
+        _LINK_LATENCY[0] = best
+    except Exception:
+        _LINK_LATENCY[0] = 0.0
+    return _LINK_LATENCY[0]
+
+
 def _threshold() -> int:
     v = os.environ.get("ELPREP_TPU_DEVICE_MIN_READS")
     if v:
