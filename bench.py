@@ -374,6 +374,20 @@ def main() -> None:
             print("scale_curve_row: " + json.dumps(row), file=sys.stderr,
                   flush=True)
 
+    # document the link this capture ran over: accelerator numbers are
+    # meaningless without the relay's state (measured 15-135 MB/s and
+    # 0.1-2 s round-trip latency across rounds)
+    link_mbps = link_lat = None
+    if platform == "accelerator":
+        try:
+            from elprep_tpu.ops.dispatch import (_probe_link_mbps,
+                                                 probe_link_latency_s)
+
+            link_mbps = round(_probe_link_mbps(), 1)
+            link_lat = round(probe_link_latency_s(), 4)
+        except Exception:
+            pass
+
     out = {
         "metric": "pipeline_e2e_reads_per_sec",
         "value": round(e2e["reads_per_sec"], 1),
@@ -386,6 +400,10 @@ def main() -> None:
         "pairhmm_gcups": round(gcups, 3),
         "platform": platform,
     }
+    if link_mbps is not None:
+        out["link_h2d_mbps"] = link_mbps
+    if link_lat is not None:
+        out["link_roundtrip_s"] = link_lat
     if host_step_reads_per_sec is not None:
         out["host_step_reads_per_sec"] = round(host_step_reads_per_sec, 1)
     if e2e_device is not None:
