@@ -922,13 +922,24 @@ def build_apply_tables(tables: BaseRecalibratorTables):
 
 
 def _writeback_quals(batch, newq: np.ndarray) -> None:
-    """Write recalibrated [n, width] quals back into the ragged buffer."""
-    lens = batch.qual.lengths.astype(np.int64)
+    """Write recalibrated [n, width] quals back into the ragged buffer.
+
+    The native row-wise memcpy replaces the dense boolean-mask gather,
+    which materialized an [n, width] mask plus a 100M+-element fancy
+    index at WGS scale (~6 s/1M reads -> ~0.05 s; fuzz-pinned twin in
+    tests/test_native.py)."""
     total = int(batch.qual.offsets[-1])
-    if total:
-        cols = np.arange(newq.shape[1])
-        mask = cols[None, :] < lens[:, None]
-        batch.qual.data[:] = newq[mask]
+    if not total:
+        return
+    from .. import native
+
+    newq = np.ascontiguousarray(newq, dtype=batch.qual.data.dtype)
+    if native.padded_to_ragged(newq, batch.qual.offsets, batch.qual.data):
+        return
+    lens = batch.qual.lengths.astype(np.int64)
+    cols = np.arange(newq.shape[1])
+    mask = cols[None, :] < lens[:, None]
+    batch.qual.data[:] = newq[mask]
 
 
 def apply_bqsr_filter(

@@ -162,7 +162,8 @@ def sam_tokenize(data: bytes, start: int) -> Optional[Tuple]:
 
 
 def _bind_ragged(lib) -> None:
-    for name in ("ranged_gather_u8", "ranged_scatter_u8", "ragged_to_padded"):
+    for name in ("ranged_gather_u8", "ranged_scatter_u8", "ragged_to_padded",
+                 "padded_to_ragged"):
         fn = getattr(lib, name, None)
         if fn is None:
             return
@@ -174,6 +175,10 @@ def _bind_ragged(lib) -> None:
                                                               ctypes.c_void_p, ctypes.c_int]
     lib.ragged_to_padded.restype = None
     lib.ragged_to_padded.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_longlong, ctypes.c_longlong,
+                                     ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int]
+    lib.padded_to_ragged.restype = None
+    lib.padded_to_ragged.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_longlong, ctypes.c_longlong,
                                      ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int]
 
@@ -224,6 +229,26 @@ def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
     lib.ragged_to_padded(data.ctypes.data, offsets.ctypes.data, n, width,
                          data.dtype.itemsize, out.ctypes.data, _DEFAULT_THREADS[0])
     return out
+
+
+def padded_to_ragged(padded: np.ndarray, offsets: np.ndarray,
+                     out: np.ndarray) -> bool:
+    """Inverse of ragged_to_padded: write row i's first len(i) elements of
+    dense ``padded`` [n, width] into ``out`` (flat ragged buffer) at
+    offsets[i]. Returns False when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "padded_to_ragged"):
+        return False
+    _bind_ragged(lib)
+    n = len(offsets) - 1
+    padded = np.ascontiguousarray(padded)
+    if padded.dtype.itemsize != out.dtype.itemsize or not out.flags.c_contiguous:
+        return False
+    offsets = np.ascontiguousarray(offsets.astype(np.int64))
+    lib.padded_to_ragged(padded.ctypes.data, offsets.ctypes.data, n,
+                         padded.shape[1], padded.dtype.itemsize,
+                         out.ctypes.data, _DEFAULT_THREADS[0])
+    return True
 
 
 # mode bits for clip_reads (mirror clipping_native.cpp)

@@ -392,6 +392,35 @@ void ragged_to_padded(const uint8_t* data, const int64_t* offsets,
   for (auto& th : threads) th.join();
 }
 
+// Parallel unpad (inverse of ragged_to_padded): dense [n_rows, width]
+// rows -> flat ragged buffer at offsets, elem_size bytes per element.
+// Rows longer than width keep their tail bytes untouched in `out`.
+void padded_to_ragged(const uint8_t* data, const int64_t* offsets,
+                      int64_t n_rows, int64_t width, int64_t elem_size,
+                      uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 2048;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        int64_t len = offsets[i + 1] - offsets[i];
+        if (len > width) len = width;
+        if (len > 0)
+          memcpy(out + offsets[i] * elem_size, data + i * width * elem_size,
+                 (size_t)(len * elem_size));
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 // Parallel BAM SEQ nibble packing: row i of (data + offsets) holds ASCII
 // bases; emit (len+1)/2 packed bytes at out + out_offsets[i], high nibble
 // first, odd trailing low nibble zero (reference: sam/bam-files.go nibble

@@ -439,3 +439,31 @@ def test_native_apply_quals_match_jit_oracle():
         cols = np.arange(L)
         vmask = cols[None, :] < seq_len[:, None]
         assert newq_n[vmask].tolist() == newq_j[vmask].tolist(), trial
+
+
+def test_native_padded_to_ragged_matches_mask_writeback():
+    """Fuzz the native padded->ragged unpad (the ApplyBQSR qual
+    writeback fast path) against the boolean-mask numpy formulation it
+    replaced: random ragged lengths incl. zero-length rows, width
+    wider than the longest row, and a non-u8 dtype."""
+    from elprep_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(77)
+    for trial in range(10):
+        n = int(rng.randint(1, 400))
+        lens = rng.randint(0, 60, n).astype(np.int64)
+        lens[rng.rand(n) < 0.2] = 0
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        width = int(lens.max() if lens.max() else 1) + int(rng.randint(0, 9))
+        dtype = np.uint8 if trial % 2 == 0 else np.int32
+        padded = rng.randint(0, 250, (n, width)).astype(dtype)
+        got = np.full(int(off[-1]), 255, dtype)
+        ok = native.padded_to_ragged(padded, off, got)
+        assert ok
+        mask = np.arange(width)[None, :] < lens[:, None]
+        assert got.tolist() == padded[mask].tolist(), trial
