@@ -982,6 +982,29 @@ def apply_bqsr_filter(
                     cov = bytes(rgv).decode()
                 lut[j] = cov_index.get(cov, -1)
             rg = lut[inv].astype(np.int32)
+            from ..ops.dispatch import routes_to_host
+
+            if routes_to_host(n):
+                # ragged in-place apply: no padded [n, width] base/qual/
+                # newq intermediates (each ~150 MB at 1M reads; fresh
+                # first-touch faults are pathologically slow on this
+                # host class) and no writeback pass
+                from .. import native
+
+                same_off = (batch.seq.offsets is batch.qual.offsets
+                            or np.array_equal(batch.seq.offsets,
+                                              batch.qual.offsets))
+                if same_off:
+                    mac = native.bqsr_apply_quals_ragged(
+                        batch.seq.data, batch.qual.data, batch.qual.offsets,
+                        batch.flag, rg, rg_present, cond_prior, d_cyc, d_ctx,
+                        quant, sqq_lut, max_cycle)
+                    if mac is not None:
+                        if mac > max_cycle:
+                            raise ValueError(
+                                "cycle value exceeds maximum cycle value")
+                        return None
+
             width = int(max(batch.qual.lengths.max(initial=0), batch.seq.lengths.max(initial=0), 1))
             width = ((width + 31) // 32) * 32
             n_pad = 1
@@ -989,7 +1012,6 @@ def apply_bqsr_filter(
                 n_pad *= 2
             qual_padded, qual_len = batch.qual.to_padded(width)
             base_padded, _ = batch.seq.to_padded(width)
-            from ..ops.dispatch import routes_to_host
 
             if routes_to_host(n):
                 # native apply engine (the jitted apply_bqsr below is

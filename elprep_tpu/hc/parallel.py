@@ -156,10 +156,18 @@ def _worker_main(wid: int, req_q, res_q) -> None:
     _worker_loop(wid, req_q, res_q)
 
 
-def _arrays_to_shm(arrays: dict):
+def _arrays_to_shm(arrays: dict, pool: "list | None" = None):
     """Copy named arrays into ONE posix shared-memory segment. Returns
     ``((shm_name, metas), shm)`` where ``metas[name] = (offset, shape,
-    dtype_str)`` — the worker-side view constructor input."""
+    dtype_str)`` — the worker-side view constructor input.
+
+    ``pool`` is an optional free-list of previously used segments:
+    first-touch faults on fresh tmpfs pages run 10-100x slower than
+    warm rewrites on this host class (erratic fault-rate, see
+    CLAUDE.md), so reusing a span's segment for the next span turns a
+    ~2 s/span main-thread copy into ~0.05 s. A reused segment may be
+    larger than needed; sizes round up to 16 MiB so consecutive spans
+    hit the same segment."""
     from multiprocessing import shared_memory
 
     total = 0
@@ -171,7 +179,16 @@ def _arrays_to_shm(arrays: dict):
         off = (total + 63) & ~63
         metas[k] = (off, a.shape, a.dtype.str)
         total = off + a.nbytes
-    shm = shared_memory.SharedMemory(create=True, size=max(1, total))
+    total = max(1, total)
+    shm = None
+    if pool:
+        for i, cand in enumerate(pool):
+            if cand.size >= total:
+                shm = pool.pop(i)
+                break
+    if shm is None:
+        shm = shared_memory.SharedMemory(
+            create=True, size=(total + (16 << 20) - 1) & ~((16 << 20) - 1))
     try:
         for k, a in bufs.items():
             off = metas[k][0]
@@ -181,6 +198,25 @@ def _arrays_to_shm(arrays: dict):
         shm.unlink()
         raise
     return (shm.name, metas), shm
+
+
+# Bound on pooled (warm) spare segments: one active span + one
+# pre-started span + the recal map segment.
+_SHM_POOL_SLOTS = 2
+
+
+def _release_shm(pool: list, shm) -> None:
+    """Return a segment to the free pool (largest kept), unlinking the
+    overflow."""
+    pool.append(shm)
+    pool.sort(key=lambda s: s.size)
+    while len(pool) > _SHM_POOL_SLOTS:
+        victim = pool.pop(0)
+        try:
+            victim.close()
+            victim.unlink()
+        except Exception:
+            pass
 
 
 def _attach_shm_batch(desc, names):
@@ -649,6 +685,7 @@ class HCWorkerPool:
         self._act_seen: Dict[int, int] = {}
         self._runs: Dict[int, "_RegionRun"] = {}
         self._span_shm: Dict[int, list] = {}  # gen -> [shm, pending acks]
+        self._shm_pool: list = []  # warm spare segments for reuse
         self.res_q = ctx.Queue()
         self.req_qs = [ctx.Queue() for _ in range(n_workers)]
         self.procs = [
@@ -676,6 +713,13 @@ class HCWorkerPool:
             except Exception:
                 pass
         self._span_shm.clear()
+        for shm in self._shm_pool:
+            try:
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
+        self._shm_pool.clear()
 
     def _recv_raw(self, extra_check=None):
         import queue as _queue
@@ -711,8 +755,7 @@ class HCWorkerPool:
                     ent[1] -= 1
                     if ent[1] <= 0:
                         del self._span_shm[gen]
-                        ent[0].close()
-                        ent[0].unlink()
+                        _release_shm(self._shm_pool, ent[0])
                 continue
             return msg
 
@@ -805,7 +848,7 @@ class HCWorkerPool:
                     seq_data=reads.seq.data, seq_off=reads.seq.offsets,
                     qual_data=reads.qual.data, qual_off=reads.qual.offsets,
                     qname=reads.qname, rnext_id=reads.rnext_id,
-                    row=reads.row))
+                    row=reads.row), pool=self._shm_pool)
                 self._span_shm[gen] = [shm, self.n]
             except Exception:
                 shm_desc = None
@@ -931,7 +974,7 @@ class HCWorkerPool:
                 qual_data=batch.qual.data, qual_off=batch.qual.offsets,
                 tags_data=batch.tags.raw.data,
                 tags_off=batch.tags.raw.offsets,
-            ))
+            ), pool=self._shm_pool)
         except Exception:
             if batch_shm is not None:
                 batch_shm.close()
@@ -976,8 +1019,8 @@ class HCWorkerPool:
                 shm.close()
                 shm.unlink()
             if batch_shm is not None:
-                batch_shm.close()
-                batch_shm.unlink()
+                # keep the warm segment for the HC spans that follow
+                _release_shm(self._shm_pool, batch_shm)
 
     def start_regions(self, gen, params, regions, use_device_pairhmm
                       ) -> "_RegionRun":

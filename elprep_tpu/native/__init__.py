@@ -756,6 +756,49 @@ def bqsr_apply_quals(base, qual, seq_len, flag, rg, rg_present, cond_prior,
     return out, int(mac)
 
 
+def bqsr_apply_quals_ragged(base_data, qual_data, offsets, flag, rg,
+                            rg_present, cond_prior, d_cyc, d_ctx, quant_lut,
+                            sqq_lut, max_cycle: int, n_threads: int = 0):
+    """Native ApplyBQSR over the ragged seq/qual buffers IN PLACE:
+    recalibrated quals are written straight into ``qual_data``, so no
+    padded [m, L] base/qual/newq intermediates exist (each is ~150 MB
+    at 1M reads, and fresh first-touch faults on this host class run
+    10-100x slower than warm pages). Requires seq and qual to share
+    ``offsets``. Returns max_abs_cycle or None without the native lib.
+    The padded bqsr_apply_quals (itself fuzzed against the jit oracle)
+    is this twin's oracle in tests/test_bqsr.py."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bqsr_apply_quals_ragged"):
+        return None
+    if lib.bqsr_apply_quals_ragged.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.bqsr_apply_quals_ragged.restype = L
+        lib.bqsr_apply_quals_ragged.argtypes = [L] + [P] * 11 + [L] * 2 + [P, L]
+    if (base_data.dtype != np.uint8 or qual_data.dtype != np.uint8
+            or not base_data.flags.c_contiguous
+            or not qual_data.flags.c_contiguous):
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    flag = np.ascontiguousarray(flag, np.int32)
+    rg = np.ascontiguousarray(rg, np.int32)
+    rg_present = np.ascontiguousarray(rg_present, np.uint8)
+    cond_prior = np.ascontiguousarray(cond_prior, np.int32)
+    d_cyc = np.ascontiguousarray(d_cyc, np.int32)
+    d_ctx = np.ascontiguousarray(d_ctx, np.int32)
+    quant_lut = np.ascontiguousarray(quant_lut, np.uint8)
+    sqq_lut = np.ascontiguousarray(sqq_lut, np.uint8)
+    m = len(offsets) - 1
+    n_rg = cond_prior.shape[0]
+    mac = lib.bqsr_apply_quals_ragged(
+        m, base_data.ctypes.data, qual_data.ctypes.data, offsets.ctypes.data,
+        flag.ctypes.data, rg.ctypes.data, rg_present.ctypes.data,
+        cond_prior.ctypes.data, d_cyc.ctypes.data, d_ctx.ctypes.data,
+        quant_lut.ctypes.data, sqq_lut.ctypes.data, max_cycle, n_rg,
+        qual_data.ctypes.data, n_threads or _DEFAULT_THREADS[0])
+    return int(mac)
+
+
 def stable_sort_idx(w0, w1=None, w2=None, w3=None):
     """Stable index sort by up to four packed uint64 key words. Returns
     int32 perm or None without the native lib — equal to np.lexsort

@@ -1310,18 +1310,34 @@ struct ApplyArgs {
   const unsigned char* sqq_lut;
   long long max_cycle, n_rg;
   unsigned char* out;
+  // ragged mode: when non-null, row r's bytes live at offsets[r] of
+  // base/qual/out (shared seq==qual offsets) and L/seq_len are unused.
+  // out may alias qual (in-place recalibration, no big intermediates).
+  const int64_t* offsets;
 };
 
 long long apply_rows(const ApplyArgs& a, long long r0, long long r1) {
   const long long ncyc = 2 * a.max_cycle + 1;
   long long mac = 0;
   for (long long row = r0; row < r1; row++) {
-    const long long sl = a.seq_len[row];
-    const unsigned char* qrow = a.qual + row * a.L;
-    const unsigned char* brow = a.base + row * a.L;
-    unsigned char* orow = a.out + row * a.L;
-    // invalid columns keep the input qual (oracle: out = where(mask, newq, q))
-    memcpy(orow, qrow, a.L);
+    long long sl;
+    const unsigned char* qrow;
+    const unsigned char* brow;
+    unsigned char* orow;
+    if (a.offsets) {
+      sl = a.offsets[row + 1] - a.offsets[row];
+      qrow = a.qual + a.offsets[row];
+      brow = a.base + a.offsets[row];
+      orow = a.out + a.offsets[row];
+      if (orow != qrow && sl > 0) memcpy(orow, qrow, (size_t)sl);
+    } else {
+      sl = a.seq_len[row];
+      qrow = a.qual + row * a.L;
+      brow = a.base + row * a.L;
+      orow = a.out + row * a.L;
+      // invalid columns keep the input qual (oracle: out = where(mask, newq, q))
+      memcpy(orow, qrow, a.L);
+    }
     if (sl <= 0) continue;
     const int f = a.flag[row];
     const int rev = (f >> 4) & 1;
@@ -1392,6 +1408,40 @@ extern "C" long long bqsr_apply_quals(
     unsigned char* out, long long n_threads) {
   ApplyArgs a{m, L, base, qual, seq_len, flag, rg, rg_present, cond_prior,
               d_cyc, d_ctx, quant_lut, sqq_lut, max_cycle, n_rg, out};
+  long long nt = n_threads < 1
+      ? (long long)std::thread::hardware_concurrency() : n_threads;
+  if (nt < 1) nt = 1;
+  if (nt > m) nt = m < 1 ? 1 : m;
+  if (nt == 1) return apply_rows(a, 0, m);
+  std::vector<std::thread> ths;
+  std::vector<long long> macs(nt, 0);
+  for (long long t = 0; t < nt; t++) {
+    ths.emplace_back([&, t]() {
+      macs[t] = apply_rows(a, (m * t) / nt, (m * (t + 1)) / nt);
+    });
+  }
+  long long mac = 0;
+  for (long long t = 0; t < nt; t++) {
+    ths[t].join();
+    if (macs[t] > mac) mac = macs[t];
+  }
+  return mac;
+}
+
+// Ragged (offsets-addressed) ApplyBQSR; `out` may alias `qual` for
+// in-place recalibration — rows are disjoint so the row-parallel
+// threading stays safe, and within a row every qual byte is read
+// before its own write (the left/right scan precedes the write loop).
+extern "C" long long bqsr_apply_quals_ragged(
+    long long m, const unsigned char* base, const unsigned char* qual,
+    const int64_t* offsets, const int* flag, const int* rg,
+    const unsigned char* rg_present, const int* cond_prior,
+    const int* d_cyc, const int* d_ctx, const unsigned char* quant_lut,
+    const unsigned char* sqq_lut, long long max_cycle, long long n_rg,
+    unsigned char* out, long long n_threads) {
+  ApplyArgs a{m, 0, base, qual, nullptr, flag, rg, rg_present, cond_prior,
+              d_cyc, d_ctx, quant_lut, sqq_lut, max_cycle, n_rg, out,
+              offsets};
   long long nt = n_threads < 1
       ? (long long)std::thread::hardware_concurrency() : n_threads;
   if (nt < 1) nt = 1;

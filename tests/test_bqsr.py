@@ -467,3 +467,56 @@ def test_native_padded_to_ragged_matches_mask_writeback():
         assert ok
         mask = np.arange(width)[None, :] < lens[:, None]
         assert got.tolist() == padded[mask].tolist(), trial
+
+
+def test_native_apply_quals_ragged_matches_padded():
+    """Fuzz the ragged in-place ApplyBQSR against the padded engine
+    (itself fuzzed against the jit oracle above): random ragged
+    lengths incl. zero-length rows, rg=-1 rows, both strands/mate
+    orders. The ragged twin must mutate the qual buffer to exactly the
+    padded engine's writeback."""
+    from elprep_tpu import native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(),
+                                               "bqsr_apply_quals_ragged"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(113)
+    for trial in range(8):
+        m = int(rng.randint(1, 60))
+        n_rg = int(rng.randint(1, 4))
+        max_cycle = int(rng.randint(8, 120))
+        ncyc = 2 * max_cycle + 1
+        lens = rng.randint(0, 70, m).astype(np.int64)
+        lens[rng.rand(m) < 0.15] = 0
+        off = np.zeros(m + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        total = int(off[-1])
+        base_flat = rng.choice(np.frombuffer(b"ACGTNacgt*", np.uint8),
+                               total).astype(np.uint8)
+        qual_flat = rng.randint(0, 100, total).astype(np.uint8)
+        flag = rng.randint(0, 256, m).astype(np.int32)
+        rg = (rng.randint(0, n_rg + 1, m) - 1).astype(np.int32)
+        rg_present = (rng.rand(n_rg) < 0.8).astype(np.uint8)
+        cond_prior = rng.randint(1, 90, (n_rg, 94)).astype(np.int32)
+        d_cyc = rng.randint(-20, 20, (n_rg, 94, ncyc)).astype(np.int32)
+        d_ctx = rng.randint(-20, 20, (n_rg, 94, 17)).astype(np.int32)
+        quant = rng.randint(0, 94, 94).astype(np.uint8)
+        sqq = rng.randint(0, 94, 255).astype(np.uint8)
+
+        width = int(lens.max(initial=0)) + 3
+        pad = lambda flat: np.stack([  # noqa: E731
+            np.pad(flat[off[i]:off[i + 1]], (0, width - lens[i]))
+            for i in range(m)])
+        newq_p, mac_p = native.bqsr_apply_quals(
+            pad(base_flat), pad(qual_flat), lens.astype(np.int32), flag, rg,
+            rg_present, cond_prior, d_cyc, d_ctx, quant, sqq, max_cycle)
+
+        got = qual_flat.copy()
+        mac_r = native.bqsr_apply_quals_ragged(
+            base_flat, got, off, flag, rg, rg_present, cond_prior, d_cyc,
+            d_ctx, quant, sqq, max_cycle)
+        assert mac_r == mac_p, trial
+        mask = np.arange(width)[None, :] < lens[:, None]
+        assert got.tolist() == newq_p[mask].tolist(), trial
