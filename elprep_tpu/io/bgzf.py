@@ -116,16 +116,20 @@ def _deflate_block(chunk: bytes, level: int) -> bytes:
     return header + payload + trailer
 
 
-def compress(data: bytes, level: int = 6, eof: bool = True) -> bytes:
+def compress(data, level: int = 6, eof: bool = True, as_view: bool = False):
     """Compress a byte buffer into BGZF blocks (64KB chop, parallel) and
     append the EOF marker (reference: bgzf-files.go:324-431).
-    Uses the native C++ codec when available."""
+    Uses the native C++ codec when available. ``data`` may be any
+    bytes-like; ``as_view`` returns a writable-to-file memoryview
+    instead of bytes (saves a multi-MB copy per streaming flush)."""
     from .. import native
 
     if native.available():
-        out = native.bgzf_compress(data, level=level, eof=eof)
+        out = native.bgzf_compress(data, level=level, eof=eof,
+                                   as_view=as_view)
         if out is not None:
             return out
+    data = bytes(data)
     chunks = [data[i : i + MAX_BLOCK_SIZE] for i in range(0, len(data), MAX_BLOCK_SIZE)]
     if len(chunks) <= 1:
         blocks = [_deflate_block(c, level) for c in chunks]
@@ -214,9 +218,12 @@ class StreamingBgzfWriter:
         self.buf += data
         if len(self.buf) >= self.flush_bytes:
             whole = (len(self.buf) // MAX_BLOCK_SIZE) * MAX_BLOCK_SIZE
-            self.f.write(compress(bytes(self.buf[:whole]), self.level, eof=False))
+            with memoryview(self.buf) as mv:
+                self.f.write(compress(mv[:whole], self.level, eof=False,
+                                      as_view=True))
             del self.buf[:whole]
 
     def close(self) -> None:
-        self.f.write(compress(bytes(self.buf), self.level, eof=True))
+        with memoryview(self.buf) as mv:
+            self.f.write(compress(mv, self.level, eof=True, as_view=True))
         self.buf = bytearray()

@@ -66,7 +66,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bgzf_compress_bound.argtypes = [ctypes.c_size_t]
     lib.bgzf_compress.restype = ctypes.c_longlong
     lib.bgzf_compress.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.sam_count_lines.restype = ctypes.c_longlong
     lib.sam_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t]
@@ -111,18 +111,28 @@ def bgzf_decompress(data: bytes, n_threads: int = 0) -> Optional[bytes]:
     return out.tobytes()
 
 
-def bgzf_compress(data: bytes, level: int = 6, n_threads: int = 0,
-                  eof: bool = True) -> Optional[bytes]:
+def bgzf_compress(data, level: int = 6, n_threads: int = 0,
+                  eof: bool = True, as_view: bool = False):
+    """Parallel BGZF compress. ``data`` is any C-contiguous bytes-like
+    (bytes, bytearray, memoryview) — non-bytes inputs avoid an upfront
+    copy. With ``as_view`` the compressed output returns as a
+    memoryview over the backing array (no bytes copy) for callers that
+    only hand it to file.write."""
     lib = get_lib()
     if lib is None:
         return None
-    cap = lib.bgzf_compress_bound(len(data))
+    if isinstance(data, bytes):
+        src_ptr, src_len = data, len(data)
+    else:
+        a = np.frombuffer(data, np.uint8)
+        src_ptr, src_len = a.ctypes.data, len(a)
+    cap = lib.bgzf_compress_bound(src_len)
     out = np.empty(cap, np.uint8)
-    n = lib.bgzf_compress(data, len(data), out.ctypes.data, cap, level, n_threads or _DEFAULT_THREADS[0],
-                          1 if eof else 0)
+    n = lib.bgzf_compress(src_ptr, src_len, out.ctypes.data, cap, level,
+                          n_threads or _DEFAULT_THREADS[0], 1 if eof else 0)
     if n < 0:
         raise ValueError(f"BGZF compress failed (code {n})")
-    return out[:n].tobytes()
+    return memoryview(out)[:n] if as_view else out[:n].tobytes()
 
 
 def sam_tokenize(data: bytes, start: int) -> Optional[Tuple]:
