@@ -47,14 +47,16 @@ typedef struct {
  * allocated once per phase, so the dominant 4M-scale cost is memory
  * bandwidth, not refaults. Default 6 GiB,
  * ELPREP_TPU_NPALLOC_CACHE_MB overrides (0 disables caching). */
-#define CACHE_SLOTS 16
+#define CACHE_SLOTS_MAX 128
+#define CACHE_SLOTS_DEFAULT 64
 #define CACHE_DEFAULT_BYTES ((size_t)6 << 30) /* 6 GiB */
 static size_t cache_max_bytes = CACHE_DEFAULT_BYTES;
+static int cache_slots = CACHE_SLOTS_DEFAULT;
 static pthread_mutex_t cache_mu = PTHREAD_MUTEX_INITIALIZER;
 static struct {
   void *p;
   size_t total;
-} seg_cache[CACHE_SLOTS];
+} seg_cache[CACHE_SLOTS_MAX];
 static size_t cache_bytes = 0;
 
 __attribute__((constructor)) static void cache_init_from_env(void) {
@@ -64,14 +66,34 @@ __attribute__((constructor)) static void cache_init_from_env(void) {
     unsigned long long mb = strtoull(v, &end, 10);
     if (end && *end == '\0') cache_max_bytes = (size_t)mb << 20;
   }
+  v = getenv("ELPREP_TPU_NPALLOC_SLOTS");
+  if (v && *v) {
+    char *end = NULL;
+    unsigned long long s = strtoull(v, &end, 10);
+    if (end && *end == '\0' && s >= 1 && s <= CACHE_SLOTS_MAX)
+      cache_slots = (int)s;
+  }
+}
+
+/* Quantize big mapping sizes to 4 MiB multiples (16 MiB above 256 MiB):
+ * varied request sizes then land on identical segment sizes, so the
+ * free-list hit rate stays high at WGS scale where thousands of
+ * near-but-not-equal-sized parse temporaries otherwise each refault a
+ * fresh mapping. Untouched excess MAP_SHARED pages are never faulted,
+ * so the rounding costs address space, not RSS. */
+static size_t quantize_total(size_t total) {
+  size_t q = total > ((size_t)256 << 20) ? ((size_t)16 << 20)
+                                         : ((size_t)4 << 20);
+  return (total + q - 1) / q * q;
 }
 
 static void *cache_take(size_t total_need) {
   int best = -1;
   void *p = NULL;
   pthread_mutex_lock(&cache_mu);
-  for (int i = 0; i < CACHE_SLOTS; i++) {
-    /* best fit, capped at 2x to bound internal waste */
+  for (int i = 0; i < cache_slots; i++) {
+    /* best fit, capped at 2x to bound internal waste (sizes are
+     * quantized, so same-class requests hit exactly) */
     if (seg_cache[i].p && seg_cache[i].total >= total_need &&
         seg_cache[i].total <= 2 * total_need) {
       if (best < 0 || seg_cache[i].total < seg_cache[best].total) best = i;
@@ -88,10 +110,13 @@ static void *cache_take(size_t total_need) {
 
 static int cache_put(void *p, size_t total) {
   int stored = 0;
+  int victim = -1;
+  void *victim_p = NULL;
+  size_t victim_total = 0;
   if (total > cache_max_bytes / 2) return 0;
   pthread_mutex_lock(&cache_mu);
   if (cache_bytes + total <= cache_max_bytes) {
-    for (int i = 0; i < CACHE_SLOTS; i++) {
+    for (int i = 0; i < cache_slots; i++) {
       if (seg_cache[i].p == NULL) {
         seg_cache[i].p = p;
         seg_cache[i].total = total;
@@ -100,8 +125,25 @@ static int cache_put(void *p, size_t total) {
         break;
       }
     }
+    if (!stored) {
+      /* all slots held: evict the smallest cached segment if this one
+       * is larger (warm big segments are the expensive ones to lose) */
+      for (int i = 0; i < cache_slots; i++) {
+        if (victim < 0 || seg_cache[i].total < seg_cache[victim].total)
+          victim = i;
+      }
+      if (victim >= 0 && seg_cache[victim].total < total) {
+        victim_p = seg_cache[victim].p;
+        victim_total = seg_cache[victim].total;
+        cache_bytes += total - victim_total;
+        seg_cache[victim].p = p;
+        seg_cache[victim].total = total;
+        stored = 1;
+      }
+    }
   }
   pthread_mutex_unlock(&cache_mu);
+  if (victim_p != NULL) munmap(victim_p, victim_total);
   return stored;
 }
 
@@ -109,6 +151,7 @@ static void *blk_alloc(size_t size, int zero) {
   size_t total = size + HDR;
   blk_hdr *h;
   if (size >= BIG_THRESHOLD) {
+    total = quantize_total(total);
     void *p = cache_take(total);
     if (p != NULL) {
       h = (blk_hdr *)p;
