@@ -121,11 +121,13 @@ def make_tracer(tag: str):
 
 def _worker_main(wid: int, req_q, res_q) -> None:
     os.environ["ELPREP_TPU_PLATFORM"] = "cpu"
-    # Workers handle per-region slices, not the big batch columns: cap the
-    # npalloc MAP_SHARED segment cache well below the main process's 6 GiB
-    # default so an N-worker pool cannot retain N*6 GiB of faulted pages.
+    # Workers handle per-worker row ranges (~batch/N), not the whole batch:
+    # cap the npalloc MAP_SHARED segment cache below the main process's
+    # 24 GiB default so an N-worker pool cannot retain N*24 GiB of faulted
+    # pages. 4 GiB covers a 4M-read worker chunk's copies + covariate
+    # temporaries (smaller caps measured re-fault churn at that scale).
     # An explicit user setting (inherited through spawn) still wins.
-    os.environ.setdefault("ELPREP_TPU_NPALLOC_CACHE_MB", "512")
+    os.environ.setdefault("ELPREP_TPU_NPALLOC_CACHE_MB", "4096")
     from .. import native as _native
 
     _native.tune_malloc()

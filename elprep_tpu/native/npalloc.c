@@ -40,16 +40,15 @@ typedef struct {
  * padded columns, parse temporaries) cost ~nothing instead of a full
  * refault per allocation. Bounded slots + bytes keep RSS in check.
  *
- * The byte bound should exceed the largest RECURRING column or those
- * never cache (the old 1 GiB bound capped single allocations at 512 MB,
- * below the ~600 MB columns of a 4M-read run). Measured effect of
- * raising it at that scale was small (~4%): the biggest columns are
- * allocated once per phase, so the dominant 4M-scale cost is memory
- * bandwidth, not refaults. Default 6 GiB,
- * ELPREP_TPU_NPALLOC_CACHE_MB overrides (0 disables caching). */
+ * The byte bound should exceed the whole phase's working set of big
+ * temporaries, not just the largest column: this host's fresh-page
+ * fault rate oscillates 40 MB/s - 1.4 GB/s (microbenched) while warm
+ * rewrites run 3-5 GB/s, so every refault risks the slow path. With
+ * 125 GiB RAM the default is 24 GiB; ELPREP_TPU_NPALLOC_CACHE_MB
+ * overrides (0 disables caching). */
 #define CACHE_SLOTS_MAX 128
 #define CACHE_SLOTS_DEFAULT 64
-#define CACHE_DEFAULT_BYTES ((size_t)6 << 30) /* 6 GiB */
+#define CACHE_DEFAULT_BYTES ((size_t)24 << 30) /* 24 GiB (host: 125 GiB) */
 static size_t cache_max_bytes = CACHE_DEFAULT_BYTES;
 static int cache_slots = CACHE_SLOTS_DEFAULT;
 static pthread_mutex_t cache_mu = PTHREAD_MUTEX_INITIALIZER;
