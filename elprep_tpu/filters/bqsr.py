@@ -428,6 +428,7 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
     import jax.numpy as jnp
 
     from ..ops.dispatch import compute_device, routes_to_host
+    from ..ops.packed import pack_bits, pack_nibble_dict
 
     # XLA's scatter-add is scalarized on CPU (~780 ns/base measured at
     # WGS scale); on the CPU backend run only the vectorized elementwise
@@ -457,18 +458,19 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
                         acc[i] += arrs[i]
                 continue
         with compute_device(total):
-            args = (
-                jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
-                jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
-                jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
-                jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
-                jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
-                jnp.asarray(ref_classes),
-            )
+            def args():  # lazy: the packed path must not ship dense columns
+                return (
+                    jnp.asarray(sl["base"]), jnp.asarray(sl["qual"]),
+                    jnp.asarray(sl["seq_len"]), jnp.asarray(sl["flag"]),
+                    jnp.asarray(sl["pos"]), jnp.asarray(sl["rg"]),
+                    jnp.asarray(sl["refoff"]), jnp.asarray(sl["skip"]),
+                    jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
+                    jnp.asarray(ref_classes),
+                )
             if host_hist:
                 qs_idx, cyc_idx, ctx_idx, err, mac = (
                     np.asarray(a) for a in bqsr_ops.recalibrate_codes(
-                        *args, max_cycle=max_cycle, n_rg=n_rg))
+                        *args(), max_cycle=max_cycle, n_rg=n_rg))
                 max_abs_cycle = max(max_abs_cycle, int(mac))
                 nrg_q = n_rg * NQUAL
                 sizes = (nrg_q, nrg_q * (2 * max_cycle + 1), nrg_q * NCTX)
@@ -492,8 +494,25 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
                                                 minlength=size + 1)
                                     [:size].astype(np.int32))
             else:
-                out = bqsr_ops.recalibrate_tables(
-                    *args, max_cycle=max_cycle, n_rg=n_rg)
+                out = None
+                packed = pack_nibble_dict(sl["base"])
+                if packed is not None:
+                    # accelerator transfer: 4-bit-dict bases + bit-packed
+                    # skip, unpacked on-device (ops/packed) — ~60% of the
+                    # per-read H2D bytes removed, tables bit-identical
+                    bp, lut = packed
+                    out = bqsr_ops.recalibrate_tables_packed(
+                        jnp.asarray(bp), jnp.asarray(lut),
+                        jnp.asarray(sl["qual"]), jnp.asarray(sl["seq_len"]),
+                        jnp.asarray(sl["flag"]), jnp.asarray(sl["pos"]),
+                        jnp.asarray(sl["rg"]), jnp.asarray(sl["refoff"]),
+                        jnp.asarray(pack_bits(sl["skip"])),
+                        jnp.asarray(sl["op_class"]), jnp.asarray(sl["op_len"]),
+                        jnp.asarray(ref_classes), max_cycle=max_cycle,
+                        n_rg=n_rg, width=sl["base"].shape[1])
+                if out is None:
+                    out = bqsr_ops.recalibrate_tables(
+                        *args(), max_cycle=max_cycle, n_rg=n_rg)
                 arrs = [np.asarray(a) for a in out[:6]]
                 max_abs_cycle = max(max_abs_cycle, int(out[6]))
         if acc is None:

@@ -231,6 +231,26 @@ def recalibrate_tables(
     return qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism, max_abs_cycle
 
 
+@functools.partial(jax.jit, static_argnames=("max_cycle", "n_rg", "width"))
+def recalibrate_tables_packed(
+    base_packed, base_lut, qual, seq_len, flag, pos, rg, refoff, skip_packed,
+    op_class, op_len, ref_classes, max_cycle: int, n_rg: int, width: int,
+):
+    """recalibrate_tables over PACKED base/skip columns (ops/packed):
+    the 4-bit-dictionary base matrix and bit-packed skip mask unpack
+    on-device, so the dense [n, width] forms never cross the
+    host->device link (~60% of the fused step's per-read transfer).
+    Bit-identical to recalibrate_tables on the unpacked columns
+    (tests/test_packed.py)."""
+    from .packed import unpack_bits, unpack_nibble_dict
+
+    base = unpack_nibble_dict(base_packed, base_lut, width)
+    skip = unpack_bits(skip_packed, width)
+    return recalibrate_tables(
+        base, qual, seq_len, flag, pos, rg, refoff, skip, op_class, op_len,
+        ref_classes, max_cycle=max_cycle, n_rg=n_rg)
+
+
 @functools.partial(jax.jit, static_argnames=("max_cycle",))
 def apply_bqsr(
     base, qual, seq_len, flag, rg, rg_present,

@@ -85,6 +85,29 @@ def bench_size(n_reads: int, iters: int) -> dict:
             dt = (time.perf_counter() - t0) / iters
             row[f"{name}_transfer_s"] = round(dt, 4)
             del args, out
+            if name == "accel":
+                # packed transfer: 4-bit-dict bases + bit-packed skip,
+                # device-side unpack (ops/packed) — the transfer-volume
+                # lever for link-bound dispatch
+                from __graft_entry__ import (fused_device_step_packed,
+                                             pack_step_columns)
+
+                pcols = pack_step_columns(cols)
+                if pcols is not None:
+                    pstep = fused_device_step_packed(
+                        n_rg=1, max_cycle=512, width=cols[0].shape[1])
+                    row["packed_mb"] = round(
+                        sum(np.asarray(a).nbytes for a in pcols) / 1e6, 1)
+                    pargs = [jax.device_put(a, dev) for a in pcols]
+                    _sync(pstep(*pargs))  # compile + warm
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        pargs = [jax.device_put(a, dev) for a in pcols]
+                        out = pstep(*pargs)
+                    _sync(out)
+                    dt = (time.perf_counter() - t0) / iters
+                    row["accel_packed_transfer_s"] = round(dt, 4)
+                    del pargs, out
     return row
 
 
