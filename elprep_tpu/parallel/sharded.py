@@ -294,17 +294,37 @@ def _flat_mesh(mesh):
     return jax.sharding.Mesh(devs, ("dp",))
 
 
+def _accel_mesh(mesh) -> bool:
+    """True when the mesh runs on accelerator devices (packed transfer
+    pays for its host-side pack only when a real link exists)."""
+    try:
+        return np.asarray(mesh.devices).reshape(-1)[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=8)
-def _sharded_recal_step(mesh, max_cycle: int, n_rg: int):
+def _sharded_recal_step(mesh, max_cycle: int, n_rg: int,
+                        packed_width: "int | None" = None):
     """Memoized psum-reduced covariate-table program (see
-    sharded_sort_dedup_step for why: per-call jit rebuilds retrace)."""
+    sharded_sort_dedup_step for why: per-call jit rebuilds retrace).
+
+    With ``packed_width`` the program takes 4-bit-dictionary bases +
+    bit-packed skip (ops/packed) and unpacks per shard on-device — the
+    dense [rows, L] matrices never cross the host->device link (the
+    transfer-volume lever; tables bit-identical)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
     from ..ops import bqsr_ops
 
     def local(base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
-              op_len, ref_classes):
+              op_len, ref_classes, base_lut=None):
+        if packed_width is not None:
+            from ..ops.packed import unpack_bits, unpack_nibble_dict
+
+            base = unpack_nibble_dict(base, base_lut, packed_width)
+            skip = unpack_bits(skip, packed_width)
         out = bqsr_ops.recalibrate_tables(
             base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
             op_len, ref_classes, max_cycle=max_cycle, n_rg=n_rg)
@@ -316,9 +336,12 @@ def _sharded_recal_step(mesh, max_cycle: int, n_rg: int):
     rd = P("dp")
     rd2 = P("dp", None)
     rep = P()
+    in_specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)
+    if packed_width is not None:
+        in_specs = in_specs + (rep,)
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep),
+        in_specs=in_specs,
         out_specs=([rep] * 6, rep),
     ))
 
@@ -398,13 +421,25 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
     n_rg = len(cov_names)
     ref_classes = np.asarray(recal.ref.classes)
 
-    step = _sharded_recal_step(flat, max_cycle, n_rg)
-    args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
-            op_len, ref_classes)
     rd = P("dp")
     rd2 = P("dp", None)
     rep = P()
-    specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)
+    from ..ops.packed import pack_bits, pack_nibble_dict
+
+    pk = pack_nibble_dict(base) if _accel_mesh(flat) else None
+    if pk is not None:
+        # accelerator mesh: ship packed bases/skip, unpack per shard
+        # on-device (tables bit-identical, tests/test_packed.py)
+        bp, lut = pk
+        step = _sharded_recal_step(flat, max_cycle, n_rg, packed_width=L)
+        args = (bp, qual, seq_len, flag, pos, rg, refoff, pack_bits(skip),
+                op_class, op_len, ref_classes, lut)
+        specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep, rep)
+    else:
+        step = _sharded_recal_step(flat, max_cycle, n_rg)
+        args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
+                op_len, ref_classes)
+        specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)
     dargs = [_put(a, flat, sp) for a, sp in zip(args, specs)]
     reduced, max_abs_cycle = step(*dargs)
     qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism = map(np.asarray, reduced)

@@ -152,3 +152,45 @@ def test_fused_device_step_packed_matches_dense():
         *[jnp.asarray(c) for c in pcols])
     for a, b in zip(dense, got):
         assert np.asarray(a).tolist() == np.asarray(b).tolist()
+
+
+def test_sharded_recal_step_packed_matches_dense():
+    """The packed sharded covariate program (mesh transfer lever) sums
+    to the same psum-reduced tables as the dense program on the
+    8-device virtual mesh."""
+    import jax.numpy as jnp
+
+    from elprep_tpu.ops import bqsr_ops
+    from elprep_tpu.ops.readstats import OP_CLASS
+    from elprep_tpu.parallel.mesh import make_mesh
+    from elprep_tpu.parallel.sharded import _flat_mesh, _sharded_recal_step
+
+    rng = np.random.RandomState(29)
+    mesh = _flat_mesh(make_mesh(8))
+    n, L, C = 64, 48, 2  # 8 rows/shard
+    base = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (n, L)).astype(np.uint8)
+    qual = rng.randint(0, 50, (n, L)).astype(np.uint8)
+    skip = rng.rand(n, L) < 0.15
+    seq_len = rng.randint(1, L + 1, n).astype(np.int32)
+    flag = np.where(rng.rand(n) < 0.5, 0x63, 0x93).astype(np.int32)
+    pos = rng.randint(1, 300, n).astype(np.int32)
+    rg = np.zeros(n, np.int32)
+    refoff = np.zeros(n, np.int64)
+    op_class = np.full((n, C), OP_CLASS[ord("S")], np.int8)
+    op_class[:, 0] = OP_CLASS[ord("M")]
+    op_len = np.zeros((n, C), np.int32)
+    op_len[:, 0] = seq_len
+    ref_classes = rng.randint(1, 5, 400).astype(np.uint8)
+
+    dense_step = _sharded_recal_step(mesh, 100, 1)
+    d_out, d_mac = dense_step(base, qual, seq_len, flag, pos, rg, refoff,
+                              skip, op_class, op_len, ref_classes)
+
+    bp, lut = packed.pack_nibble_dict(base)
+    p_step = _sharded_recal_step(mesh, 100, 1, packed_width=L)
+    p_out, p_mac = p_step(bp, qual, seq_len, flag, pos, rg, refoff,
+                          packed.pack_bits(skip), op_class, op_len,
+                          ref_classes, lut)
+    assert int(d_mac) == int(p_mac)
+    for a, b in zip(d_out, p_out):
+        assert np.asarray(a).tolist() == np.asarray(b).tolist()
