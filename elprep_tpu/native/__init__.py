@@ -710,12 +710,16 @@ def gvcf_band_blocks(gq, dp, pls, j: int, bands):
     bands_a = np.ascontiguousarray(bands, np.int64)
     m = len(gq)
     cap = max(1, m - j)
-    starts = np.zeros(cap, np.int64)
-    counts = np.zeros(cap, np.int64)
-    med = np.zeros(cap, np.int64)
-    min_dp = np.zeros(cap, np.int64)
-    gq_b = np.zeros(cap, np.int64)
-    min_pls = np.zeros((cap, 3), np.int64)
+    # np.empty, not zeros: the kernel writes only the first nb entries
+    # and nb << cap on real data, so the six cap-sized memsets are pure
+    # waste (few ms warm, tens of ms inside host fault-throttle windows
+    # where memset faults fresh pages at 40-100 MB/s)
+    starts = np.empty(cap, np.int64)
+    counts = np.empty(cap, np.int64)
+    med = np.empty(cap, np.int64)
+    min_dp = np.empty(cap, np.int64)
+    gq_b = np.empty(cap, np.int64)
+    min_pls = np.empty((cap, 3), np.int64)
     open_start = np.zeros(1, np.int64)
     nb = lib.gvcf_band_blocks(
         gq.ctypes.data, dp.ctypes.data, pls.ctypes.data, m, j,
