@@ -439,6 +439,8 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
     host_hist = routes_to_host(total)
     acc = None
     max_abs_cycle = 0
+    dev_acc = None  # on-device running table sum (non-host path)
+    dev_mac = None
     for sl in _iter_prep_slices(preps, max_rows=max_rows):
         if host_hist:
             # fused native engine: covariates + histograms in one pass,
@@ -513,8 +515,19 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
                 if out is None:
                     out = bqsr_ops.recalibrate_tables(
                         *args(), max_cycle=max_cycle, n_rg=n_rg)
-                arrs = [np.asarray(a) for a in out[:6]]
-                max_abs_cycle = max(max_abs_cycle, int(out[6]))
+                # accumulate ON DEVICE and fetch once after the loop:
+                # nothing blocks per slice, so jax's async dispatch
+                # double-buffers slice k+1's H2D against slice k's
+                # compute (the resident-tables half of the transfer
+                # lever; tables commute so the sum order is irrelevant
+                # to integer results)
+                if dev_acc is None:
+                    dev_acc = list(out[:6])
+                    dev_mac = out[6]
+                else:
+                    dev_acc = [a + b for a, b in zip(dev_acc, out[:6])]
+                    dev_mac = jnp.maximum(dev_mac, out[6])
+                continue
         if acc is None:
             # np.asarray of a CPU jax.Array is a READ-ONLY zero-copy
             # view — the accumulator must own writable storage
@@ -522,6 +535,14 @@ def accumulate_table_partials(preps: List[dict], ref_classes: np.ndarray,
         else:
             for i in range(6):
                 acc[i] += arrs[i]
+    if dev_acc is not None:
+        max_abs_cycle = max(max_abs_cycle, int(dev_mac))
+        fetched = [np.asarray(a) for a in dev_acc]
+        if acc is None:
+            acc = [a if a.flags.writeable else a.copy() for a in fetched]
+        else:
+            for i in range(6):
+                acc[i] += fetched[i]
     return acc, max_abs_cycle
 
 
