@@ -38,6 +38,8 @@ _SEQ_TRANS = bytes(
 # nibble encoding order as in the BAM format
 SEQ_NIBBLE = {b: i for i, b in enumerate(_SEQ_ALPHABET)}
 
+_SEQ_TRANS_LUT = np.frombuffer(_SEQ_TRANS, np.uint8)
+
 _CIGAR_RE = re.compile(rb"(\d+)([MIDNSHP=XmidnshpxX])")
 _CIGAR_OPS_VALID = set(b"MmIiDdNnSsHhPpXx=")
 
@@ -213,10 +215,13 @@ def _parse_alignments_fast(data: bytes, start: int) -> "ReadBatch | None":
     cigar_len, cigar_op = parsed
 
     seq_rg = _ranged_gather(u8, f_start[4], f_end[4])
-    seq_rg = Ragged(np.frombuffer(seq_rg.data.tobytes().translate(_SEQ_TRANS), np.uint8),
-                    seq_rg.offsets)
+    # LUT gather, not bytes.translate: the tobytes+translate round trip
+    # materialized two whole-column Python bytes objects through glibc
+    # malloc (outside the npalloc warm cache — ~6 s of fresh-page
+    # faults at 4M reads on this host class)
+    seq_rg = Ragged(_SEQ_TRANS_LUT[seq_rg.data], seq_rg.offsets)
     qual_rg = _ranged_gather(u8, f_start[5], f_end[5])
-    qual_rg = Ragged((qual_rg.data - np.uint8(33)).astype(np.uint8), qual_rg.offsets)
+    qual_rg.data -= np.uint8(33)  # owned by the gather: offset in place
     tags_rg = _ranged_gather(u8, f_start[6], f_end[6])
 
     return ReadBatch(
