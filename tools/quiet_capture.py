@@ -95,7 +95,7 @@ def main() -> int:
         if line.startswith("{"):
             sample = json.loads(line)
             break
-    phases = [ln.strip() for ln in run.stdout.splitlines()
+    phases = [ln.strip() for ln in (run.stdout + run.stderr).splitlines()
               if "done in" in ln]
     rec = {"ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "reads": args.reads, "conditions": cond, "wall_s": round(wall, 1),
