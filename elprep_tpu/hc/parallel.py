@@ -1215,6 +1215,15 @@ class _RegionRun:
                     if health is not None:
                         health()
 
+                if emit in self.pend_inputs:
+                    # head-of-line: the ordered consumer is blocked on a
+                    # region whose pairs sit in the pending batch waiting
+                    # for the pair target — dispatch now. Safe for byte
+                    # equality: the backend is a session property and
+                    # per-pair likelihoods are batching-invariant (the
+                    # serial==pooled equality tests already hold across
+                    # different batchings).
+                    self.dispatch_pairhmm(force=True)
                 msg = pool._recv_routed(("prep_done", "geno_done"), gen,
                                         extra_check=_chk)
                 if msg[0] == "prep_done":
