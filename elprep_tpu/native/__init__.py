@@ -813,6 +813,38 @@ def bqsr_apply_quals_ragged(base_data, qual_data, offsets, flag, rg,
     return int(mac)
 
 
+def dedup_score_upos(qual: "np.ndarray", qual_off, cig_len, cig_op, cig_off,
+                     pos, flag, n_threads: int = 0):
+    """One-pass ragged (unclipped_position, phred_score) for duplicate
+    marking — the jit oracles in ops/readstats.py are the fuzz-pinned
+    contract (tests/test_sort_dedup.py); no padded [n,L]/[n,C]
+    intermediates. Returns (upos int32, score int32) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dedup_score_upos"):
+        return None
+    if lib.dedup_score_upos.argtypes is None:
+        L = ctypes.c_longlong
+        P = ctypes.c_void_p
+        lib.dedup_score_upos.restype = None
+        lib.dedup_score_upos.argtypes = [P] * 7 + [L, P, P, ctypes.c_int]
+    qual = np.ascontiguousarray(qual, np.uint8)
+    qual_off = np.ascontiguousarray(qual_off, np.int64)
+    cig_len = np.ascontiguousarray(cig_len, np.int32)
+    cig_op = np.ascontiguousarray(cig_op, np.uint8)
+    cig_off = np.ascontiguousarray(cig_off, np.int64)
+    pos = np.ascontiguousarray(pos, np.int32)
+    flag = np.ascontiguousarray(flag, np.int32)
+    n = len(pos)
+    upos = np.empty(n, np.int32)
+    score = np.empty(n, np.int32)
+    lib.dedup_score_upos(
+        qual.ctypes.data, qual_off.ctypes.data, cig_len.ctypes.data,
+        cig_op.ctypes.data, cig_off.ctypes.data, pos.ctypes.data,
+        flag.ctypes.data, n, upos.ctypes.data, score.ctypes.data,
+        n_threads or _DEFAULT_THREADS[0])
+    return upos, score
+
+
 def stable_sort_idx(w0, w1=None, w2=None, w3=None):
     """Stable index sort by up to four packed uint64 key words. Returns
     int32 perm or None without the native lib — equal to np.lexsort

@@ -1462,6 +1462,65 @@ extern "C" long long bqsr_apply_quals_ragged(
   return mac;
 }
 
+// Ragged dedup inputs: per-read Phred score (sum of quals in [15,93],
+// reference: filters/mark-duplicates.go:36-68) and 5' unclipped
+// position (mark-duplicates.go:79-110) in one pass over the ragged
+// qual/cigar buffers — the padded [n,L]/[n,C] matrices the jit oracles
+// (ops/readstats.py phred_score / unclipped_position) consume never
+// materialize. Cigar ops arrive as ASCII bytes.
+extern "C" void dedup_score_upos(
+    const uint8_t* qual_data, const int64_t* qual_off,
+    const int32_t* cig_len, const uint8_t* cig_op, const int64_t* cig_off,
+    const int32_t* pos, const int32_t* flag, int64_t n,
+    int32_t* out_upos, int32_t* out_score, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  auto is_clip = [](uint8_t op) { return op == 'S' || op == 'H'; };
+  auto is_refcons = [](uint8_t op) {
+    return op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X';
+  };
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 4096;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n) return;
+      int64_t i1 = i0 + CHUNK < n ? i0 + CHUNK : n;
+      for (int64_t i = i0; i < i1; i++) {
+        int32_t score = 0;
+        for (int64_t q = qual_off[i]; q < qual_off[i + 1]; q++) {
+          const uint8_t v = qual_data[q];
+          if (v >= 15 && v <= 93) score += v;
+        }
+        out_score[i] = score;
+        const int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+        if (c0 == c1) {  // '*' cigar: POS unchanged
+          out_upos[i] = pos[i];
+          continue;
+        }
+        if (flag[i] & 0x10) {
+          // reverse: POS - 1 + every reference-consuming op + the
+          // trailing clip run
+          int64_t sum = 0;
+          int64_t t = c1 - 1;
+          for (; t >= c0 && is_clip(cig_op[t]); t--) sum += cig_len[t];
+          for (; t >= c0; t--)
+            if (is_refcons(cig_op[t])) sum += cig_len[t];
+          out_upos[i] = (int32_t)(pos[i] - 1 + sum);
+        } else {
+          int64_t lead = 0;
+          for (int64_t t = c0; t < c1 && is_clip(cig_op[t]); t++)
+            lead += cig_len[t];
+          out_upos[i] = (int32_t)(pos[i] - lead);
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // Per-base tandem-repeat lengths for the PairHMM gap-continuation
 // tables (ops/pairhmm.py repeat_lengths_for_read is the oracle, itself

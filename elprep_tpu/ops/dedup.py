@@ -361,14 +361,27 @@ def dedup_columns(batch, header):
         np.int32, len(uq))
     libid = lut[inv].astype(np.int32)
 
-    op_class, op_len, n_ops = readstats.pad_cigars(batch.cigar_len, batch.cigar_op)
-    qual_padded, qual_len = readstats.pad_quals(batch.qual)
-    from .dispatch import compute_device
+    from .dispatch import compute_device, routes_to_host
 
-    with compute_device(len(batch)):
-        upos = np.asarray(readstats.unclipped_position(
-            batch.pos, batch.flag, op_class, op_len, n_ops))
-        score = np.asarray(readstats.phred_score(qual_padded, qual_len))
+    got = None
+    if routes_to_host(len(batch)):
+        # one-pass ragged native twin: no padded [n,L]/[n,C] cigar and
+        # qual matrices (the jit ops below are its fuzz-pinned oracle)
+        from .. import native
+
+        got = native.dedup_score_upos(
+            batch.qual.data, batch.qual.offsets, batch.cigar_len.data,
+            batch.cigar_op.data, batch.cigar_op.offsets, batch.pos,
+            batch.flag)
+    if got is not None:
+        upos, score = got
+    else:
+        op_class, op_len, n_ops = readstats.pad_cigars(batch.cigar_len, batch.cigar_op)
+        qual_padded, qual_len = readstats.pad_quals(batch.qual)
+        with compute_device(len(batch)):
+            upos = np.asarray(readstats.unclipped_position(
+                batch.pos, batch.flag, op_class, op_len, n_ops))
+            score = np.asarray(readstats.phred_score(qual_padded, qual_len))
     rev = ((batch.flag & REVERSED) >> 4).astype(np.int32)
     return libid, upos, score, rev
 

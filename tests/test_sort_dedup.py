@@ -164,3 +164,58 @@ def test_host_twins_fallback_without_native_sort(monkeypatch):
 
     monkeypatch.setattr(native, "stable_sort_idx", lambda *a, **k: None)
     test_host_twins_match_jit_kernels(3000, 77)
+
+
+def test_native_dedup_score_upos_matches_jit_oracles():
+    """Fuzz the one-pass ragged (unclipped_position, phred_score) native
+    twin against the jitted padded oracles: random ragged cigars (incl.
+    '*' rows, clip runs on both ends, H clips), ragged quals incl.
+    values outside [15,93], both strands."""
+    import numpy as np
+
+    from elprep_tpu import native
+    from elprep_tpu.ops import readstats
+
+    if native.get_lib() is None or not hasattr(native.get_lib(),
+                                               "dedup_score_upos"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(41)
+    ops_pool = np.frombuffer(b"MIDNSHP=X", np.uint8)
+    for trial in range(10):
+        n = int(rng.randint(1, 300))
+        n_ops_row = rng.randint(0, 7, n)
+        cig_off = np.zeros(n + 1, np.int64)
+        np.cumsum(n_ops_row, out=cig_off[1:])
+        total_ops = int(cig_off[-1])
+        cig_op = rng.choice(ops_pool, total_ops).astype(np.uint8)
+        # force some rows to start/end with clip runs
+        for i in range(n):
+            if n_ops_row[i] >= 2 and rng.rand() < 0.5:
+                cig_op[cig_off[i]] = ord("S") if rng.rand() < 0.5 else ord("H")
+                cig_op[cig_off[i + 1] - 1] = (
+                    ord("S") if rng.rand() < 0.5 else ord("H"))
+        cig_len = rng.randint(1, 40, total_ops).astype(np.int32)
+        qlens = rng.randint(0, 60, n)
+        qual_off = np.zeros(n + 1, np.int64)
+        np.cumsum(qlens, out=qual_off[1:])
+        qual = rng.randint(0, 100, int(qual_off[-1])).astype(np.uint8)
+        pos = rng.randint(1, 10000, n).astype(np.int32)
+        flag = (rng.randint(0, 2, n) * 0x10).astype(np.int32)
+
+        got = native.dedup_score_upos(qual, qual_off, cig_len, cig_op,
+                                      cig_off, pos, flag)
+        assert got is not None
+        upos_n, score_n = got
+
+        from elprep_tpu.core.batch import Ragged
+
+        op_class, op_len, n_ops = readstats.pad_cigars(
+            Ragged(cig_len, cig_off), Ragged(cig_op, cig_off))
+        qual_padded, qual_len = readstats.pad_quals(Ragged(qual, qual_off))
+        upos_j = np.asarray(readstats.unclipped_position(
+            pos, flag, op_class, op_len, n_ops))
+        score_j = np.asarray(readstats.phred_score(qual_padded, qual_len))
+        assert upos_n.tolist() == upos_j.tolist(), trial
+        assert score_n.tolist() == score_j.tolist(), trial
