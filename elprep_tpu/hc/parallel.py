@@ -1215,19 +1215,6 @@ class _RegionRun:
                     if health is not None:
                         health()
 
-                if emit in self.pend_inputs and not self.ph_futures:
-                    # head-of-line: the ordered consumer is blocked on a
-                    # region whose pairs sit in the pending batch waiting
-                    # for the pair target, and NO dispatch is in flight —
-                    # dispatch now. The in-flight gate self-paces: without
-                    # it this force fragmented the batches into tiny
-                    # dispatches whose per-call overhead cost more than
-                    # the head-of-line wait (measured 17.9 -> 26.9 s HC
-                    # at 1M). Safe for byte equality: the backend is a
-                    # session property and per-pair likelihoods are
-                    # batching-invariant (the serial==pooled equality
-                    # tests already hold across different batchings).
-                    self.dispatch_pairhmm(force=True)
                 msg = pool._recv_routed(("prep_done", "geno_done"), gen,
                                         extra_check=_chk)
                 if msg[0] == "prep_done":
