@@ -1298,14 +1298,28 @@ def non_unique_kmers_exist(bases: bytes, kmer_size: int) -> bool:
 def assemble_reads(
     reference_bases: bytes,
     padded_start: int,
-    reads: List[Tuple[bytes, bytes]],  # (seq, qual) per read
+    reads,  # list of (seq, qual) bytes pairs OR (seq_flat, qual_flat, offs)
     min_base_qual: int = 10,
 ) -> List[Haplotype]:
     """Assemble reads over a region into haplotypes
-    (reference: assembleReads, assemble-reads.go:1914-1996)."""
+    (reference: assembleReads, assemble-reads.go:1914-1996).
+
+    ``reads`` may be the columnar ``(seq_flat, qual_flat, offsets)``
+    triple straight from the native finalize — the native engine
+    consumes it with zero per-read bytes objects; the Python oracle
+    path materializes pairs on demand."""
     padded_reference_bases = sw.SW_PAD + reference_bases + sw.SW_PAD
     reference_haplotype = make_reference_haplotype(reference_bases, padded_start)
     result = [reference_haplotype]
+
+    def materialized():
+        nonlocal reads
+        if isinstance(reads, tuple):
+            seq_c, qual_c, offs = reads
+            reads = [(seq_c[offs[k]:offs[k + 1]].tobytes(),
+                      qual_c[offs[k]:offs[k + 1]].tobytes())
+                     for k in range(len(offs) - 1)]
+        return reads
 
     def process_kmer_size(kmer_size: int, last_attempt: bool) -> bool:
         nonlocal result
@@ -1325,7 +1339,7 @@ def assemble_reads(
         graph = KmerGraph(kmer_size)
         seqs = [Kmer(bases=reference_bases, start=0, stop=len(reference_bases), is_ref=True)]
         ref_source = reference_bases[:kmer_size]
-        for seq, qual in reads:
+        for seq, qual in materialized():
             seqs = add_sequences_for_kmers(seqs, seq, qual, kmer_size, min_base_qual)
         graph.initialize_non_unique_kmers(seqs)
         for kmers_seq in seqs:

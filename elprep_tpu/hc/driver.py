@@ -434,9 +434,10 @@ def prepare_region(params: HCParams, region: AssemblyRegion,
             span_rows, span_cols, region.padded_start(), region.padded_end())
         if fin is not None:
             offs, seq_c, qual_c = fin
-            reads_sq = [(seq_c[offs[k]:offs[k + 1]].tobytes(),
-                         qual_c[offs[k]:offs[k + 1]].tobytes())
-                        for k in range(len(offs) - 1)]
+            # columnar handoff: assemble_reads/assembly_try consume the
+            # flat arrays directly; per-read bytes pairs materialize only
+            # on the Python-oracle fallback inside assemble_reads
+            reads_sq = (seq_c, qual_c, offs)
     if reads_sq is None:
         ensure_reads()
         finalize_assembly_region(region, params, preclip)

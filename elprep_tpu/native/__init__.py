@@ -84,7 +84,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.assembly_try.restype = ctypes.c_longlong
     lib.assembly_try.argtypes = [
         ctypes.c_char_p, ctypes.c_longlong,          # ref
-        ctypes.c_char_p, ctypes.c_char_p,            # seq/qual concat
+        ctypes.c_void_p, ctypes.c_void_p,            # seq/qual concat (bytes or u8 array data)
         ctypes.c_void_p, ctypes.c_longlong,          # read offs, n_reads
         ctypes.c_int, ctypes.c_int, ctypes.c_int,    # k, min_q, last_attempt
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,  # scores, bases, cap
@@ -1091,19 +1091,30 @@ def assembly_try(ref: bytes, reads, kmer_size: int, min_base_qual: int,
                  last_attempt: bool):
     """One native de Bruijn assembly attempt (assembly_native.cpp; the
     Python hc.assembly.process_kmer_size is the oracle). ``reads`` is a
-    list of (seq bytes, qual bytes). Returns a list of (score, bases)
-    candidate haplotypes, or False when the attempt fails, or None when
-    the native library is unavailable."""
+    list of (seq bytes, qual bytes) OR a columnar ``(seq_flat, qual_flat,
+    offsets)`` triple (the finalize_region_seq_quals output shape — no
+    per-read bytes objects or re-concatenation). Returns a list of
+    (score, bases) candidate haplotypes, or False when the attempt
+    fails, or None when the native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    n = len(reads)
-    offs = np.empty(n + 1, np.int64)
-    offs[0] = 0
-    for i, (s, _) in enumerate(reads):
-        offs[i + 1] = offs[i] + len(s)
-    seq_concat = b"".join(s for s, _ in reads)
-    qual_concat = b"".join(q for _, q in reads)
+    if isinstance(reads, tuple):
+        seq_flat, qual_flat, offs = reads
+        seq_flat = np.ascontiguousarray(seq_flat, np.uint8)
+        qual_flat = np.ascontiguousarray(qual_flat, np.uint8)
+        offs = np.ascontiguousarray(offs, np.int64)
+        n = len(offs) - 1
+        seq_concat = seq_flat.ctypes.data
+        qual_concat = qual_flat.ctypes.data
+    else:
+        n = len(reads)
+        offs = np.empty(n + 1, np.int64)
+        offs[0] = 0
+        for i, (s, _) in enumerate(reads):
+            offs[i + 1] = offs[i] + len(s)
+        seq_concat = b"".join(s for s, _ in reads)
+        qual_concat = b"".join(q for _, q in reads)
     # reusable per-process output buffers (calls are serial per process)
     bufs = _ASSEMBLY_BUFS
     if bufs is None:

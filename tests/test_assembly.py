@@ -204,3 +204,38 @@ def test_native_assembly_matches_python_fuzz():
                     math.isnan(hp.score) and math.isnan(hn.score)), (trial, k)
             break  # full-path check once per trial is enough
     assert n_checked >= 10, f"fuzz exercised only {n_checked} full paths"
+
+
+def test_assembly_try_columnar_matches_tuples():
+    """The columnar (seq_flat, qual_flat, offs) input form of the native
+    assembly_try returns identical candidates to the per-read tuples
+    form (pure transport; no per-read bytes objects)."""
+    import numpy as np
+
+    from elprep_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(99)
+    for trial in range(6):
+        ref = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 160))
+        reads = []
+        for _ in range(int(rng.randint(3, 40))):
+            s = int(rng.randint(0, 100))
+            ln = int(rng.randint(20, 60))
+            seq = bytearray(ref[s:s + ln])
+            if rng.rand() < 0.5 and len(seq) > 10:
+                seq[int(rng.randint(len(seq)))] = ord("ACGT"[int(rng.randint(4))])
+            reads.append((bytes(seq),
+                          bytes(rng.randint(10, 40, len(seq)).astype(np.uint8))))
+        offs = np.zeros(len(reads) + 1, np.int64)
+        for i, (s, _) in enumerate(reads):
+            offs[i + 1] = offs[i] + len(s)
+        seq_c = np.frombuffer(b"".join(s for s, _ in reads), np.uint8)
+        qual_c = np.frombuffer(b"".join(q for _, q in reads), np.uint8)
+        for k, last in ((10, False), (25, True)):
+            a = native.assembly_try(ref, reads, k, 10, last)
+            b = native.assembly_try(ref, (seq_c, qual_c, offs), k, 10, last)
+            assert a == b, (trial, k)
