@@ -275,12 +275,75 @@ struct SvEq {
   }
 };
 
+// 2-bit kmer codes for the membership-heavy scans: kmers of k <= 32
+// whose window is pure ACGT pack injectively into a uint64 (rolling
+// update, O(1) per position); any other kmer (N survives only in the
+// reference Kseq, IUPAC codes, k > 32) takes the original string path.
+// Content partitioning keeps semantics exact: a pure-ACGT kmer can
+// never equal a non-ACGT one, so membership across the two containers
+// never mixes.
+struct U64Hash {
+  size_t operator()(uint64_t x) const {  // splitmix64 finalizer
+    x += 0x9e3779b97f4a7c15ULL;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+    return (size_t)(x ^ (x >> 31));
+  }
+};
+
+static inline int base2_code(uint8_t b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+  }
+  return -1;
+}
+
+// Rolling window encoder over a byte scan: after feed(i, b) for
+// consecutive positions, window_ok(i, k) says whether the k-window
+// ending at i is pure ACGT, and code(mask) is its 2-bit packing.
+struct KmerRoll {
+  uint64_t acc = 0;
+  int64_t last_bad = -1;
+  inline void feed(int64_t i, uint8_t b) {
+    const int c = base2_code(b);
+    if (c < 0) {
+      last_bad = i;
+      acc = (acc << 2);
+    } else {
+      acc = (acc << 2) | (uint64_t)c;
+    }
+  }
+  inline bool window_ok(int64_t i, int k) const { return last_bad <= i - k; }
+  inline uint64_t code(uint64_t mask) const { return acc & mask; }
+};
+
+// Pointwise encode (for lookups at arbitrary offsets).
+static inline bool encode_kmer_u64(const uint8_t* p, int k, uint64_t* out) {
+  if (k > 32) return false;
+  uint64_t acc = 0;
+  for (int i = 0; i < k; i++) {
+    const int c = base2_code(p[i]);
+    if (c < 0) return false;
+    acc = (acc << 2) | (uint64_t)c;
+  }
+  *out = acc;
+  return true;
+}
+
 struct Graph {
   int64_t vertices_id = 0;
   int kmer_size;
   std::map<int64_t, AVert*> vertices;
   std::unordered_map<std::string, AVert*, SvHash, SvEq> unique_kmers;
   std::unordered_set<std::string, SvHash, SvEq> non_unique_kmers;
+  // u64 fast tier of non_unique_kmers (pure-ACGT kmers, k <= 32);
+  // the string set above keeps the rest. seen_u64 is the reusable
+  // per-segment scratch of determine_non_unique_kmers.
+  std::unordered_set<uint64_t, U64Hash> non_unique_u64;
+  std::unordered_set<uint64_t, U64Hash> seen_u64;
   std::deque<AVert> vpool;
   std::deque<AEdge> epool;
 
@@ -470,9 +533,45 @@ struct Graph {
 
   // -- graph construction --
 
+  bool in_non_unique(std::string_view km) const {
+    uint64_t code;
+    if ((int)km.size() <= 32 &&
+        encode_kmer_u64((const uint8_t*)km.data(), (int)km.size(), &code))
+      return non_unique_u64.find(code) != non_unique_u64.end();
+    return non_unique_kmers.find(km) != non_unique_kmers.end();
+  }
+
   void determine_non_unique_kmers(const Kseq& seq) {
-    std::unordered_set<std::string, SvHash, SvEq> seen;
     const int k = kmer_size;
+    if (k <= 32) {
+      // rolling-code fast path; windows touching a non-ACGT byte fall
+      // back to the string tier (same membership semantics)
+      const uint64_t mask =
+          k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
+      seen_u64.clear();
+      std::unordered_set<std::string, SvHash, SvEq> seen_str;
+      KmerRoll roll;
+      int64_t i = 0;
+      for (; i < k - 1 && i < seq.stop; i++) roll.feed(i, seq.bases[i]);
+      for (int64_t e = k - 1; e < seq.stop; e++) {
+        roll.feed(e, seq.bases[e]);
+        const int64_t i0 = e - k + 1;
+        if (roll.window_ok(e, k)) {
+          const uint64_t code = roll.code(mask);
+          if (!seen_u64.insert(code).second) non_unique_u64.insert(code);
+        } else {
+          std::string_view km((const char*)seq.bases + i0, k);
+          if (seen_str.find(km) != seen_str.end()) {
+            if (non_unique_kmers.find(km) == non_unique_kmers.end())
+              non_unique_kmers.emplace(km);
+          } else {
+            seen_str.emplace(km);
+          }
+        }
+      }
+      return;
+    }
+    std::unordered_set<std::string, SvHash, SvEq> seen;
     for (int64_t i = 0; i <= seq.stop - k; i++) {
       std::string_view km((const char*)seq.bases + i, k);
       if (seen.find(km) != seen.end()) {
@@ -487,6 +586,24 @@ struct Graph {
   int64_t find_start_of_kmers(const Kseq& seq) const {
     if (seq.is_ref) return 0;
     const int k = kmer_size;
+    if (k <= 32) {
+      const uint64_t mask = k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
+      KmerRoll roll;
+      for (int64_t i = seq.start; i < seq.start + k - 1 && i < seq.stop; i++)
+        roll.feed(i, seq.bases[i]);
+      for (int64_t e = seq.start + k - 1; e < seq.stop - 1; e++) {
+        roll.feed(e, seq.bases[e]);
+        const int64_t i = e - k + 1;
+        if (roll.window_ok(e, k)) {
+          if (non_unique_u64.find(roll.code(mask)) == non_unique_u64.end())
+            return i;
+        } else {
+          std::string_view km((const char*)seq.bases + i, k);
+          if (non_unique_kmers.find(km) == non_unique_kmers.end()) return i;
+        }
+      }
+      return -1;
+    }
     for (int64_t i = seq.start; i < seq.stop - k; i++) {
       std::string_view km((const char*)seq.bases + i, k);
       if (non_unique_kmers.find(km) == non_unique_kmers.end()) return i;
@@ -497,7 +614,7 @@ struct Graph {
   AVert* new_kmer_vertex(std::string_view kmer_seq) {
     AVert* v = make_vert(std::string(kmer_seq));
     add_vertex(v);
-    if (non_unique_kmers.find(kmer_seq) == non_unique_kmers.end() &&
+    if (!in_non_unique(kmer_seq) &&
         unique_kmers.find(kmer_seq) == unique_kmers.end())
       unique_kmers.emplace(kmer_seq, v);
     return v;
@@ -722,7 +839,8 @@ struct Graph {
   }
 
   bool is_low_complexity() const {
-    return (int64_t)non_unique_kmers.size() * 4 > (int64_t)unique_kmers.size();
+    return ((int64_t)non_unique_kmers.size() + (int64_t)non_unique_u64.size())
+               * 4 > (int64_t)unique_kmers.size();
   }
 
   // -- dangling tail/head recovery --
@@ -1611,13 +1729,32 @@ extern "C" long long assembly_try(
     long long* out_base_offs) {
   // non_unique_kmers_exist(reference) gate (assembly.py:1289)
   if (!last_attempt) {
-    std::unordered_set<std::string> seen;
     bool nuk = false;
-    for (long long i = 0; i + kmer_size <= ref_len; i++) {
-      std::string km((const char*)ref + i, kmer_size);
-      if (!seen.insert(km).second) {
-        nuk = true;
-        break;
+    if (kmer_size <= 32) {
+      const uint64_t mask =
+          kmer_size == 32 ? ~0ULL : ((1ULL << (2 * kmer_size)) - 1);
+      std::unordered_set<uint64_t, U64Hash> seen_u64;
+      std::unordered_set<std::string> seen_str;
+      KmerRoll roll;
+      for (long long i = 0; i < kmer_size - 1 && i < ref_len; i++)
+        roll.feed(i, ref[i]);
+      for (long long e = kmer_size - 1; e < ref_len && !nuk; e++) {
+        roll.feed(e, ref[e]);
+        if (roll.window_ok(e, kmer_size)) {
+          nuk = !seen_u64.insert(roll.code(mask)).second;
+        } else {
+          std::string km((const char*)ref + e - kmer_size + 1, kmer_size);
+          nuk = !seen_str.insert(km).second;
+        }
+      }
+    } else {
+      std::unordered_set<std::string> seen;
+      for (long long i = 0; i + kmer_size <= ref_len; i++) {
+        std::string km((const char*)ref + i, kmer_size);
+        if (!seen.insert(km).second) {
+          nuk = true;
+          break;
+        }
       }
     }
     if (nuk) return -1;

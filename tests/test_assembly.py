@@ -239,3 +239,50 @@ def test_assembly_try_columnar_matches_tuples():
             a = native.assembly_try(ref, reads, k, 10, last)
             b = native.assembly_try(ref, (seq_c, qual_c, offs), k, 10, last)
             assert a == b, (trial, k)
+
+
+def test_native_assembly_matches_python_with_n_reference():
+    """References containing N runs (real genomes do) drive kmers into
+    the engine's string tier while pure-ACGT kmers ride the 2-bit u64
+    tier — membership must stay exact across the mix (Python oracle is
+    the contract)."""
+    import os
+
+    from elprep_tpu import native
+    from elprep_tpu.hc import assembly as A
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(321)
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(12):
+        ref_len = int(rng.randint(150, 400))
+        ref = bytearray(rng.choice(bases4, ref_len).tobytes())
+        # N singletons and a short N run inside the reference
+        for _ in range(int(rng.randint(1, 5))):
+            ref[int(rng.randint(ref_len))] = ord("N")
+        p = int(rng.randint(20, ref_len - 20))
+        ref[p:p + int(rng.randint(2, 6))] = b"N" * int(rng.randint(2, 6))
+        ref = bytes(ref)
+        reads = []
+        for i in range(int(rng.randint(8, 30))):
+            start = int(rng.randint(0, ref_len - 60))
+            ln = int(rng.randint(40, 60))
+            seq = bytearray(ref[start:start + ln])
+            if rng.rand() < 0.5:
+                seq[int(rng.randint(ln))] = ord("ACGT"[int(rng.randint(4))])
+            reads.append((bytes(seq),
+                          rng.randint(12, 40, ln).astype(np.uint8).tobytes()))
+        os.environ["ELPREP_TPU_NO_NATIVE_ASSEMBLY"] = "1"
+        try:
+            py = A.assemble_reads(ref, 1, reads, min_base_qual=10)
+        finally:
+            del os.environ["ELPREP_TPU_NO_NATIVE_ASSEMBLY"]
+        nat = A.assemble_reads(ref, 1, reads, min_base_qual=10)
+        assert len(py) == len(nat), trial
+        for hp, hn in zip(py, nat):
+            assert hp.bases == hn.bases, trial
+            # the bare reference haplotype carries score NaN: NaN != NaN
+            same_score = (hp.score == hn.score
+                          or (hp.score != hp.score and hn.score != hn.score))
+            assert same_score, trial
