@@ -396,6 +396,30 @@ def filter_command(argv: List[str]) -> int:
         if os.environ.get("ELPREP_TPU_HC_WORKERS"):
             nw = int(os.environ["ELPREP_TPU_HC_WORKERS"])
         get_pool(nw)
+    if want_hc:
+        # warm the first span's main-thread build path during the read
+        # phase: hc-module imports plus one realistic-size
+        # band_pass/region pass so the first contig's build doesn't pay
+        # fresh-segment faults + import latency on the HC critical path
+        import threading
+
+        def _warm_hc_build():
+            try:
+                import numpy as _np
+
+                from .hc import genotyping, refconf  # noqa: F401
+                from .hc.activity import (HCParams, band_pass_states,
+                                          compute_assembly_regions)
+
+                p = HCParams()
+                z = _np.zeros(2_000_000)
+                st = band_pass_states(z, z, p)
+                compute_assembly_regions("warm", b"A" * 1000, 0, 1000, 1000,
+                                         st[:1000], p)
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm_hc_build, daemon=True).start()
     data = _timed(args.timed, "Reading SAM into memory and applying filters.", read_phase, args.profile)
 
     # Phase 2: optical duplicates — independent of BQSR (pure host math
