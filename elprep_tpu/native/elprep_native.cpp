@@ -221,13 +221,14 @@ long long bgzf_compress(const uint8_t* data, size_t n, uint8_t* out, size_t out_
 //   qual(5), tags(6): int64[n] each (offsets into data; tags may be
 //   empty with start==end)
 // Returns number of lines parsed, or -1-errpos on parse error.
-long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long max_lines,
-                       int32_t* flag, int32_t* pos, int32_t* mapq, int32_t* pnext,
-                       int32_t* tlen,
-                       int64_t* f_start, int64_t* f_end /* [7][max_lines] flat */) {
+static long long sam_tokenize_range(
+    const uint8_t* data, size_t n, size_t start, long long line0,
+    long long line_stop, long long max_lines,
+    int32_t* flag, int32_t* pos, int32_t* mapq, int32_t* pnext,
+    int32_t* tlen, int64_t* f_start, int64_t* f_end) {
   size_t p = start;
-  long long line = 0;
-  while (p < n && line < max_lines) {
+  long long line = line0;
+  while (p < n && line < line_stop) {
     // field 0: qname
     size_t fs[12], fe[12];
     int field = 0;
@@ -298,6 +299,85 @@ long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long ma
     if (p < n) p++;
   }
   return line;
+}
+
+long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long max_lines,
+                       int32_t* flag, int32_t* pos, int32_t* mapq, int32_t* pnext,
+                       int32_t* tlen,
+                       int64_t* f_start, int64_t* f_end /* [7][max_lines] flat */) {
+  long long nt = (long long)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (nt == 1 || max_lines < 65536 || n - start < (size_t)(1 << 22)) {
+    return sam_tokenize_range(data, n, start, 0, max_lines, max_lines,
+                              flag, pos, mapq, pnext, tlen, f_start, f_end);
+  }
+  // Parallel framing: split at newline boundaries (every line starting
+  // before a boundary ends at or before it, so per-range tokenization
+  // sees exactly the sequential framing). Two parallel passes: newline
+  // counts -> line offsets, then range tokenization. Error reporting
+  // matches the sequential scan: the smallest error position is the
+  // first error it would have hit.
+  std::vector<size_t> bounds(nt + 1);
+  bounds[0] = start;
+  bounds[nt] = n;
+  const size_t span = (n - start) / (size_t)nt;
+  for (long long t = 1; t < nt; t++) {
+    size_t b = start + span * (size_t)t;
+    while (b < n && data[b - 1] != '\n') b++;
+    bounds[t] = b;
+  }
+  for (long long t = 1; t < nt; t++)
+    if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+  std::vector<long long> counts(nt, 0);
+  {
+    std::vector<std::thread> ths;
+    for (long long t = 0; t < nt; t++) {
+      ths.emplace_back([&, t]() {
+        long long c = 0;
+        const uint8_t* q = data + bounds[t];
+        const uint8_t* e = data + bounds[t + 1];
+        while (q < e) {
+          const uint8_t* nl = (const uint8_t*)memchr(q, '\n', (size_t)(e - q));
+          if (nl == nullptr) break;
+          c++;
+          q = nl + 1;
+        }
+        if (t == nt - 1 && n > start && data[n - 1] != '\n') c++;  // unterminated tail line
+        counts[t] = c;
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  std::vector<long long> line0(nt + 1, 0);
+  for (long long t = 0; t < nt; t++) line0[t + 1] = line0[t] + counts[t];
+  if (line0[nt] > max_lines) line0[nt] = max_lines;
+  std::vector<long long> results(nt, 0);
+  {
+    std::vector<std::thread> ths;
+    for (long long t = 0; t < nt; t++) {
+      ths.emplace_back([&, t]() {
+        long long stop = line0[t] + counts[t];
+        if (stop > max_lines) stop = max_lines;
+        results[t] = sam_tokenize_range(
+            data, bounds[t + 1], bounds[t], line0[t], stop, max_lines,
+            flag, pos, mapq, pnext, tlen, f_start, f_end);
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  long long err_pos = -1;  // smallest error position across ranges
+  long long total = 0;
+  for (long long t = 0; t < nt; t++) {
+    if (results[t] < 0) {
+      const long long ep = -1 - results[t];
+      if (err_pos < 0 || ep < err_pos) err_pos = ep;
+    } else if (results[t] > total) {
+      total = results[t];
+    }
+  }
+  if (err_pos >= 0) return -1 - err_pos;
+  return total;
 }
 
 // Count alignment lines from `start`.
@@ -563,26 +643,39 @@ long long sam_tags_to_bam(const uint8_t* flat, const int64_t* offsets,
 // Extract the value byte-range of a :Z: tag per row; start=end=0 if absent.
 void extract_z_tag(const uint8_t* flat, const int64_t* offsets, int64_t n_rows,
                    uint8_t t0, uint8_t t1, int64_t* val_starts, int64_t* val_ends) {
-  for (int64_t i = 0; i < n_rows; i++) {
-    int64_t s = offsets[i], e = offsets[i + 1];
-    val_starts[i] = 0;
-    val_ends[i] = 0;
-    int64_t p = s;
-    while (p + 5 <= e) {
-      // field starts at p
-      if (flat[p] == t0 && flat[p + 1] == t1 && flat[p + 2] == ':' &&
-          flat[p + 3] == 'Z' && flat[p + 4] == ':') {
-        int64_t v = p + 5;
-        int64_t q = v;
-        while (q < e && flat[q] != '\t') q++;
-        val_starts[i] = v;
-        val_ends[i] = q;
-        break;
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (n_rows < 65536) nt = 1;
+  auto scan_rows = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; i++) {
+      int64_t s = offsets[i], e = offsets[i + 1];
+      val_starts[i] = 0;
+      val_ends[i] = 0;
+      int64_t p = s;
+      while (p + 5 <= e) {
+        // field starts at p
+        if (flat[p] == t0 && flat[p + 1] == t1 && flat[p + 2] == ':' &&
+            flat[p + 3] == 'Z' && flat[p + 4] == ':') {
+          int64_t v = p + 5;
+          int64_t q = v;
+          while (q < e && flat[q] != '\t') q++;
+          val_starts[i] = v;
+          val_ends[i] = q;
+          break;
+        }
+        while (p < e && flat[p] != '\t') p++;
+        p++;
       }
-      while (p < e && flat[p] != '\t') p++;
-      p++;
     }
+  };
+  if (nt == 1) {
+    scan_rows(0, n_rows);
+    return;
   }
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++)
+    ths.emplace_back(scan_rows, (n_rows * t) / nt, (n_rows * (t + 1)) / nt);
+  for (auto& th : ths) th.join();
 }
 
 }  // extern "C"
