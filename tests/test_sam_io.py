@@ -246,3 +246,55 @@ def test_has_tag_vectorized_matches_loop():
     assert np.array_equal(got, want)
     # the loop oracle itself matches the generator's intent for sr:i
     assert np.array_equal(want[: len(expect)], np.array(expect))
+
+
+def test_threaded_tokenizer_matches_sequential_framing():
+    """The parallel SAM tokenizer (newline-aligned ranges, >=4 MB and
+    >=64k lines) must produce exactly the sequential framing: same
+    columns, same field ranges, and the same first-error position on
+    malformed input."""
+    import numpy as np
+
+    from elprep_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    line = (b"r%06d\t99\tchr1\t%d\t60\t100M\t=\t%d\t151\t" + b"A" * 100
+            + b"\t" + b"I" * 100 + b"\tRG:Z:rg1\n")
+    rows = []
+    for i in range(80_000):  # ~18 MB, crosses the threaded threshold
+        p = int(rng.randint(1, 1_000_000))
+        rows.append(line % (i, p, p + 51))
+    big = b"".join(rows)
+    tok = native.sam_tokenize(big, 0)
+    assert tok is not None
+    n, cols, (f_start, f_end) = tok
+    assert n == 80_000
+    # spot-check framing row round-trips on random rows
+    for i in rng.randint(0, n, 50):
+        qn = big[f_start[0][i]:f_end[0][i]]
+        assert qn == b"r%06d" % i
+        seq = big[f_start[4][i]:f_end[4][i]]
+        assert seq == b"A" * 100
+        assert cols["flag"][i] == 99
+    # malformed FLAG mid-file: same error position as the sequential scan
+    bad_idx = 40_123
+    prefix = b"".join(rows[:bad_idx])
+    bad_row = rows[bad_idx].replace(b"\t99\t", b"\tXX\t", 1)
+    corrupted = prefix + bad_row + b"".join(rows[bad_idx + 1:])
+    import pytest
+
+    with pytest.raises(ValueError) as e1:
+        native.sam_tokenize(corrupted, 0)
+    # the sequential path (small slice covering the bad line) reports
+    # the same offending line
+    lo = len(prefix)
+    with pytest.raises(ValueError) as e2:
+        native.sam_tokenize(corrupted[lo:lo + len(bad_row)], 0)
+    # both quote the same offending line (the wrapper embeds its bytes)
+    assert b"r%06d" % bad_idx in bad_row
+    assert ("r%06d" % bad_idx) in str(e1.value)
+    assert ("r%06d" % bad_idx) in str(e2.value)
