@@ -158,10 +158,27 @@ def _wait_for_burst_credits() -> dict:
     t0 = _t.time()
     waited = 0.0
     try:
-        while _t.time() - t0 < max_wait and os.getloadavg()[0] > 0.3:
+        # stable-but-nonzero escape: on a shared host where other
+        # tenants hold 1-min load above the idle threshold, waiting the
+        # full budget buys nothing — if 4 consecutive samples sit within
+        # a narrow band, the background load is steady-state, not our
+        # own burst-credit burn draining
+        recent = []
+        timed_out = True
+        while _t.time() - t0 < max_wait:
+            load = os.getloadavg()[0]
+            if load <= 0.3:
+                timed_out = False
+                break
+            recent.append(load)
+            if len(recent) >= 4 and max(recent[-4:]) - min(recent[-4:]) < 0.15:
+                timed_out = False
+                break
             _t.sleep(20)
         waited = round(_t.time() - t0, 1)
-        return {"quiet_wait_s": waited, "load1_at_start": round(os.getloadavg()[0], 2)}
+        return {"quiet_wait_s": waited,
+                "load1_at_start": round(os.getloadavg()[0], 2),
+                "gate_timed_out": timed_out}
     except Exception:
         return {"quiet_wait_s": waited}
 
@@ -284,18 +301,27 @@ def main() -> None:
     # host wins: the 120k fixture sits far below the measured crossover.
     e2e_device = None
     if platform == "accelerator":
+        from elprep_tpu.ops.dispatch import reset_link_probes
+
         try:
-            # bypass BOTH cost-model gates (read count + measured link):
-            # this sample diagnoses the forced on-chip path, not the
-            # shipped routing
+            # bypass BOTH cost-model gates (read count + measured link)
+            # AND the session PairHMM commitment: this sample diagnoses
+            # the forced on-chip path, not the shipped routing
             os.environ["ELPREP_TPU_DEVICE_MIN_READS"] = "1"
             os.environ["ELPREP_TPU_LINK_MBPS"] = "1e9"
+            os.environ["ELPREP_TPU_PAIRHMM_BACKEND"] = "pallas"
+            reset_link_probes()  # pick up the overrides
             e2e_device = _e2e_bench()
         except Exception:
             e2e_device = None
         finally:
             os.environ.pop("ELPREP_TPU_DEVICE_MIN_READS", None)
             os.environ.pop("ELPREP_TPU_LINK_MBPS", None)
+            os.environ.pop("ELPREP_TPU_PAIRHMM_BACKEND", None)
+            # drop the override-tainted caches so later probes (the
+            # 'document the real link' step below) measure the relay,
+            # not the 1e9 override (BENCH_r04's poisoned link_h2d_mbps)
+            reset_link_probes()
 
     # PairHMM dispatch crossover at a realistic HC batch (2048 pairs,
     # incl. packing + transfer): host lax.scan vs Pallas TPU kernel
@@ -393,6 +419,8 @@ def main() -> None:
                         if r.get("rc") == 0:
                             row[f"{tag}_s"] = r["seconds"]
                             row[f"{tag}_reads_per_sec"] = r["reads_per_sec"]
+                            if r.get("pairhmm_backend"):
+                                row[f"{tag}_pairhmm_backend"] = r["pairhmm_backend"]
                 except Exception:
                     pass
             if "host_s" in row and "accel_s" in row:
@@ -405,14 +433,30 @@ def main() -> None:
     # document the link this capture ran over: accelerator numbers are
     # meaningless without the relay's state (measured 15-135 MB/s and
     # 0.1-2 s round-trip latency across rounds)
-    link_mbps = link_lat = None
+    link_mbps = link_lat = link_sweep = session_backend = None
     if platform == "accelerator":
         try:
             from elprep_tpu.ops.dispatch import (_probe_link_mbps,
                                                  probe_link_latency_s)
+            from elprep_tpu.ops.pairhmm import pairhmm_session_backend
 
             link_mbps = round(_probe_link_mbps(), 1)
             link_lat = round(probe_link_latency_s(), 4)
+            # what the shipped default session commits to on THIS link
+            session_backend = pairhmm_session_backend()
+            # raw probe-by-size sweep (each size timed once, H2D put +
+            # scalar fetch): documents the relay's state beyond the two
+            # cached decision probes
+            import jax as _j
+
+            link_sweep = {}
+            for mb in (1, 8, 32):
+                a = np.ones(mb << 20, np.uint8)
+                t0 = time.perf_counter()
+                d = _j.device_put(a)
+                float(np.asarray(d[:1])[0])
+                link_sweep["%dmb_mbps" % mb] = round(
+                    (mb << 20) / 1e6 / max(time.perf_counter() - t0, 1e-6), 1)
         except Exception:
             pass
 
@@ -432,6 +476,10 @@ def main() -> None:
         out["link_h2d_mbps"] = link_mbps
     if link_lat is not None:
         out["link_roundtrip_s"] = link_lat
+    if link_sweep:
+        out["link_h2d_sweep"] = link_sweep
+    if session_backend is not None:
+        out["pairhmm_session_backend"] = session_backend
     if host_step_reads_per_sec is not None:
         out["host_step_reads_per_sec"] = round(host_step_reads_per_sec, 1)
     if e2e_device is not None:

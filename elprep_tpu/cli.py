@@ -778,6 +778,17 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
                       % (_t.perf_counter() - _c0), file=sys.stderr, flush=True)
             else:
                 sink.close()
+        if mh_n > 1 and params.downsample_fired:
+            # per-slice LCG streams: selection within >50-deep pileups
+            # now depends on the contig partition, so byte-equality with
+            # a whole-file (single-stream) run no longer holds — same
+            # contract as the reference's per-job sfm seeding
+            # (cmd/sfm.go:634-644), but say so out loud
+            print("elprep_tpu: warning: HC downsampling fired in a "
+                  "multi-host run; downsampled-read selection uses "
+                  "per-contig-slice RNG streams and may differ from a "
+                  "single-process run (coverage-equivalent output)",
+                  file=sys.stderr, flush=True)
         if mh_shards is not None:
             # all shard VCFs visible -> gather in contig order (process
             # p owns the p-th contiguous contig slice, so shard order IS

@@ -1041,6 +1041,14 @@ def apply_bqsr_filter(
                         quant, sqq_lut, max_cycle)
                     if mac is not None:
                         if mac > max_cycle:
+                            # NOTE: the in-place apply has already
+                            # mutated batch.qual by this point (unlike
+                            # the padded twin, which writes back only
+                            # after the check). The error is fatal at
+                            # every call site — the reference panics
+                            # here too (bqsr.go:947) — so the batch is
+                            # deliberately left poisoned; do not catch
+                            # and reuse the batch.
                             raise ValueError(
                                 "cycle value exceeds maximum cycle value")
                         return None

@@ -145,6 +145,11 @@ class HCParams:
     # --randomized-qd: carried in params so spawned HC workers apply the
     # same mode (module state does not cross process boundaries)
     randomized_qd: bool = False
+    # set by downsample/downsample_block the moment the Java-LCG stream
+    # is consumed: a multi-host run uses it to warn that per-slice
+    # streams diverge from a whole-file run's single stream
+    # (parallel/multihost.py module docstring; cmd/sfm.go:634-644)
+    downsample_fired: bool = False
 
 
 def make_hc_params(reference_confidence: str = "NONE",
@@ -239,6 +244,7 @@ def downsample(reads: List[ClipRead], params: HCParams) -> List[ClipRead]:
             if total <= maxn:
                 cur.append(r)
             else:
+                params.downsample_fired = True
                 slot = params.random.int31n(total)
                 if slot < maxn:
                     cur[slot] = r

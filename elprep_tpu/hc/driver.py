@@ -52,6 +52,7 @@ from .genotyping import (
 )
 from .readblock import ContigReadBlock, aln_slice_block, downsample_block
 from .refconf import (
+    RefBlockBatch,
     RefRun,
     SingleVariant,
     VariantCombiner,
@@ -675,6 +676,18 @@ def write_vcf_header(params: HCParams, sam_header: Header, sample_name: str,
 # ---------------------------------------------------------------------------
 
 
+# records (not list items) buffered before a streaming-sink flush:
+# ~64k records is ~4 MB of GVCF text per sink batch — large enough to
+# amortize the native formatter/deflate, small enough that the sink
+# thread streams alongside region consumption (flush boundaries do not
+# change output bytes; BGZF blocks chop at fixed 64 KB regardless)
+_SINK_FLUSH_RECORDS = int(os.environ.get("ELPREP_TPU_VCF_FLUSH_RECORDS",
+                                         "65536"))
+# positions buffered as adjacent RefRuns before a vectorized merge_run
+# (the combiner's batch granularity; also bounds buffered memory)
+_RUN_BUF_POSITIONS = 1 << 17
+
+
 def _iter_region_results_serial(params, regions, deletions, use_device_pairhmm,
                                 fill_reads):
     """Yield (region, variants, deletions) in order — single-process
@@ -863,7 +876,8 @@ def call_variants(
                     # buffer position-adjacent runs: one vectorized
                     # merge replaces thousands of per-region calls
                     if run_buf and (run_buf[-1].pos0 + len(run_buf[-1])
-                                    != sv.pos0 or run_len > 1 << 17):
+                                    != sv.pos0
+                                    or run_len > _RUN_BUF_POSITIONS):
                         out_variants = flush_runs(out_variants)
                     run_buf.append(sv)
                     run_len += len(sv)
@@ -878,10 +892,19 @@ def call_variants(
                         reference_variant_to_full(contig, reference, sv))
         # streaming writeback: emitted entries are final (the
         # combiner's open block is not in the list yet), so the
-        # accumulated prefix can flush at any point
-        if variant_sink is not None and len(out_variants) >= 4096:
-            variant_sink.write_variants(out_variants)
-            out_variants = []
+        # accumulated prefix can flush at any point. Count RECORDS, not
+        # list items: one RefBlockBatch item holds tens of thousands of
+        # reference-block records, so an item-count threshold never
+        # fired at GVCF scale and ~all formatting+compression serialized
+        # into sink.close (profiled ~3 s of the 1M HC phase wall) — the
+        # record-count check keeps the sink thread streaming alongside
+        # region consumption instead
+        if variant_sink is not None:
+            n_records = sum(len(v) if isinstance(v, RefBlockBatch) else 1
+                            for v in out_variants)
+            if n_records >= _SINK_FLUSH_RECORDS:
+                variant_sink.write_variants(out_variants)
+                out_variants = []
 
     def _flush_runs_batch():
         nonlocal out_variants

@@ -71,7 +71,14 @@ def _dispatch_tuning():
     try:
         import jax
 
-        if jax.default_backend() != "cpu":
+        from ..ops.pairhmm import pairhmm_session_backend
+
+        if (jax.default_backend() != "cpu"
+                and pairhmm_session_backend() == "pallas"):
+            # only a session actually dispatching to the chip needs
+            # pipelined dispatch threads; a session committed to the
+            # host scan (relay-class link) behaves like a CPU session —
+            # extra dispatch threads would just contend with HC workers
             from ..ops.dispatch import probe_link_latency_s
 
             workers = 2

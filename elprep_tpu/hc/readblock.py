@@ -348,6 +348,7 @@ def downsample_block(block: ContigReadBlock, params) -> ContigReadBlock:
     counts = np.diff(starts)
     if not (counts > maxn).any():
         return block  # the per-read loop draws only when a start exceeds maxn
+    params.downsample_fired = True  # LCG stream advances from here on
     keep_parts: List[np.ndarray] = []
     for gi in range(len(counts)):
         s, c = int(starts[gi]), int(counts[gi])

@@ -377,6 +377,11 @@ long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long ma
     }
   }
   if (err_pos >= 0) return -1 - err_pos;
+  // A range whose line0 already sits at/past max_lines parses nothing
+  // but still reports line0: clamp so the contract (result <=
+  // max_lines) holds even for callers that size max_lines below the
+  // input's true line count.
+  if (total > max_lines) total = max_lines;
   return total;
 }
 

@@ -27,6 +27,7 @@ modifiedQuality = min(QUAL, MAPQ) with <18 -> 6 (pairhmm.go:77-86).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -317,6 +318,8 @@ _MESH: list = [None]
 
 def set_pairhmm_mesh(mesh) -> None:
     _MESH[0] = mesh
+    # the mesh shape feeds the session backend commitment — re-decide
+    _SESSION_BACKEND[0] = None
 
 
 def pairhmm_logl_pairs(
@@ -336,21 +339,80 @@ def pairhmm_logl_pairs(
     if B == 0:
         return np.zeros(0, np.float64)
 
-    mesh = _MESH[0]
-    # Backend choice must be a SESSION property, never a per-dispatch
-    # one: serial HC dispatches small per-region-group batches while the
-    # pooled path batches ~8192 pairs, so any batch-size crossover would
-    # give the same (read, hap) pair ulp-different f32 likelihoods
-    # across run modes — violating the serial==parallel (and sfm==
-    # whole-file) byte-equality contract. On a TPU session the Pallas
-    # kernel therefore runs for EVERY dispatch; the measured cost is
-    # negligible even at 64 pairs (33 ms vs 26 ms host) and it wins 16x
-    # at the pooled batch sizes (CROSSOVER_r03.json).
-    if jax.default_backend() == "tpu" and (mesh is None or mesh.devices.size <= 1):
+    backend = pairhmm_session_backend()
+    if backend == "pallas":
         from .pairhmm_pallas import pairhmm_pallas_pairs
 
         return pairhmm_pallas_pairs(reads, haps, pair_r, pair_h)
+    if backend == "host":
+        # accelerator session committed to the host scan: pin the jitted
+        # program to the CPU backend so no dispatch crosses the link
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            return _pairhmm_logl_pairs_scan(reads, haps, pair_r, pair_h)
     return _pairhmm_logl_pairs_scan(reads, haps, pair_r, pair_h)
+
+
+# Session PairHMM backend commitment ('pallas' | 'host' | 'scan'; None =
+# undecided). See pairhmm_session_backend.
+_SESSION_BACKEND: list = [None]
+
+# A link is PairHMM-healthy when a dispatch round trip costs less than
+# this. Real PCIe/ICI attachments measure ~1-5 ms; the shared relay
+# tunnel has measured 30 ms-2 s across rounds — and BENCH_r04's paired
+# scale curve showed the relay's round-trip stalls costing the default
+# session +21 s at 2M reads even at the relay's healthiest (~30 ms), so
+# the cut sits between the two hardware classes, not inside the relay's
+# oscillation range.
+_PAIRHMM_HEALTHY_LATENCY_S = 0.02
+# ... and the bulk link must be PCIe-class: the batched dispatch moves
+# ~1.3 KB/pair, which a >=500 MB/s attachment amortizes to noise while
+# the relay (15-135 MB/s, day-dependent) turns into a second stall
+# source on the serialized HC main thread.
+_PAIRHMM_HEALTHY_MBPS = 500.0
+
+
+def pairhmm_session_backend() -> str:
+    """Commit the PairHMM backend ONCE per session.
+
+    Backend choice must be a SESSION property, never a per-dispatch one:
+    serial HC dispatches small per-region-group batches while the pooled
+    path batches ~8192 pairs, so any batch-size crossover would give the
+    same (read, hap) pair ulp-different f32 likelihoods across run modes
+    — violating the serial==parallel (and sfm==whole-file) byte-equality
+    contract. The session-level choice preserves that contract while
+    letting the decision see the hardware: on a TPU session with a
+    healthy (PCIe/ICI-class) link the Pallas kernel runs for every
+    dispatch (16x at pooled batch sizes, CROSSOVER_r03.json); behind a
+    relay-class link (high round-trip latency or tunnel-class bandwidth)
+    the session commits to the HOST scan instead — the round-trip stalls
+    the relay drags into the serialized HC main thread were measured
+    costing more than the kernel win at every scale >=2M reads
+    (BENCH_r04 scale_curve; the round-4 verdict's #1 ask).
+
+    Returns 'pallas' (TPU kernel), 'host' (jitted lax.scan pinned to the
+    CPU backend), or 'scan' (lax.scan on the session default device —
+    CPU sessions and multi-chip meshes, where the scan shards over the
+    mesh). ELPREP_TPU_PAIRHMM_BACKEND={pallas,host,scan} overrides."""
+    if _SESSION_BACKEND[0] is not None:
+        return _SESSION_BACKEND[0]
+    import jax
+
+    v = os.environ.get("ELPREP_TPU_PAIRHMM_BACKEND", "").strip().lower()
+    if v in ("pallas", "host", "scan"):
+        _SESSION_BACKEND[0] = v
+        return v
+    mesh = _MESH[0]
+    if jax.default_backend() != "tpu" or (mesh is not None
+                                          and mesh.devices.size > 1):
+        _SESSION_BACKEND[0] = "scan"
+        return "scan"
+    from .dispatch import _probe_link_mbps, probe_link_latency_s
+
+    healthy = (probe_link_latency_s() < _PAIRHMM_HEALTHY_LATENCY_S
+               and _probe_link_mbps() >= _PAIRHMM_HEALTHY_MBPS)
+    _SESSION_BACKEND[0] = "pallas" if healthy else "host"
+    return _SESSION_BACKEND[0]
 
 
 def _pairhmm_logl_pairs_scan(

@@ -189,6 +189,50 @@ def test_bp_resolution_mode(snp_setup):
     assert poss == sorted(poss)
 
 
+def test_streaming_sink_flushes_by_record_count(snp_setup, tmp_path,
+                                                monkeypatch):
+    """The streaming sink must flush on RECORD count (one RefBlockBatch
+    item holds thousands of reference-block records): with a small
+    threshold the sink receives many mid-run batches, and the resulting
+    file is byte-identical to an unbuffered all-at-end write."""
+    ref, alt, reads = snp_setup
+
+    # small run-buffer bound so RefBlockBatches reach out_variants
+    # mid-run even on this 2 kb fixture
+    monkeypatch.setattr(driver, "_RUN_BUF_POSITIONS", 100)
+
+    def run(threshold, path):
+        monkeypatch.setattr(driver, "_SINK_FLUSH_RECORDS", threshold)
+        params = make_hc_params("GVCF", command_line="test")
+        writer = vcfmod.StreamingVcfWriter(
+            str(path), driver.write_vcf_header(
+                params, _sam_header(len(ref)), "s1", lambda c: ref,
+                now="Mon Jan 02 15:04:05 UTC 2006"))
+        batches = []
+        orig = writer.write_variants
+
+        def recording(variants):
+            batches.append(len(variants))
+            orig(variants)
+
+        writer.write_variants = recording
+        sink = vcfmod.AsyncVariantSink(writer)
+        hdr, variants = driver.call_variants(
+            params, _sam_header(len(ref)), {"chr1": list(reads)},
+            lambda c: ref, sample_name="s1", use_device_pairhmm=False,
+            variant_sink=sink)
+        assert variants == []  # everything went through the sink
+        sink.close()
+        return batches
+
+    small = run(5, tmp_path / "small.vcf")
+    large = run(1 << 30, tmp_path / "large.vcf")
+    assert (tmp_path / "small.vcf").read_bytes() == \
+        (tmp_path / "large.vcf").read_bytes()
+    # the low threshold actually streamed mid-run; the huge one did not
+    assert len(small) > len(large)
+
+
 @pytest.mark.parametrize("mode", ["NONE", "GVCF"])
 def test_parallel_pool_matches_serial(snp_setup, mode):
     """call_variants with the worker pool == serial, record for record

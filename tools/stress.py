@@ -96,10 +96,15 @@ def main() -> None:
         if args.json:
             import json
 
+            from elprep_tpu.ops.pairhmm import _SESSION_BACKEND
+
             print(json.dumps({
                 "reads": args.reads, "seconds": round(dt, 2),
                 "reads_per_sec": round(args.reads / dt, 1), "rc": rc,
-                "maxrss_gb": round(rss, 2)}))
+                "maxrss_gb": round(rss, 2),
+                # what the session committed to (None if HC never
+                # dispatched a PairHMM batch)
+                "pairhmm_backend": _SESSION_BACKEND[0]}))
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
