@@ -732,6 +732,12 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
                 [len(reads_by_contig.get(nm, ())) for nm in sq_names], mh_n)
             mh_restrict = {nm for i, nm in enumerate(sq_names)
                            if owner[i] == mh_pid}
+            if os.environ.get("ELPREP_TPU_HC_TRACE"):
+                per_proc = [0] * mh_n
+                for i, nm in enumerate(sq_names):
+                    per_proc[owner[i]] += len(reads_by_contig.get(nm, ()))
+                print("[hc] contig partition reads per process: %s"
+                      % per_proc, file=sys.stderr, flush=True)
             reads_by_contig = {nm: blk for nm, blk in reads_by_contig.items()
                                if nm in mh_restrict}
             # shard exchange rides the shared filesystem (the reference's
@@ -798,13 +804,21 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             from .parallel.multihost import hc_gather_barrier
             from .splitmerge_cli import _combine_vcf_outputs
 
+            _g0 = time.perf_counter()
             hc_gather_barrier("elprep-hc-shards")
+            _g1 = time.perf_counter()
             _combine_vcf_outputs(mh_shards, args.haplotypecaller)
+            _g2 = time.perf_counter()
             hc_gather_barrier("elprep-hc-gathered")
             try:
                 os.remove(mh_shards[mh_pid])
             except OSError:
                 pass
+            if os.environ.get("ELPREP_TPU_HC_TRACE"):
+                print("[hc] shard gather: barrier %.3fs combine %.3fs "
+                      "total %.3fs"
+                      % (_g1 - _g0, _g2 - _g1, time.perf_counter() - _g0),
+                      file=sys.stderr, flush=True)
     finally:
         if ap:
             ap.close()

@@ -648,6 +648,43 @@ def native_ref_models_batch(params: HCParams, regions, positions, ends,
 # ---------------------------------------------------------------------------
 
 
+def _dp_runs_from_array(a) -> List[List[int]]:
+    """Open-block DP multiset as [value, count] runs from a positional
+    array (adjacent equal values collapse; order preserved)."""
+    vals, counts = _rle_encode(np.asarray(a))
+    return [[int(v), int(c)] for v, c in zip(vals.tolist(), counts.tolist())]
+
+
+def _dp_runs_append(runs: List[List[int]], val: int, count: int = 1) -> None:
+    if runs and runs[-1][0] == val:
+        runs[-1][1] += count
+    else:
+        runs.append([val, count])
+
+
+def _dp_runs_median_min(runs: List[List[int]]) -> Tuple[int, int]:
+    """(median, min) of the weighted DP multiset — same semantics as
+    sorting the expanded list: odd count takes the middle element, even
+    count rounds the two middles half-away-from-zero (go-style)."""
+    total = sum(c for _, c in runs)
+    lo_idx = (total - 1) // 2
+    hi_idx = total // 2
+    acc = 0
+    lo = hi = 0
+    for v, c in sorted(runs):
+        if acc <= lo_idx < acc + c:
+            lo = v
+        if acc <= hi_idx < acc + c:
+            hi = v
+            break
+        acc += c
+    if total % 2 == 1:
+        med = lo
+    else:
+        med = int(_go_round((lo + hi) / 2))
+    return med, min(v for v, _ in runs)
+
+
 class VariantCombiner:
     def __init__(self, params: HCParams, get_reference) -> None:
         self.params = params
@@ -659,7 +696,11 @@ class VariantCombiner:
         self.v_end = 0
         self.next_start = -1
         self.v_ref = ""
-        self.dps: List[int] = []
+        # open-block DP multiset as [value, count] runs: a low-coverage
+        # open block can span millions of positions (an uncovered contig
+        # tail is ONE GQ-0 band), and the per-position int list this
+        # replaces dominated merge_run/finalize at that scale
+        self.dp_runs: List[List[int]] = []
         self.min_pls = [0, 0, 0]
         self.min_gq = 0
         self.max_gq = 0
@@ -688,21 +729,16 @@ class VariantCombiner:
         self.v_pos = sv.location
         self.v_end = sv.location
         self.v_ref = chr(self.ref[sv.location - 1])
-        self.dps = [sv.dp]
+        self.dp_runs = [[sv.dp, 1]]
         self.min_pls = list(sv.pls)
         self.min_gq, self.max_gq = self._find_gq_band(sv.gq)
 
     def _finalize_block(self) -> Variant:
-        dps = sorted(self.dps)
-        if len(dps) % 2 == 0:
-            half = len(dps) // 2
-            median_dp = int(_go_round((dps[half - 1] + dps[half]) / 2))
-        else:
-            median_dp = dps[(len(dps) + 1) // 2 - 1]
+        median_dp, min_dp = _dp_runs_median_min(self.dp_runs)
         g = Genotype(phased=False, gt=list(NO_VARIATION_GT))
         g.data["DP"] = median_dp
         g.data["GQ"] = min(compute_gq(list(self.min_pls)), 99)
-        g.data["MIN_DP"] = dps[0]
+        g.data["MIN_DP"] = min_dp
         g.data["PL"] = list(self.min_pls)
         v = Variant(chrom=self.contig, pos=self.v_pos, ref=self.v_ref,
                     alt=[NON_REF], genotype_format=list(NO_VARIATION_FORMAT_GVCF),
@@ -726,7 +762,7 @@ class VariantCombiner:
             return variants
         if (sv.location == self.v_end + 1 and self.min_gq <= sv.gq < self.max_gq):
             self.v_end = sv.location
-            self.dps.append(sv.dp)
+            _dp_runs_append(self.dp_runs, sv.dp)
             self.min_pls = [min(a, b) for a, b in zip(self.min_pls, sv.pls)]
             return variants
         variants.append(self._finalize_block())
@@ -762,10 +798,119 @@ class VariantCombiner:
         for the batch form)."""
         return self._merge_run_impl(variants, run, as_batch=False)
 
+    def _merge_run_rle(self, variants, run, as_batch):
+        """Run-level merge of an RLE RefRun: identical output to the
+        positional paths in _merge_run_impl (which remain the fuzzed
+        oracle) but O(joint runs) instead of O(positions) — no
+        _rle_decode, no positional band scan, no per-position DP lists.
+        Band index depends only on GQ, which is constant within a joint
+        run, so every block boundary falls on a run boundary; block
+        medians come from a weighted (value, count) median."""
+        pos0 = int(run.pos0)
+        n = len(run)
+        i = 0
+        if self.next_start >= pos0:  # skip positions covered by a prior call
+            i = min(n, self.next_start - pos0 + 1)
+        if i >= n:
+            return variants
+        counts, gq_v, dp_v, pls_v = run.joint_runs_tail(i)
+        gq_v = np.minimum(gq_v, 99)
+        dp_v = np.asarray(dp_v, np.int64)
+        pos_first = pos0 + i
+        m = n - i
+        if not self.first:
+            if pos_first != self.v_end + 1:
+                variants.append(self._finalize_block())
+                self.first = True
+            else:
+                in_band = (gq_v >= self.min_gq) & (gq_v < self.max_gq)
+                ext_runs = (len(in_band) if bool(in_band.all())
+                            else int(np.argmin(in_band)))
+                if ext_runs:
+                    ext = int(counts[:ext_runs].sum())
+                    self.v_end += ext
+                    for k in range(ext_runs):
+                        _dp_runs_append(self.dp_runs, int(dp_v[k]),
+                                        int(counts[k]))
+                    self.min_pls = [min(a, int(b)) for a, b in
+                                    zip(self.min_pls,
+                                        np.min(pls_v[:ext_runs], axis=0))]
+                    if ext >= m:
+                        return variants
+                    pos_first += ext
+                    m -= ext
+                    counts = counts[ext_runs:]
+                    gq_v = gq_v[ext_runs:]
+                    dp_v = dp_v[ext_runs:]
+                    pls_v = pls_v[ext_runs:]
+                variants.append(self._finalize_block())
+                self.first = True
+        bands = self.params.gq_bands
+        band_idx = np.searchsorted(bands, gq_v, side="right")
+        gstarts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(band_idx) != 0) + 1]).astype(np.int64)
+        open_r = int(gstarts[-1])  # the trailing (open) group's first run
+        run_pos = np.concatenate([[0], np.cumsum(counts)])
+        if len(gstarts) > 1:
+            cs_r = gstarts[:-1]
+            ce_r = gstarts[1:]
+            sl = slice(0, open_r)
+            min_pls_b = np.minimum.reduceat(pls_v[sl], cs_r, axis=0)
+            min_dp_b = np.minimum.reduceat(dp_v[sl], cs_r)
+            bcounts = run_pos[ce_r] - run_pos[cs_r]
+            # weighted per-block median: runs sorted by (block, dp), a
+            # global cumulative count, then one searchsorted per middle
+            nb = len(cs_r)
+            bid = np.repeat(np.arange(nb), ce_r - cs_r)
+            order = np.lexsort((dp_v[sl], bid))
+            sdp = dp_v[sl][order]
+            gcum = np.cumsum(counts[sl][order])
+            run0 = np.concatenate([[0], np.cumsum(ce_r - cs_r)[:-1]])
+            gb = np.where(run0 > 0, gcum[run0 - 1], 0)
+            k_lo = np.searchsorted(gcum, gb + (bcounts - 1) // 2, side="right")
+            k_hi = np.searchsorted(gcum, gb + bcounts // 2, side="right")
+            lo_ = sdp[k_lo]
+            # go-style even-count median: round((a+b)/2) half away from
+            # zero == (a+b+1)//2 for the non-negative integer depths
+            med = np.where(bcounts % 2 == 1, lo_, (lo_ + sdp[k_hi] + 1) // 2)
+            two = np.partition(min_pls_b, 1, axis=1)[:, :2]
+            gq_b = np.minimum(two[:, 1] - two[:, 0], 99)
+            b_pos = pos_first + run_pos[cs_r].astype(np.int64)
+            b_end = b_pos + bcounts.astype(np.int64) - 1
+            ref_arr = np.frombuffer(self.ref, np.uint8)
+            batch = RefBlockBatch(
+                chrom=self.contig, pos=b_pos, end=b_end,
+                ref_base=ref_arr[b_pos - 1],
+                dp=np.asarray(med, np.int64),
+                gq=gq_b.astype(np.int64),
+                min_dp=min_dp_b.astype(np.int64),
+                pls=min_pls_b.astype(np.int64))
+            if as_batch:
+                variants.append(batch)
+            else:
+                variants.extend(batch.expand())
+        # trailing band group stays open for the next merge
+        self.first = False
+        self.v_pos = pos_first + int(run_pos[open_r])
+        self.v_end = pos_first + m - 1
+        self.v_ref = chr(self.ref[self.v_pos - 1])
+        self.dp_runs = []
+        for k in range(open_r, len(counts)):
+            _dp_runs_append(self.dp_runs, int(dp_v[k]), int(counts[k]))
+        self.min_pls = [int(x) for x in np.min(pls_v[open_r:], axis=0)]
+        self.min_gq, self.max_gq = self._find_gq_band(int(gq_v[open_r]))
+        return variants
+
     def _merge_run_impl(self, variants, run, as_batch):
         """Vectorized merge of a contiguous reference run: equivalent to
         calling merge_variant per position (variant-combiner.go:141-263),
         but band splits are computed array-wise."""
+        if (as_batch and run._rle is not None
+                and not os.environ.get("ELPREP_TPU_NO_RLE_COMBINE")):
+            # runs that arrived RLE (worker pipes) merge at run level;
+            # the positional paths below stay as the oracle (serial HC,
+            # merge_run_expanded, and the RLE fuzz test pin equality)
+            return self._merge_run_rle(variants, run, as_batch)
         pos0 = int(run.pos0)
         n = len(run)
         i = 0
@@ -788,7 +933,8 @@ class VariantCombiner:
                 ext = m if bool(in_band.all()) else int(np.argmin(in_band))
                 if ext:
                     self.v_end += ext
-                    self.dps.extend(int(x) for x in dp[:ext])
+                    for v_, c_ in _dp_runs_from_array(dp[:ext]):
+                        _dp_runs_append(self.dp_runs, v_, c_)
                     self.min_pls = [min(a, int(b)) for a, b in
                                     zip(self.min_pls, np.min(pls[:ext], axis=0))]
                 j = ext
@@ -820,7 +966,7 @@ class VariantCombiner:
             self.v_pos = pos_first + open_a
             self.v_end = pos_first + m - 1
             self.v_ref = chr(self.ref[self.v_pos - 1])
-            self.dps = [int(x) for x in dp[open_a:m]]
+            self.dp_runs = _dp_runs_from_array(dp[open_a:m])
             self.min_pls = [int(x) for x in np.min(pls[open_a:m], axis=0)]
             self.min_gq, self.max_gq = self._find_gq_band(int(gq[open_a]))
             return variants
@@ -868,7 +1014,7 @@ class VariantCombiner:
         self.v_pos = pos_first + open_a
         self.v_end = pos_first + m - 1
         self.v_ref = chr(self.ref[self.v_pos - 1])
-        self.dps = [int(x) for x in dp[open_a:m]]
+        self.dp_runs = _dp_runs_from_array(dp[open_a:m])
         self.min_pls = [int(x) for x in np.min(pls[open_a:m], axis=0)]
         self.min_gq, self.max_gq = self._find_gq_band(int(gq[open_a]))
         return variants
@@ -1196,35 +1342,88 @@ class RefRun:
     are piecewise constant over band-sized stretches, so the worker
     pool's result queue moves ~10-30x fewer bytes per contig span
     (measured ~420 MB of raw int32 pickles at 1M reads / 15 Mb) while
-    the decoded arrays are bit-identical."""
+    the decoded arrays are bit-identical. A run that arrives RLE (from
+    a worker pipe) STAYS RLE: the combiner's run-level band scan
+    (_merge_run_rle) never rebuilds the positional arrays, and the
+    column properties decode lazily only for consumers that index
+    positions (tests, the oracle merge path)."""
 
-    __slots__ = ("pos0", "dp", "ad_ref", "ad_nonref", "pls", "gq")
+    __slots__ = ("pos0", "_cols", "_rle", "_n")
+
+    _KEYS = ("dp", "ad_ref", "ad_nonref", "pls", "gq")
 
     def __init__(self, pos0, dp, ad_ref, ad_nonref, pls, gq):
         self.pos0 = pos0
-        self.dp = dp
-        self.ad_ref = ad_ref
-        self.ad_nonref = ad_nonref
-        self.pls = pls
-        self.gq = gq
+        self._cols = {"dp": dp, "ad_ref": ad_ref, "ad_nonref": ad_nonref,
+                      "pls": pls, "gq": gq}
+        self._rle = None
+        self._n = len(gq)
+
+    @classmethod
+    def from_rle(cls, pos0, rle: dict, n: int) -> "RefRun":
+        self = cls.__new__(cls)
+        self.pos0 = pos0
+        self._cols = {}
+        self._rle = rle
+        self._n = n
+        return self
+
+    def _col(self, k: str):
+        v = self._cols.get(k)
+        if v is None:
+            vals, counts = self._rle[k]
+            v = self._cols[k] = _rle_decode(vals, counts)
+        return v
+
+    dp = property(lambda self: self._col("dp"))
+    ad_ref = property(lambda self: self._col("ad_ref"))
+    ad_nonref = property(lambda self: self._col("ad_nonref"))
+    pls = property(lambda self: self._col("pls"))
+    gq = property(lambda self: self._col("gq"))
 
     @property
     def full_variant(self):  # duck-typing parity with SingleVariant
         return None
 
     def __len__(self) -> int:
-        return len(self.gq)
+        return self._n
 
     def __getstate__(self):
-        return (self.pos0,) + tuple(
-            _rle_encode(getattr(self, k))
-            for k in ("dp", "ad_ref", "ad_nonref", "pls", "gq"))
+        r = self.rle()
+        return (self.pos0, self._n) + tuple(r[k] for k in self._KEYS)
 
     def __setstate__(self, state):
         self.pos0 = state[0]
-        for k, (vals, counts) in zip(("dp", "ad_ref", "ad_nonref", "pls", "gq"),
-                                     state[1:]):
-            setattr(self, k, _rle_decode(vals, counts))
+        self._n = state[1]
+        self._cols = {}
+        self._rle = dict(zip(self._KEYS, state[2:]))
+
+    def rle(self) -> dict:
+        if self._rle is None:
+            self._rle = {k: _rle_encode(np.ascontiguousarray(self._cols[k]))
+                         for k in self._KEYS}
+        return self._rle
+
+    def joint_runs_tail(self, i: int):
+        """(counts, gq_v, dp_v, pls_v) of the joint (gq, dp, pls) runs
+        covering positions [i, n): boundaries are the union of the three
+        columns' run boundaries, so every returned run is constant in
+        all three columns (runs need not be maximal)."""
+        r = self.rle()
+        gv, gc = r["gq"]
+        dv, dc = r["dp"]
+        pv, pc = r["pls"]
+        ge = np.cumsum(gc.astype(np.int64))
+        de = np.cumsum(dc.astype(np.int64))
+        pe = np.cumsum(pc.astype(np.int64))
+        ends = np.unique(np.concatenate([ge, de, pe]))
+        ends = ends[ends > i]
+        starts = np.concatenate([[i], ends[:-1]])
+        counts = ends - starts
+        gq_v = gv[np.searchsorted(ge, starts, side="right")]
+        dp_v = dv[np.searchsorted(de, starts, side="right")]
+        pls_v = pv[np.searchsorted(pe, starts, side="right")]
+        return counts, gq_v, dp_v, pls_v
 
 
 def concat_ref_runs(runs: "List[RefRun]") -> "RefRun":
@@ -1232,9 +1431,18 @@ def concat_ref_runs(runs: "List[RefRun]") -> "RefRun":
     runs[k].pos0 + len(runs[k])) into one run. merge_run over the result
     is equivalent to merging each run in sequence — band splits depend
     only on per-position GQ and adjacency, both preserved — so the
-    driver batches adjacent runs to amortize the per-call numpy cost."""
+    driver batches adjacent runs to amortize the per-call numpy cost.
+    RLE runs (the pooled path) concatenate at the run level without
+    decoding; the result's runs are simply not maximal across the seams,
+    which no consumer requires."""
     if len(runs) == 1:
         return runs[0]
+    if all(r._rle is not None for r in runs):
+        rle = {k: (np.concatenate([r._rle[k][0] for r in runs]),
+                   np.concatenate([r._rle[k][1] for r in runs]))
+               for k in RefRun._KEYS}
+        return RefRun.from_rle(runs[0].pos0, rle,
+                               sum(r._n for r in runs))
     return RefRun(
         runs[0].pos0,
         np.concatenate([r.dp for r in runs]),

@@ -347,14 +347,22 @@ def _sharded_recal_step(mesh, max_cycle: int, n_rg: int,
 
 
 def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
-                        mesh):
+                        mesh, timings: "dict | None" = None):
     """BQSR table build over the mesh: per-shard dense covariate inputs,
     shard_mapped recalibrate_tables, and ONE psum over the read axis in
     place of the reference's gob-file table merge
-    (reference: print-bqsr.go:310-329, bqsr.go:210-223).
+    (reference: print-bqsr.go:310-329, bqsr.go:210-329).
 
     ``recal`` is a filters.bqsr.BaseRecalibrator. Returns the same
-    BaseRecalibratorTables as the single-chip path, exactly."""
+    BaseRecalibratorTables as the single-chip path, exactly.
+
+    ``timings``, when a dict, receives wall seconds per internal stage
+    (prep_s: threaded per-shard covariate prep; stack_s: padded column
+    stacking; put_s: device placement; device_s: the shard_mapped
+    program incl. its psum, to host-side fetch) — the 1-vs-2-device
+    scaling instrumentation (tools/recal_profile.py)."""
+    import time as _time
+
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -381,10 +389,13 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
 
     # per-shard host prep runs threaded: the clipping + covariate chain is
     # native C++ (releases the GIL), so shards prep concurrently
+    _t0 = _time.perf_counter()
     prep = list(_pool().map(
         lambda s: fbqsr.prep_recalibrate_columns(
             recal, header, batch, np.flatnonzero(shard_of == s), max_cycle),
         range(n_shards)))
+    if timings is not None:
+        timings["prep_s"] = _time.perf_counter() - _t0
     if not any(p["m"] for p in prep):
         return tables  # no eligible reads anywhere (matches bqsr.py:388)
     m = max(p["m"] for p in prep)
@@ -404,6 +415,7 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
                 out[s * m : s * m + len(v), : v.shape[1]] = v
         return out
 
+    _t0 = _time.perf_counter()
     (base, qual, skip, seq_len, flag, pos, rg, refoff, op_class,
      op_len) = _pool().map(lambda a: stack(*a), [
         ("base", 0, np.uint8, L),
@@ -418,6 +430,8 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
         ("op_len", 0, np.int32, C),
     ])
 
+    if timings is not None:
+        timings["stack_s"] = _time.perf_counter() - _t0
     n_rg = len(cov_names)
     ref_classes = np.asarray(recal.ref.classes)
 
@@ -440,9 +454,15 @@ def sharded_recalibrate(recal, header: Header, batch: ReadBatch, max_cycle: int,
         args = (base, qual, seq_len, flag, pos, rg, refoff, skip, op_class,
                 op_len, ref_classes)
         specs = (rd2, rd2, rd, rd, rd, rd, rd, rd2, rd2, rd2, rep)
+    _t0 = _time.perf_counter()
     dargs = [_put(a, flat, sp) for a, sp in zip(args, specs)]
+    if timings is not None:
+        timings["put_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
     reduced, max_abs_cycle = step(*dargs)
     qs_obs, qs_mism, cyc_obs, cyc_mism, ctx_obs, ctx_mism = map(np.asarray, reduced)
+    if timings is not None:
+        timings["device_s"] = _time.perf_counter() - _t0
     if int(max_abs_cycle) > max_cycle:
         raise ValueError("cycle value exceeds maximum cycle value")
     ncyc = 2 * max_cycle + 1

@@ -250,6 +250,90 @@ def test_concat_ref_runs_equals_sequential_merge(seed):
         assert va.genotypes[0].data == vb.genotypes[0].data
 
 
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_merge_run_rle_matches_positional(seed):
+    """The run-level RLE merge path (_merge_run_rle, used for runs that
+    arrive pickled from HC workers) must emit record-identical output to
+    the positional paths, across adjacent-run continuation, gaps,
+    next_start skips from interleaved full variants, and single-run-only
+    (open block) merges."""
+    import pickle
+
+    from elprep_tpu.io.vcf import Variant
+
+    rng = np.random.RandomState(100 + seed)
+    params = make_hc_params("GVCF")
+    ref = rng.choice(_BASES, 50_000).tobytes()
+
+    def col(n, lo, hi):
+        out = []
+        left = n
+        while left:
+            ln = int(min(left, rng.randint(1, 60)))
+            out.append(np.full(ln, rng.randint(lo, hi)))
+            left -= ln
+        return np.concatenate(out).astype(np.int32)
+
+    def col3(n):
+        out = []
+        left = n
+        while left:
+            ln = int(min(left, rng.randint(1, 60)))
+            v = np.array([0, rng.randint(0, 40), rng.randint(0, 90)])
+            out.append(np.tile(v, (ln, 1)))
+            left -= ln
+        return np.vstack(out).astype(np.int32)
+
+    def mk_run(pos0, n):
+        dp = col(n, 0, 60)
+        ad_r = np.minimum(dp, col(n, 0, 50))
+        return refconf.RefRun(pos0, dp, ad_r, (dp - ad_r).astype(np.int32),
+                              col3(n), col(n, 0, 120))
+
+    events = []
+    pos = 101
+    for _ in range(12):
+        n = int(rng.randint(1, 400))
+        events.append(("run", mk_run(pos, n)))
+        pos += n
+        roll = rng.rand()
+        if roll < 0.25:
+            pos += int(rng.randint(1, 30))  # gap -> finalize + fresh block
+        elif roll < 0.5:
+            # full variant whose span reaches into the next run ->
+            # exercises the next_start prefix skip
+            v = Variant(chrom="c1", pos=max(1, pos - 3),
+                        ref="A" * int(rng.randint(1, 12)), alt=["T"])
+            events.append(("var", v))
+
+    def combine(rle):
+        comb = refconf.VariantCombiner(params, lambda c: ref)
+        out = comb.set_contig([], "c1")
+        for kind, x in events:
+            if kind == "run":
+                if rle:
+                    x = pickle.loads(pickle.dumps(x))
+                    assert x._rle is not None and not x._cols
+                out = comb.merge_run(out, x)
+            else:
+                out = comb.merge_variant(
+                    out, refconf.SingleVariant(full_variant=x))
+        fin = comb.finalize()
+        if fin is not None:
+            out.append(fin)
+        return refconf.expand_variants(out)
+
+    a = combine(rle=False)  # positional paths (the oracle)
+    b = combine(rle=True)   # run-level RLE path
+    assert len(a) == len(b) and len(a) > 5
+    for va, vb in zip(a, b):
+        assert (va.chrom, va.pos, va.ref, va.alt) == \
+            (vb.chrom, vb.pos, vb.ref, vb.alt)
+        assert va.info.get("END") == vb.info.get("END")
+        if va.genotypes:
+            assert va.genotypes[0].data == vb.genotypes[0].data
+
+
 def test_vectorized_refconf_expansion_matches_oracle():
     """Vectorized _expand_refconf_elements == per-op loop oracle on
     randomized cigars (reference: ref-confidence.go:266-361)."""

@@ -117,6 +117,9 @@ def main() -> None:
         env_mh = dict(os.environ)
         env_mh["PYTHONPATH"] = _REPO + os.pathsep + env_mh.get("PYTHONPATH", "")
         env_mh["ELPREP_TPU_HC_SHARD_DIR"] = shard_dir
+        if args.hc:
+            # partition-balance + shard-gather trace lines (cli.py)
+            env_mh["ELPREP_TPU_HC_TRACE"] = "1"
         procs = []
         t0 = time.perf_counter()
         for pid in range(args.processes):
@@ -148,6 +151,23 @@ def main() -> None:
                 raise SystemExit("multihost worker %d failed" % pid)
         row["multi_total_s"] = round(time.perf_counter() - t0, 2)
         row["multi_phases"] = _parse_timed(outs[0])
+        if args.hc:
+            # partition balance (reads per contig slice) and the
+            # shard-VCF gather cost, from the worker trace
+            m = re.search(r"contig partition reads per process: (\[[^\]]*\])",
+                          outs[0])
+            if m:
+                row["hc_partition_reads"] = json.loads(m.group(1))
+            gathers = []
+            for text in outs:
+                g = re.search(r"shard gather: barrier ([0-9.]+)s "
+                              r"combine ([0-9.]+)s total ([0-9.]+)s", text)
+                if g:
+                    gathers.append({"barrier_s": float(g.group(1)),
+                                    "combine_s": float(g.group(2)),
+                                    "total_s": float(g.group(3))})
+            if gathers:
+                row["hc_gather"] = gathers
         for k, v in row["single_phases"].items():
             if k in row["multi_phases"]:
                 row.setdefault("phase_delta_s", {})[k] = round(
