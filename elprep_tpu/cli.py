@@ -749,7 +749,10 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
                 "ELPREP_TPU_HC_SHARD_DIR",
                 os.path.dirname(os.path.abspath(args.haplotypecaller)) or ".")
             base = os.path.basename(args.haplotypecaller)
-            mh_shards = [os.path.join(shard_dir, "%s.mh%03d.part" % (base, p))
+            # .gz shards + header sidecars: the gather concatenates the
+            # compressed body BLOCKS directly (no recompress)
+            mh_shards = [os.path.join(shard_dir,
+                                      "%s.mh%03d.part.gz" % (base, p))
                          for p in range(mh_n)]
             hc_out = mh_shards[mh_pid]
         # streaming writeback: the VCF header must be written before any
@@ -760,7 +763,9 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
         sink = vcfmod.AsyncVariantSink(vcfmod.StreamingVcfWriter(
             hc_out,
             hcdriver.write_vcf_header(params, data.header, sample_box[0],
-                                      get_reference)))
+                                      get_reference),
+            shard_sidecar=(mh_shards is not None
+                           or bool(os.environ.get("ELPREP_TPU_VCF_SHARD")))))
         # PairHMM placement is a session property: a TPU session runs
         # the Pallas kernel for EVERY dispatch (it wins from tiny batch
         # sizes and per-dispatch switching would break serial==parallel
@@ -810,10 +815,11 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
             _combine_vcf_outputs(mh_shards, args.haplotypecaller)
             _g2 = time.perf_counter()
             hc_gather_barrier("elprep-hc-gathered")
-            try:
-                os.remove(mh_shards[mh_pid])
-            except OSError:
-                pass
+            for victim in (mh_shards[mh_pid], mh_shards[mh_pid] + ".hdroff"):
+                try:
+                    os.remove(victim)
+                except OSError:
+                    pass
             if os.environ.get("ELPREP_TPU_HC_TRACE"):
                 print("[hc] shard gather: barrier %.3fs combine %.3fs "
                       "total %.3fs"

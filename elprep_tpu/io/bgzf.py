@@ -223,6 +223,18 @@ class StreamingBgzfWriter:
                                       as_view=True))
             del self.buf[:whole]
 
+    def flush_block(self) -> None:
+        """Compress and emit everything buffered so far, ending exactly
+        at a block boundary (no EOF marker). Later writes start a fresh
+        block, so the output is NO LONGER byte-identical to
+        compress(whole_payload) — shard-gather mode only (the seam makes
+        the file a pure block-concatenation target)."""
+        if self.buf:
+            with memoryview(self.buf) as mv:
+                self.f.write(compress(mv, self.level, eof=False,
+                                      as_view=True))
+            self.buf = bytearray()
+
     def close(self) -> None:
         with memoryview(self.buf) as mv:
             self.f.write(compress(mv, self.level, eof=True, as_view=True))

@@ -588,7 +588,7 @@ class StreamingVcfWriter:
     same records (.gz output chops BGZF blocks at the same 64 KB
     boundaries)."""
 
-    def __init__(self, path: str, hdr: VcfHeader):
+    def __init__(self, path: str, hdr: VcfHeader, shard_sidecar: bool = False):
         self.f = open(path, "wb")
         self._bgzf = None
         if path.endswith(".gz"):
@@ -599,6 +599,16 @@ class StreamingVcfWriter:
             # output bytes are identical (same 64 KB block boundaries)
             self._bgzf = bgzf.StreamingBgzfWriter(self.f, flush_blocks=16)
         self._write(format_header(hdr).encode())
+        if shard_sidecar and self._bgzf is not None:
+            # shard mode: close the header's BGZF blocks here and record
+            # the compressed header length, so the shard gather
+            # (_combine_vcf_outputs) can drop this shard's header and
+            # concatenate its body BLOCKS without a decompress+
+            # recompress round trip
+            self._bgzf.flush_block()
+            self.f.flush()
+            with open(path + ".hdroff", "w") as s:
+                s.write(str(self.f.tell()))
 
     def _write(self, data: bytes) -> None:
         if self._bgzf is not None:

