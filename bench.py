@@ -400,29 +400,45 @@ def main() -> None:
         for n in (1_000_000, 2_000_000, 4_000_000):
             row = {"reads": n, "health_bgzf_50mb_s": _host_health()}
             for tag, plat in (("host", "cpu"), ("accel", None)):
-                if plat is None and platform != "accelerator":
-                    continue
+                if plat is None:
+                    if platform != "accelerator":
+                        continue
+                    # the accel subprocess has no liveness guard of its
+                    # own: a stalled tunnel blocks jax init inside the
+                    # measurement (r05 observed a 368 s "4M accel" row
+                    # that was ~280 s of hung relay) — probe first, and
+                    # record the skip instead of a poisoned number
+                    if not _accelerator_alive():
+                        row["accel_skipped"] = "tunnel dead/hung at probe"
+                        continue
                 env = dict(os.environ)
                 if plat:
                     env["ELPREP_TPU_PLATFORM"] = plat
                 else:
                     env.pop("ELPREP_TPU_PLATFORM", None)
-                try:
-                    p = subprocess.run(
-                        [sys.executable,
-                         os.path.join(_REPO, "tools", "stress.py"),
-                         "--reads", str(n), "--json"],
-                        capture_output=True, timeout=1200, text=True,
-                        cwd=_REPO, env=env)
-                    if p.returncode == 0:
-                        r = json.loads(p.stdout.strip().splitlines()[-1])
-                        if r.get("rc") == 0:
-                            row[f"{tag}_s"] = r["seconds"]
-                            row[f"{tag}_reads_per_sec"] = r["reads_per_sec"]
-                            if r.get("pairhmm_backend"):
-                                row[f"{tag}_pairhmm_backend"] = r["pairhmm_backend"]
-                except Exception:
-                    pass
+                for attempt in range(2):
+                    try:
+                        p = subprocess.run(
+                            [sys.executable,
+                             os.path.join(_REPO, "tools", "stress.py"),
+                             "--reads", str(n), "--json"],
+                            capture_output=True, timeout=1200, text=True,
+                            cwd=_REPO, env=env)
+                        if p.returncode == 0:
+                            r = json.loads(p.stdout.strip().splitlines()[-1])
+                            if r.get("rc") == 0:
+                                row[f"{tag}_s"] = r["seconds"]
+                                row[f"{tag}_reads_per_sec"] = r["reads_per_sec"]
+                                if r.get("pairhmm_backend"):
+                                    row[f"{tag}_pairhmm_backend"] = \
+                                        r["pairhmm_backend"]
+                                if attempt:
+                                    row[f"{tag}_attempts"] = attempt + 1
+                                break
+                    except Exception:
+                        pass
+                    # one retry covers a transient tunnel stall killing
+                    # the first attempt (recorded via _attempts)
             if "host_s" in row and "accel_s" in row:
                 row["accel_wins"] = bool(row["accel_s"] < row["host_s"])
             scale_curve.append(row)
