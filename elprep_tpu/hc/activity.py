@@ -916,6 +916,13 @@ def compute_assembly_regions(contig: str, reference: bytes, region_start: int,
     active = states > thr
     # positions (relative) where activity differs from the previous one
     flips = np.flatnonzero(active[1:] != active[:-1]) + 1
+    # region starts advance monotonically, so the next-flip lookup is an
+    # advancing pointer, not a per-region binary search (profiled: 40k
+    # np.searchsorted wrapper calls cost ~0.9 s of main-thread time at
+    # 1M reads — this loop runs between spans on the critical path)
+    flips_l = flips.tolist()
+    nf = len(flips_l)
+    fi = 0
     while stop - start > 0:
         rel = start - region_start
         is_active_region = bool(active[rel])
@@ -924,8 +931,9 @@ def compute_assembly_regions(contig: str, reference: bytes, region_start: int,
             max_activity_boundary = stop
         else:
             max_activity_boundary = max_region_end
-        fi = np.searchsorted(flips, rel, side="right")
-        next_flip = (region_start + int(flips[fi])) if fi < len(flips) else stop
+        while fi < nf and flips_l[fi] <= rel:
+            fi += 1
+        next_flip = (region_start + flips_l[fi]) if fi < nf else stop
         end_of_active = min(max(next_flip, start + 1), max_activity_boundary)
         if is_active_region and end_of_active == max_region_end:
             min_i = end_of_active - 1

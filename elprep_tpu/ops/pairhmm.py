@@ -497,13 +497,32 @@ def _pairhmm_logl_pairs_scan(
         acc = np.asarray(_pairhmm_f32_scan(
             *args2, *args1, lr_pad=lr_pad, lh_pad=lh_pad))[:B]
     else:
+        # bucket the batch axis to the next power of two (min 32): the
+        # jitted scan's shapes are static, so raw B values would compile
+        # one program per distinct dispatch size (profiled: 8 dispatch
+        # sizes at 1M reads = 8 trace+lower passes on the HC pipeline).
+        # Per-pair values are padding/batch-invariant (rows are
+        # independent lanes), so the slice below is exact.
+        B_pad = 32
+        while B_pad < B:
+            B_pad *= 2
+        if B_pad != B:
+            def padB1(a, fill):
+                out = np.full((B_pad,) + a.shape[1:], fill, a.dtype)
+                out[:B] = a
+                return out
+
+            x, hbp, mp, nmp, m2m, m2i = (
+                padB1(a, 0) for a in (x, hbp, mp, nmp, m2m, m2i))
+            read_len, hap_len, initial = (
+                padB1(a, 1) for a in (read_len, hap_len, initial))
         acc = np.asarray(
             _pairhmm_f32_scan(
                 jnp.asarray(x), jnp.asarray(hbp), jnp.asarray(mp), jnp.asarray(nmp),
                 jnp.asarray(m2m), jnp.asarray(m2i), jnp.asarray(read_len),
                 jnp.asarray(hap_len), jnp.asarray(initial), lr_pad=lr_pad, lh_pad=lh_pad,
             )
-        )
+        )[:B]
     log10_init = F32_INITIAL_POW * np.log10(2.0)
     with np.errstate(divide="ignore"):
         out = np.log10(acc.astype(np.float64)) - log10_init
