@@ -196,7 +196,17 @@ def _parse_alignments_fast(data: bytes, start: int) -> "ReadBatch | None":
     rx_pad, _ = rx_rg.to_padded(wname)
     both = np.concatenate([rn_pad.view(f"S{wname}").reshape(n),
                            rx_pad.view(f"S{wname}").reshape(n)])
-    uniq, inv = np.unique(both, return_inverse=True)
+    # run-collapse before unique: rname is clustered in real files and
+    # rnext is mostly "=", so the 2n-string array has few value runs —
+    # sorting the run representatives replaces a full 2n string sort
+    # (profiled ~0.4-0.8 s at 1M reads; degenerates gracefully when
+    # unclustered). Results are identical: np.unique of the run values
+    # with the inverse re-expanded over the runs.
+    seg_starts = np.concatenate(
+        [[0], np.flatnonzero(both[1:] != both[:-1]) + 1]).astype(np.int64)
+    seg_lens = np.diff(np.append(seg_starts, 2 * n))
+    uniq, inv_small = np.unique(both[seg_starts], return_inverse=True)
+    inv = np.repeat(inv_small, seg_lens)
     # reorder pool to first appearance (matches the reference's interning)
     first_pos = np.full(len(uniq), 2 * n, np.int64)
     np.minimum.at(first_pos, inv, np.arange(2 * n))

@@ -874,6 +874,28 @@ def stable_sort_idx(w0, w1=None, w2=None, w3=None):
     return out
 
 
+def qname_ranks_fixed(arr):
+    """Dense lexicographic ranks of a C-contiguous numpy 'S' array
+    (parallel native sort). Returns int32 ranks or None without the
+    lib — equal to np.unique(arr, return_inverse=True)[1]
+    (ops/sortkeys.qname_ranks's numpy path is the fuzzed oracle)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qname_ranks_fixed"):
+        return None
+    if lib.qname_ranks_fixed.argtypes is None:
+        lib.qname_ranks_fixed.restype = None
+        lib.qname_ranks_fixed.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p]
+    arr = np.ascontiguousarray(arr)
+    n = len(arr)
+    out = np.empty(n, np.int32)
+    if n:
+        lib.qname_ranks_fixed(arr.ctypes.data, n, arr.dtype.itemsize,
+                              out.ctypes.data)
+    return out
+
+
 def pairhmm_repeat_lengths(bases: bytes):
     """Per-base tandem-repeat lengths (uint8, 21 sentinel on the last
     base) or None without the native lib. ops/pairhmm.py

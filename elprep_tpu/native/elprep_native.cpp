@@ -385,6 +385,34 @@ long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long ma
   return total;
 }
 
+// Dense lexicographic ranks of fixed-width byte rows (numpy 'S' array
+// semantics: rows compare as their full null-padded width, which equals
+// name-then-length order because qnames contain no NULs). Equal rows
+// share a rank; ranks are 0..n_distinct-1 in sorted order. Oracle:
+// np.unique(arr, return_inverse=True)[1] (ops/sortkeys.qname_ranks).
+extern "C" void qname_ranks_fixed(const uint8_t* data, long long n,
+                                  long long width, int* out_rank) {
+  std::vector<int> idx((size_t)n);
+  for (long long i = 0; i < n; i++) idx[(size_t)i] = (int)i;
+  auto cmp = [&](int a, int b) {
+    return memcmp(data + (size_t)a * width, data + (size_t)b * width,
+                  (size_t)width) < 0;
+  };
+#if defined(_OPENMP)
+  __gnu_parallel::stable_sort(idx.begin(), idx.end(), cmp);
+#else
+  std::stable_sort(idx.begin(), idx.end(), cmp);
+#endif
+  int r = -1;
+  const uint8_t* prev = nullptr;
+  for (long long i = 0; i < n; i++) {
+    const uint8_t* cur = data + (size_t)idx[(size_t)i] * width;
+    if (prev == nullptr || memcmp(prev, cur, (size_t)width) != 0) r++;
+    out_rank[idx[(size_t)i]] = r;
+    prev = cur;
+  }
+}
+
 // Count alignment lines from `start`.
 long long sam_count_lines(const uint8_t* data, size_t n, size_t start) {
   long long count = 0;

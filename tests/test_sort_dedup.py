@@ -219,3 +219,34 @@ def test_native_dedup_score_upos_matches_jit_oracles():
         score_j = np.asarray(readstats.phred_score(qual_padded, qual_len))
         assert upos_n.tolist() == upos_j.tolist(), trial
         assert score_n.tolist() == score_j.tolist(), trial
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_qname_ranks_matches_numpy(seed):
+    """Native parallel qname rank == np.unique inverse (the oracle),
+    across duplicate-heavy, shared-prefix, and varying-width names."""
+    import numpy as np
+
+    from elprep_tpu import native
+    from elprep_tpu.ops import sortkeys
+
+    rng = np.random.RandomState(seed)
+    names = []
+    for i in range(5000):
+        style = rng.randint(3)
+        if style == 0:
+            names.append(b"frag%06d" % rng.randint(2000))
+        elif style == 1:
+            names.append(b"M01:1:FC:1:2208:%d:%d"
+                         % (rng.randint(100), rng.randint(100)))
+        else:
+            names.append(bytes(rng.randint(33, 127, rng.randint(1, 20))
+                               .astype(np.uint8)))
+    w = max(len(x) for x in names)
+    arr = np.array(names, dtype="S%d" % w)
+    oracle = np.unique(arr, return_inverse=True)[1].astype(np.int32)
+    got = native.qname_ranks_fixed(arr)
+    assert got is not None
+    assert np.array_equal(got, oracle)
+    # and the dispatching wrapper picks the same values
+    assert np.array_equal(sortkeys.qname_ranks(arr), oracle)
