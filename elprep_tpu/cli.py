@@ -619,7 +619,15 @@ def _merge_spread_file(data, spread_file: str, post_sort):
     spread = spread.select(keep)
     sd = run_pipeline(SamData(data.header, spread), [fsimple.add_refid], SortingOrder.KEEP)
     merged = ReadBatch.concat([data.batch, sd.batch])
-    out = SamData(data.header, merged)
+    # the reference MERGES the sorted spread reads into the sorted group
+    # (ParallelStableMerge by CoordinateLess, cmd/filter.go:63); after a
+    # concat the batch is NOT sorted even though the header still says
+    # coordinate — requesting COORDINATE directly would be elided as
+    # redundant, leaving the spread reads appended at the end (caught by
+    # tests/test_crossmode.py). Drop the SO claim so the sort really runs.
+    hdr2 = data.header.clone()
+    hdr2.hd["SO"] = "unknown"
+    out = SamData(hdr2, merged)
     return run_pipeline(out, [fsimple.add_refid], SortingOrder.COORDINATE)
 
 

@@ -145,14 +145,18 @@ def _parse_cigars_vectorized(cig: Ragged):
         raise ValueError("invalid CIGAR operation")
     # rows must end at an op, positionally: the row's last op must sit on
     # its final byte (else trailing digits like '4M2' would be dropped)
-    last_op_sel = np.concatenate([op_row[1:] != op_row[:-1], [True]])
     row_end_ok = np.zeros(n_rows, bool)
-    row_end_ok[op_row[last_op_sel]] = op_pos[last_op_sel] == cig.offsets[op_row[last_op_sel] + 1] - 1
+    if len(op_pos):
+        last_op_sel = np.concatenate([op_row[1:] != op_row[:-1], [True]])
+        row_end_ok[op_row[last_op_sel]] = (
+            op_pos[last_op_sel] == cig.offsets[op_row[last_op_sel] + 1] - 1)
+    # (an all-'*' input — e.g. an sfm unmapped-reads split file — has no
+    # ops at all; every row is a star row and the check below is vacuous)
     nonstar = ~star_rows
     if not np.all(row_end_ok[nonstar] | (cig.lengths[nonstar] == 0)):
         raise ValueError("invalid CIGAR operation")
     # parse lengths: up to 9 digits
-    max_d = int(ndig.max())
+    max_d = int(ndig.max()) if len(ndig) else 0
     if max_d > 9:
         return None
     vals = np.zeros(len(op_pos), np.int64)

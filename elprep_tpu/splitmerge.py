@@ -93,7 +93,18 @@ def split_file_per_chromosome(input_path: str, output_path: str,
             contig_to_group.get(r.decode(), "") if r not in (b"=", b"*") else ""
             for r in rnexts
         ])
-        is_spread = (rnexts != b"=") & (rnames != b"*") & (next_group != group_of)
+        # deliberate deviation from the reference: a mapped read with
+        # RNEXT "*" has NO mate, so it stays in its group. The reference
+        # sends it to the spread file (split-merge.go:286-294 treats any
+        # RNEXT outside the group as cross-group), which computes its
+        # duplicate verdict in spread-only context and forks it from the
+        # whole-file run whenever the read collides with a pair at its
+        # position — caught by the cross-mode differential
+        # (tests/test_crossmode.py). Keeping mate-less reads local
+        # preserves sfm == whole-file; genuine cross-group pairs keep
+        # the spread mechanism unchanged.
+        is_spread = ((rnexts != b"=") & (rnexts != b"*") & (rnames != b"*")
+                     & (next_group != group_of))
 
     spread_out = None
     if not single_end:
@@ -177,26 +188,31 @@ def merge_sorted_files_split_per_chromosome(
 
 
 def _interleave_spread(hdr: Header, body: ReadBatch, spread: ReadBatch) -> ReadBatch:
-    """Insert spread reads by (refid, POS); group reads win ties
-    (split-merge.go:500-520)."""
-    bk1, bk2 = _coordinate_keys(hdr, body)
-    sk1, sk2 = _coordinate_keys(hdr, spread)
-    # composite keys assuming pos < 2^32
-    bkey = bk1 * (2 ** 33) + bk2
-    skey = sk1 * (2 ** 33) + sk2
-    pos = np.searchsorted(bkey, skey, side="right")
+    """Insert each spread read before the first group read that is
+    STRICTLY greater under the full CoordinateLess comparator
+    (reference: split-merge.go:524-531 inserts on ``coordinateLess(
+    spreadRead, aln)``, i.e. full-key ties keep group reads first).
+
+    Sequential insertion of key-sorted spread reads into a key-sorted
+    body with that rule is exactly a stable full-key sort of
+    [body..., spread...], so this reuses the packed-key native sort the
+    coordinate sort itself runs on. An earlier version keyed only
+    (refid, POS) and placed spread reads one row late — both bugs were
+    caught by the cross-mode differential (tests/test_crossmode.py)
+    against serial whole-file output."""
+    from .core.pipeline import SamData, SortingOrder, run_pipeline
+    from .filters import simple as fsimple
+    from .ops import sortkeys
+
     merged = ReadBatch.concat([body, spread])
-    n_body = len(body)
-    # final order: stable by (insertion point, is-spread flag, original order)
-    order = np.empty(len(merged), np.int64)
-    idx_body = np.arange(n_body)
-    idx_spread = np.arange(len(spread))
-    # position values: body read i sits at slot (i, 0); spread j at (pos[j], 1)
-    slot_body = idx_body * 2
-    slot_spread = pos[idx_spread] * 2 + 1
-    slots = np.concatenate([slot_body, slot_spread])
-    perm = np.argsort(slots, kind="stable")
-    return merged.select(perm)
+    md = run_pipeline(SamData(hdr, merged), [fsimple.add_refid],
+                      SortingOrder.KEEP)
+    b = md.batch
+    perm = sortkeys.coordinate_sort_perm_host(
+        b.flag, np.asarray(b.temps["REFID"]), b.pos, b.mapq,
+        np.asarray(b.temps["NextREFID"]), b.pnext, b.tlen,
+        sortkeys.qname_ranks(b.qname))
+    return b.select(np.asarray(perm))
 
 
 def merge_files_split_per_chromosome_without_spread(
