@@ -199,9 +199,17 @@ def _arrays_to_shm(arrays: dict, pool: "list | None" = None):
         shm = shared_memory.SharedMemory(
             create=True, size=(total + (16 << 20) - 1) & ~((16 << 20) - 1))
     try:
+        from .. import native
+
         for k, a in bufs.items():
             off = metas[k][0]
-            np.ndarray(a.shape, a.dtype, buffer=shm.buf, offset=off)[...] = a
+            dst = np.ndarray(a.shape, a.dtype, buffer=shm.buf, offset=off)
+            # threaded copy: a fresh segment's first-touch faults
+            # parallelize across the copy threads (profiled: the one
+            # big per-run batch segment cost ~8-11 s at 2M reads
+            # single-threaded on a bad fault-rate window)
+            if not native.parallel_copy(dst, a):
+                dst[...] = a
     except BaseException:
         shm.close()
         shm.unlink()

@@ -874,6 +874,28 @@ def stable_sort_idx(w0, w1=None, w2=None, w3=None):
     return out
 
 
+def parallel_copy(dst, src) -> bool:
+    """Threaded flat copy of ``src`` (contiguous ndarray) into ``dst``
+    (contiguous ndarray view of the same shape/dtype). Returns False
+    without the native lib (caller falls back to numpy assignment).
+    First-touch faults on fresh destination pages parallelize across
+    the copy threads — the motivating case is the one big shm segment
+    per run (hc/parallel._arrays_to_shm)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "parallel_memcpy"):
+        return False
+    if lib.parallel_memcpy.argtypes is None:
+        lib.parallel_memcpy.restype = None
+        lib.parallel_memcpy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_int]
+    if (not dst.flags["C_CONTIGUOUS"] or not src.flags["C_CONTIGUOUS"]
+            or dst.nbytes != src.nbytes):
+        return False
+    lib.parallel_memcpy(dst.ctypes.data, src.ctypes.data, dst.nbytes, 0)
+    return True
+
+
 def qname_ranks_fixed(arr):
     """Dense lexicographic ranks of a C-contiguous numpy 'S' array
     (parallel native sort). Returns int32 ranks or None without the

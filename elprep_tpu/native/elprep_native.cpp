@@ -385,6 +385,30 @@ long long sam_tokenize(const uint8_t* data, size_t n, size_t start, long long ma
   return total;
 }
 
+// Parallel flat memcpy: first-touch faults on fresh (tmpfs/anon) pages
+// are the dominant cost of large destination buffers on this host class
+// (CLAUDE.md: 40 MB/s-1.4 GB/s single-thread, erratic) and they
+// parallelize across cores.
+extern "C" void parallel_memcpy(uint8_t* dst, const uint8_t* src,
+                                long long n, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n < (4 << 20) || n_threads == 1) {
+    memcpy(dst, src, (size_t)n);
+    return;
+  }
+  std::vector<std::thread> ths;
+  long long chunk = (n + n_threads - 1) / n_threads;
+  chunk = (chunk + 4095) & ~4095LL;  // page-align the splits
+  for (int t = 0; t < n_threads; t++) {
+    long long lo = (long long)t * chunk;
+    if (lo >= n) break;
+    long long hi = lo + chunk < n ? lo + chunk : n;
+    ths.emplace_back([=]() { memcpy(dst + lo, src + lo, (size_t)(hi - lo)); });
+  }
+  for (auto& th : ths) th.join();
+}
+
 // Dense lexicographic ranks of fixed-width byte rows (numpy 'S' array
 // semantics: rows compare as their full null-padded width, which equals
 // name-then-length order because qnames contain no NULs). Equal rows
