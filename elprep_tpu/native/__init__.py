@@ -233,9 +233,29 @@ def ragged_to_padded(data: np.ndarray, offsets: np.ndarray, width: int,
         return None
     _bind_ragged(lib)
     n = len(offsets) - 1
-    out = np.full((n, width), fill, dtype=dtype)
     data = np.ascontiguousarray(data)
     offsets = np.ascontiguousarray(offsets.astype(np.int64))
+    # fused fill+copy when the fill value is byte-uniform (every current
+    # caller's is): the row tails memset inside the same parallel pass,
+    # so the destination's first-touch faults parallelize instead of
+    # serializing through a Python-side np.full (~4 s per worker at 4M
+    # reads in a bad fault-rate window)
+    fill_bytes = np.full((1,), fill, dtype=dtype).tobytes()
+    if (hasattr(lib, "ragged_to_padded_fillb")
+            and len(set(fill_bytes)) == 1):
+        if lib.ragged_to_padded_fillb.argtypes is None:
+            lib.ragged_to_padded_fillb.restype = None
+            lib.ragged_to_padded_fillb.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int]
+        out = np.empty((n, width), dtype=dtype)
+        lib.ragged_to_padded_fillb(
+            data.ctypes.data, offsets.ctypes.data, n, width,
+            data.dtype.itemsize, fill_bytes[0], out.ctypes.data,
+            _DEFAULT_THREADS[0])
+        return out
+    out = np.full((n, width), fill, dtype=dtype)
     lib.ragged_to_padded(data.ctypes.data, offsets.ctypes.data, n, width,
                          data.dtype.itemsize, out.ctypes.data, _DEFAULT_THREADS[0])
     return out

@@ -529,6 +529,44 @@ void ragged_to_padded(const uint8_t* data, const int64_t* offsets,
   for (auto& th : threads) th.join();
 }
 
+// ragged_to_padded with the fill fused in: each row copies its prefix
+// and memsets its tail in the same parallel pass (the Python-side
+// np.full pre-fill this replaces serialized the destination's
+// first-touch faults — ~4 s per worker at 4M reads in a bad
+// fault-rate window). fill_byte repeats across the element bytes, so
+// callers must pass byte-uniform fill values (all current fills are).
+void ragged_to_padded_fillb(const uint8_t* data, const int64_t* offsets,
+                            int64_t n_rows, int64_t width, int64_t elem_size,
+                            int fill_byte, uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t CHUNK = 2048;
+  const int64_t row_bytes = width * elem_size;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i0 = next.fetch_add(CHUNK);
+      if (i0 >= n_rows) return;
+      int64_t i1 = i0 + CHUNK < n_rows ? i0 + CHUNK : n_rows;
+      for (int64_t i = i0; i < i1; i++) {
+        int64_t len = offsets[i + 1] - offsets[i];
+        if (len > width) len = width;
+        if (len < 0) len = 0;
+        uint8_t* dst = out + i * row_bytes;
+        if (len > 0)
+          memcpy(dst, data + offsets[i] * elem_size,
+                 (size_t)(len * elem_size));
+        if (len < width)
+          memset(dst + len * elem_size, fill_byte,
+                 (size_t)((width - len) * elem_size));
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 // Parallel unpad (inverse of ragged_to_padded): dense [n_rows, width]
 // rows -> flat ragged buffer at offsets, elem_size bytes per element.
 // Rows longer than width keep their tail bytes untouched in `out`.
