@@ -164,21 +164,26 @@ def _wait_for_burst_credits() -> dict:
         # a narrow band, the background load is steady-state, not our
         # own burst-credit burn draining
         recent = []
-        timed_out = True
+        how = "timeout"
         while _t.time() - t0 < max_wait:
             load = os.getloadavg()[0]
             if load <= 0.3:
-                timed_out = False
+                how = "idle"
                 break
             recent.append(load)
             if len(recent) >= 4 and max(recent[-4:]) - min(recent[-4:]) < 0.15:
-                timed_out = False
+                # steady background load from another tenant, NOT our own
+                # credit burn draining — proceed, but say so: a sample
+                # captured under sustained contention must not read as a
+                # quiet-host number
+                how = "steady-band"
                 break
             _t.sleep(20)
         waited = round(_t.time() - t0, 1)
         return {"quiet_wait_s": waited,
                 "load1_at_start": round(os.getloadavg()[0], 2),
-                "gate_timed_out": timed_out}
+                "gate": how,
+                "gate_timed_out": how == "timeout"}
     except Exception:
         return {"quiet_wait_s": waited}
 

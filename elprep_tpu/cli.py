@@ -732,6 +732,19 @@ def _run_haplotypecaller(args, data, mapped_fasta, bed_regions, command_line,
         if mh_n > 1:
             from .parallel.multihost import hc_contig_partition
 
+            # commit ONE PairHMM backend for the whole job: each process
+            # probes its own link, so a borderline link could split the
+            # run between 'pallas' and 'host' and the gathered VCF would
+            # mix ulp-different f32 likelihood regimes across contig
+            # slices. Process 0's session commitment wins everywhere.
+            from jax.experimental import multihost_utils as _mhu
+
+            from .ops.pairhmm import _SESSION_BACKEND, pairhmm_session_backend
+
+            _kinds = ("pallas", "host", "scan")
+            _be = np.int32(_kinds.index(pairhmm_session_backend()))
+            _SESSION_BACKEND[0] = _kinds[
+                int(_mhu.broadcast_one_to_all(_be))]
             # partition ALL header contigs (zero-coverage GVCF bands are
             # emitted per @SQ contig, so read-less contigs need an owner
             # too), weighted by read count

@@ -752,6 +752,12 @@ def call_variants(
     out_variants: List[Variant] = []
     run_buf: List = []
     run_len = 0
+    # records (not items) currently buffered in out_variants — kept
+    # incrementally (the combiner only ever APPENDS to the list) so the
+    # sink-flush check below is O(new items), not a rescan of the whole
+    # list per region batch (quadratic in non-GVCF mode, where every
+    # record is its own item)
+    sink_records = 0
 
     def flush_runs(variants: List[Variant]) -> List[Variant]:
         nonlocal run_len
@@ -868,7 +874,8 @@ def call_variants(
         the main thread's result polling, PairHMM dispatch, and
         cross-span pre-starts (those were measured serializing the
         span pipeline at 1M reads)."""
-        nonlocal out_variants, run_len
+        nonlocal out_variants, run_len, sink_records
+        pre_items = len(out_variants)
         for sv in region_variants:
             if gvcf:
                 out_variants = combiner.set_contig(out_variants, contig)
@@ -900,15 +907,21 @@ def call_variants(
         # record-count check keeps the sink thread streaming alongside
         # region consumption instead
         if variant_sink is not None:
-            n_records = sum(len(v) if isinstance(v, RefBlockBatch) else 1
-                            for v in out_variants)
-            if n_records >= _SINK_FLUSH_RECORDS:
+            sink_records += sum(
+                len(v) if isinstance(v, RefBlockBatch) else 1
+                for v in out_variants[pre_items:])
+            if sink_records >= _SINK_FLUSH_RECORDS:
                 variant_sink.write_variants(out_variants)
                 out_variants = []
+                sink_records = 0
 
     def _flush_runs_batch():
-        nonlocal out_variants
+        nonlocal out_variants, sink_records
+        pre_items = len(out_variants)
         out_variants = flush_runs(out_variants)
+        sink_records += sum(
+            len(v) if isinstance(v, RefBlockBatch) else 1
+            for v in out_variants[pre_items:])
 
     pump = _CombinerPump(_combine_batch, _flush_runs_batch)
 

@@ -820,10 +820,44 @@ class HCWorkerPool:
         # the span's shared block segment must not outlive the span: if
         # some worker's copied-out ack is still in flight, drain for it
         # (acks precede any prep/act result of the same span in each
-        # worker's FIFO, so they are already sent or imminent)
-        while gen in self._span_shm:
-            msg = self._recv_raw()
-            self._buf.setdefault(msg[1], []).append(msg)
+        # worker's FIFO, so they are already sent or imminent). Bounded:
+        # a missing ack must degrade to a leaked-name unlink, never a
+        # hang (observed twice as a rare full-suite deadlock — every
+        # worker idle, the segment's pending count stuck >0). Unlinking
+        # (not pooling) the segment keeps the degraded path safe: a
+        # worker still copying would hit FileNotFoundError -> "error"
+        # -> surfaced, instead of racing a pooled reuse.
+        import time as _time
+
+        deadline = _time.monotonic() + 60.0
+
+        class _AckTimeout(Exception):
+            pass
+
+        def _deadline_check():
+            # runs on every empty-queue wakeup inside _recv_raw
+            if _time.monotonic() > deadline:
+                raise _AckTimeout
+
+        try:
+            while gen in self._span_shm:
+                _deadline_check()
+                msg = self._recv_raw(extra_check=_deadline_check)
+                self._buf.setdefault(msg[1], []).append(msg)
+        except _AckTimeout:
+            ent = self._span_shm.pop(gen, None)
+            if ent is not None:
+                import sys as _sys
+
+                print("elprep_tpu: warning: span %d block-ack timeout "
+                      "(%d outstanding); unlinking segment instead of "
+                      "pooling it" % (gen, ent[1]), file=_sys.stderr,
+                      flush=True)
+                try:
+                    ent[0].close()
+                    ent[0].unlink()
+                except Exception:
+                    pass
         for q in self.req_qs:
             q.put(("drop_span", gen))
         ref_key = self._span_ref.pop(gen, None)

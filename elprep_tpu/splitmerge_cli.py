@@ -355,14 +355,26 @@ def _combine_vcf_outputs(paths: List[str], output: str) -> None:
         tmp = "%s.tmp.%d" % (output, os.getpid())
         with open(tmp, "wb") as out_f:
             for i, path in enumerate(paths):
+                size = os.path.getsize(path)
                 with open(path, "rb") as f:
-                    data = f.read()
-                if not data.endswith(bgzf.BGZF_EOF):
-                    raise ValueError(f"{path}: missing BGZF EOF marker")
-                start = 0
-                if i > 0:
-                    start = int(open(path + ".hdroff").read().strip())
-                out_f.write(memoryview(data)[start:len(data) - len(bgzf.BGZF_EOF)])
+                    f.seek(max(0, size - len(bgzf.BGZF_EOF)))
+                    if f.read() != bgzf.BGZF_EOF:
+                        raise ValueError(f"{path}: missing BGZF EOF marker")
+                    start = 0
+                    if i > 0:
+                        start = int(open(path + ".hdroff").read().strip())
+                    # stream the body-block byte range: shards can be
+                    # hundreds of MB at WGS scale and every multihost
+                    # process gathers concurrently — constant memory,
+                    # not a whole-shard read
+                    f.seek(start)
+                    remaining = size - len(bgzf.BGZF_EOF) - start
+                    while remaining > 0:
+                        chunk = f.read(min(remaining, 8 << 20))
+                        if not chunk:
+                            raise ValueError(f"{path}: truncated shard")
+                        out_f.write(chunk)
+                        remaining -= len(chunk)
             out_f.write(bgzf.BGZF_EOF)
         os.replace(tmp, output)
         return
